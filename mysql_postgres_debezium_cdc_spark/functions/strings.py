@@ -1,0 +1,96 @@
+"""String function surface: concat, substr, case-mapping, trim, regexp,
+split/length — mirrors the reference's only string handling (lower-cased
+identifiers, Consumer.java:208-210) and extends to a full library.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+
+@register(
+    "fn_string_basic",
+    oracle="""
+    SELECT
+      c_custkey,
+      UPPER(c_name)                              AS name_upper,
+      LOWER(c_mktsegment)                        AS segment_lower,
+      LENGTH(c_name)                             AS name_len,
+      CONCAT(c_name, ':', c_mktsegment)          AS name_seg,
+      SUBSTR(c_name, 1, 8)                       AS name_prefix,
+      TRIM(CONCAT(' ', c_name, ' '))             AS name_trimmed,
+      REPLACE(c_name, '#', '-')                  AS name_dashed
+    FROM customer
+    WHERE c_custkey < 100
+    """,
+    tags=("function", "string"),
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+    )
+
+
+@register(
+    "fn_string_regexp",
+    oracle="""
+    SELECT
+      p_partkey,
+      p_brand,
+      CAST(REGEXP_EXTRACT(p_brand, 'Brand#?([0-9]+)', 1) AS BIGINT) AS brand_num,
+      REGEXP_REPLACE(p_type, '[aeiou]', '_', 'g')                   AS type_devoweled,
+      CASE WHEN REGEXP_MATCHES(p_name, '^[a-m]') THEN 1 ELSE 0 END  AS starts_first_half
+    FROM part
+    WHERE p_partkey < 150
+    """,
+    tags=("function", "string", "regexp"),
+)
+def fn_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract/replace/match with ASCII-only patterns (portable
+    across Java regex and RE2)."""
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") < 150)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"Brand#?([0-9]+)", 1).cast("bigint").alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.when(F.col("p_name").rlike("^[a-m]"), 1).otherwise(0).alias("starts_first_half"),
+    )
+
+
+@register(
+    "fn_string_split_tokens",
+    oracle="""
+    SELECT
+      doc_id,
+      LEN(STRING_SPLIT(text, ' '))     AS n_tokens,
+      STRING_SPLIT(text, ' ')[1]       AS first_token,
+      LEFT(text, 20)                   AS head,
+      CASE WHEN CONTAINS(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("function", "string", "split"),
+)
+def fn_string_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.substring("text", 1, 20).alias("head"),
+        F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("mentions_spark"),
+    )

@@ -1,0 +1,9 @@
+"""LLM-training-data operators: dedup, similarity search, text analysis,
+multimodal column plumbing."""
+
+from mysql_postgres_debezium_cdc_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

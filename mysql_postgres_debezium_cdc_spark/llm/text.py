@@ -1,0 +1,215 @@
+"""Text analysis for LLM-data pipelines: stats/quality scoring, language
+ID (stopword-profile heuristic), tokenizer-style counting, document
+fingerprinting.
+
+Everything is Catalyst built-ins over the ``documents`` table — per-row
+narrow transformations (no shuffle at all until the final aggregate, if
+any), so these scale embarrassingly: 100 TB of text is a pure map over
+partitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+# Tiny stopword profiles for the heuristic language scorer.  Word-match
+# counts against each profile; argmax wins.  (A production lang-id uses
+# char-n-gram profiles — same argmax-over-profile-scores shape.)
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+TOKEN_REGEX = "[a-z0-9]+|[^a-z0-9 ]"  # BPE-ish pre-tokenizer: words or single symbols
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      LENGTH(text) AS n_chars,
+      LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)) AS n_tokens,
+      ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+            / LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)), 4)
+        AS avg_token_len,
+      LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                      t -> LIST_CONTAINS(['the','and','of','to','a'], t))) AS n_stopwords
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document size/shape statistics."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        .cast("bigint")
+        .alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)) AS n_tokens,
+             LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)))
+               AS n_unique
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(n_unique AS DOUBLE) / n_tokens, 4) AS ttr,
+           CASE WHEN n_tokens BETWEEN 20 AND 1000
+                 AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.3
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: length window + type-token ratio — the shape of a
+    Gopher/C4-style heuristic filter."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    n_tokens = F.size(toks).cast("bigint")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.when(n_tokens.between(20, 1000) & (ttr >= 0.3), 1).otherwise(0).alias(
+            "passes_quality"
+        ),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LIST_CONTAINS([{words}], t)))"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("zh")} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE GREATEST(s_en, s_es, s_fr, s_de, s_zh)
+             WHEN 0 THEN 'und'
+             WHEN s_en THEN 'en'
+             WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr'
+             WHEN s_de THEN 'de'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax of per-language hit counts).
+
+    Ambiguity resolution is a fixed language order (en>es>fr>de>zh),
+    mirrored in the oracle's CASE; score 0 → 'und'."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def score(ws: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+    scores = {lang: score(ws) for lang, ws in LANG_PROFILES.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .when(scores["de"] == best, "de")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang")).orderBy("doc_id")
+
+
+@register(
+    "text_token_count_regex",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT)       AS n_number_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting with a BPE-ish pre-tokenizer regex
+    (ASCII-only pattern → identical under Java regex and RE2)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_number_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0))), ' '))
+             AS content_fp,
+           MD5(text) AS exact_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of the sorted distinct
+    token set) + exact fingerprint — the join keys for cheap exact /
+    bag-of-words dedup at scale (8-byte-ish keys instead of documents)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("content_fp"),
+        F.md5(F.col("text")).alias("exact_fp"),
+    ).orderBy("doc_id")

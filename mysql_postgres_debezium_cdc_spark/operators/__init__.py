@@ -1,0 +1,11 @@
+"""Batch relational operators, each registered as an oracle-checked query."""
+
+from mysql_postgres_debezium_cdc_spark.operators import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    setops,
+    topk,
+    tpch,
+    windows,
+)

@@ -1,0 +1,160 @@
+"""Window-function surface: ranking, lag/lead, running frames, ntile.
+
+Window functions shuffle once on PARTITION BY and sort within partitions.
+Skew note for 100 TB: a hot partition key serializes into one task — for
+running aggregates over a global order, prefer keyed partitions (as
+here); never Window with no PARTITION BY on a fact table (single-task
+sort) — the one global-order query in this file runs on a dimension.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+
+@register(
+    "window_rank_dense_rownum",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rn
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value, 2) AS value,
+           ROUND(LAG(value)  OVER w, 2) AS prev_value,
+           ROUND(LEAD(value) OVER w, 2) AS next_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, value), 2) AS delta
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "lag"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_v = F.lag("value").over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(lag_v, 2).alias("prev_value"),
+            F.round(F.lead("value").over(w), 2).alias("next_value"),
+            F.round(F.col("value") - F.coalesce(lag_v, F.col("value")), 2).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+             AS moving_avg_3
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average with explicit ROWS frames."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(run), 2).alias("running_total"),
+            F.round(F.avg("value").over(mov), 2).alias("moving_avg_3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+                          RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+             AS orders_past_90d
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "range_frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: orders in trailing 90 days."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 24 * 3600, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.count(F.lit(1)).over(w).alias("orders_past_90d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("window", "ntile"),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE on a dimension (bounded size; see module scale note)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,5 @@
+"""Plan inspection & scale utilities."""
+
+from mysql_postgres_debezium_cdc_spark.plans.explain import explain_str, plan_report
+
+__all__ = ["explain_str", "plan_report"]

@@ -1,0 +1,78 @@
+"""Parquet fixture source (the engine's batch scan operator).
+
+Scale notes (100 TB posture): ``spark.read.parquet`` gives us the
+vectorized columnar reader, predicate pushdown and column pruning for
+free — every query in this repo selects/filters *before* any shuffle so
+Catalyst pushes the scan work into the file source (check with
+``plans.explain_str``: look for PushedFilters / ReadSchema).  At cluster
+scale the same call reads a partitioned directory tree; nothing here
+assumes a single file.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright.  Read nanos as raw int64, then integer-divide
+        # to micros (`DIV`, not `/` — the double round-trip loses low
+        # microsecond bits at 2026-era epoch-nanos magnitudes) — exactly
+        # the truncation DuckDB applies, so oracles agree to the micro.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- scan/projection smoke queries (S1-analogue for batch) -----------------
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    """,
+    tags=("scan",),
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema must contain only the 3 columns."""
+    return load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@register(
+    "scan_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+    """,
+    tags=("scan", "filter"),
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter lands in PushedFilters (parquet row-group stats skip at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where((li.l_quantity > 45.0) & (li.l_returnflag == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

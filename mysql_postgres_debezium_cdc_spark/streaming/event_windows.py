@@ -1,0 +1,170 @@
+"""Event-time windows: tumbling, sliding, session — batch formulations.
+
+These register the *batch-equivalent* of each Structured Streaming
+window query so the DuckDB oracle can check semantics; the same
+expressions run unchanged under ``readStream`` (see streaming/jobs.py,
+tested stream-vs-batch in tests/test_streaming.py).  Window boundaries
+are emitted as epoch seconds (BIGINT) — timestamp objects don't
+hash-compare portably across engines.
+
+Scale: event-time windowing is a single shuffle on (key, window); state
+in the streaming case is bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+
+def _win_start_s(col: str = "w.start"):
+    return F.unix_timestamp(F.col(col)).alias("window_start_s")
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT
+      (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600 AS window_start_s,
+      event_type,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_s, event_type
+    """,
+    tags=("streaming", "window"),
+    bench=True,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation (F.window)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(_win_start_s(), "event_type", "n_events", "sum_value")
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT window_start_s, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT value, UNNEST([b, b - 1800]) AS window_start_s
+      FROM (
+        SELECT value, (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 1800) * 1800 AS b
+        FROM events
+      )
+    )
+    GROUP BY window_start_s
+    ORDER BY window_start_s
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each event lands in 2 windows.
+
+    The oracle replicates Spark's window assignment closed-form: an event
+    at epoch t belongs to starts {floor(t/1800)*1800 - off, off ∈ {0,1800}}.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(_win_start_s(), "n_events", "sum_value")
+        .orderBy("window_start_s")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+      WHERE user_id < 20
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR EPOCH(ts) - EPOCH(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_s,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) + 1800 AS session_end_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, session_start_s
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (F.session_window).
+
+    Spark defines session end = last event ts + gap; the oracle's
+    gaps-and-islands formulation reproduces exactly that.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_s"),
+            F.unix_timestamp("w.end").alias("session_end_s"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_s")
+    )
+
+
+@register(
+    "stream_dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN_BY(event_id, EPOCH_MS(ts) * 1000000 + event_id) AS first_event_id,
+           COUNT(*) AS n_dups
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup (keep-first) — batch analogue of
+    dropDuplicatesWithinWatermark: first event per (user, type)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            # Composite BIGINT ordering key (ms-epoch ⊕ event_id) — DuckDB's
+            # MIN_BY can't take a struct/list key, so both engines use the
+            # same scalar encoding for the deterministic tie-break.
+            F.min_by(
+                "event_id", F.unix_millis("ts") * 1000000 + F.col("event_id")
+            ).alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .orderBy("user_id", "event_type")
+    )
