@@ -1,0 +1,190 @@
+"""Debezium change-event envelope: schema, decode expressions, routing.
+
+Re-expresses the reference consumer's parse/route stages as pure
+Catalyst column expressions (no per-row Java/Python):
+
+- envelope parse + ``payload`` unwrap  → reference Consumer.java:138-149
+- op/before/after/source extraction    → Consumer.java:142-149
+- topic → table fallback               → Consumer.java:191-195
+- table routing (``map.*``) + PK resolution (``pk.*``) with the same
+  db.table → table → default precedence → Consumer.java:155-172,
+  config format consumer/src/main/resources/config.properties:15-20
+- dynamic per-token typing → here explicit per-table StructType with a
+  MapType<string,string> fallback for schema drift (SURVEY §1.3)
+
+Wire-format fidelity (SURVEY §1.3): timestamps arrive as epoch-millis
+int64 (time.precision.mode=connect, connectors/mysql-source.json:26) →
+``timestamp_millis``; decimals as JSON double
+(decimal.handling.mode=double, mysql-source.json:25) → DoubleType.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+DEFAULT_PK = ("id",)  # reference default, Consumer.java:171
+
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def envelope_schema(row_schema: T.DataType) -> T.StructType:
+    """Debezium 2.x envelope StructType for a given row-image schema.
+
+    ``row_schema`` may be a concrete StructType (preferred) or
+    ``MapType(String, String)`` for schema-drift tolerance."""
+    return T.StructType(
+        [
+            T.StructField("before", row_schema),
+            T.StructField("after", row_schema),
+            T.StructField("source", SOURCE_SCHEMA),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+
+
+def decode_envelope(
+    df: DataFrame,
+    row_schema: T.DataType,
+    value_col: str = "value",
+    topic_col: str | None = "topic",
+) -> DataFrame:
+    """Kafka-shaped records → typed change events.
+
+    Input: ``value_col`` (JSON string; may be ``{"payload": {...}}``-
+    wrapped or bare — both occur, Consumer.java:139-140), optional
+    ``topic_col`` for the table-name fallback, and any passthrough
+    columns (``offset`` etc.), which are preserved.
+
+    Output adds: op, before, after, src_db, src_table, ts_ms, _error
+    (non-null for malformed/unparseable records — the per-record error
+    isolation of Consumer.java:186-188 as a dead-letter column instead
+    of a log line).
+    """
+    schema = envelope_schema(row_schema)
+    wrapped_schema = T.StructType([T.StructField("payload", schema)])
+    # payload-or-root unwrap as a coalesce of two parses.  (Rebuilding a
+    # struct from fields of a nullable from_json result trips a codegen
+    # NPE in Spark 4.1 when the parse returns null — two parses + struct
+    # coalesce sidesteps it and reads cleaner anyway.)
+    env = F.coalesce(
+        F.from_json(F.col(value_col), wrapped_schema).getField("payload"),
+        F.from_json(F.col(value_col), schema),
+    )
+    topic_table = (
+        F.element_at(F.split(F.col(topic_col), r"\."), -1)
+        if topic_col and topic_col in df.columns
+        else F.lit(None).cast("string")
+    )
+    out = df.withColumn("_env", env).select(
+        "*",
+        F.col("_env.op").alias("op"),
+        F.col("_env.before").alias("before"),
+        F.col("_env.after").alias("after"),
+        F.col("_env.source.db").alias("src_db"),
+        F.coalesce(F.col("_env.source.table"), topic_table).alias("src_table"),
+        F.col("_env.ts_ms").alias("ts_ms"),
+    )
+    # Tombstones (null/blank value, Consumer.java:133-136) are not errors;
+    # anything else that yields no op is a poison record.
+    is_tombstone = F.col(value_col).isNull() | (F.trim(F.col(value_col)) == "")
+    return (
+        out.withColumn("_tombstone", is_tombstone)
+        .withColumn(
+            "_error",
+            F.when(
+                ~is_tombstone & F.col("op").isNull(),
+                F.concat(F.lit("unparseable envelope: "), F.substring(value_col, 1, 120)),
+            ),
+        )
+        .drop("_env")
+    )
+
+
+@dataclass(frozen=True)
+class CdcConfig:
+    """Routing registry mirroring the reference's config.properties.
+
+    ``pk``  : {"db.table" | "table": (pk cols…)}   (pk.* lines)
+    ``table_map``: {"db.table" | "table": target}  (map.* lines)
+    Resolution precedence db.table → table → default, Consumer.java:155-172.
+    """
+
+    pk: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    table_map: dict[str, str] = field(default_factory=dict)
+
+    def resolve_pk(self, db: str | None, table: str) -> tuple[str, ...]:
+        if db and f"{db}.{table}" in self.pk:
+            return self.pk[f"{db}.{table}"]
+        return self.pk.get(table, DEFAULT_PK)
+
+    def resolve_target(self, db: str | None, table: str) -> str:
+        if db and f"{db}.{table}" in self.table_map:
+            return self.table_map[f"{db}.{table}"]
+        return self.table_map.get(table, table.lower())
+
+    @classmethod
+    def from_properties(cls, text: str) -> "CdcConfig":
+        """Parse the reference's config.properties format (pk.*/map.* keys,
+        comma-separated multi-column PKs — Consumer.java:77-91)."""
+        pk: dict[str, tuple[str, ...]] = {}
+        table_map: dict[str, str] = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            if key.startswith("pk."):
+                pk[key[3:]] = tuple(c.strip() for c in val.split(",") if c.strip())
+            elif key.startswith("map."):
+                table_map[key[4:]] = val
+        return cls(pk=pk, table_map=table_map)
+
+
+def kafka_cdc_source(
+    spark,
+    bootstrap_servers: str,
+    subscribe_pattern: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The reference's S1 source: regex multi-topic Kafka subscription
+    (topic.regex in config.properties:6) as a Structured Streaming scan.
+
+    Returns the raw Kafka frame projected to (topic, partition, offset,
+    key, value, timestamp) with key/value as strings, ready for
+    ``decode_envelope``.  Not exercised in tests (no broker in the
+    container); the decode/compact/merge path downstream is identical
+    for file- and memory-fed streams, which ARE tested.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", subscribe_pattern)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+        .select(
+            "topic",
+            "partition",
+            "offset",
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            "timestamp",
+        )
+    )
+
+
+def epoch_millis_to_ts(col: Column) -> Column:
+    """Debezium connect-mode temporal decode (SURVEY §1.3)."""
+    return F.timestamp_millis(col)

@@ -1,0 +1,195 @@
+"""CDC core: last-write-wins compaction + keyed upsert/delete merge.
+
+This is the reference's entire standing query (SURVEY §0): *for every
+table T and key k, keep the latest committed row version (or its
+absence, if deleted), in source order.*  The reference gets per-key
+ordering implicitly from a single thread (Consumer.java:122-127); Spark
+shuffles destroy arrival order, so ordering is made EXPLICIT here:
+
+1. ``compact``: one surviving event per key per micro-batch —
+   ``max_by(struct(all), offset)``.  Partial aggregation means the
+   shuffle carries at most one event per (key, map-partition): at 100 TB
+   of backlog this is the difference between shuffling the firehose and
+   shuffling the frontier.
+2. ``apply_changes``: state ⟕ batch full-outer on the PK; batch wins;
+   delete drops the key.  Equivalent to Delta's
+   ``MERGE … WHEN MATCHED AND is_delete THEN DELETE / UPDATE SET * /
+   INSERT *`` — expressed engine-neutrally so the state store can be
+   parquet (tests), Delta/Iceberg (cluster), or JDBC.
+3. ``ParquetStateSink``: micro-batch merge into a snapshot directory
+   with atomic version-directory swap — the local stand-in for a Delta
+   MERGE sink; exactly-once = checkpointed offsets + idempotent merge
+   (same convergence argument as the reference's ON CONFLICT upsert,
+   Consumer.java:210-211).
+
+Update-then-delete inside one batch lands correctly because compaction
+keeps the *delete* (highest offset) — reference gets this by processing
+events strictly in order (hard-parts list, SURVEY §7.2).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+IS_DELETE = "_is_delete"
+ORDER_COL = "_cdc_offset"
+
+
+def with_change_columns(
+    decoded: DataFrame,
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Normalize a decoded envelope frame: add _is_delete and _cdc_offset.
+
+    op dispatch mirrors Consumer.java:174-185: c/r/u → upsert,
+    d → delete, anything else is dropped to the dead-letter filter."""
+    return (
+        decoded.where(F.col("_error").isNull() & ~F.col("_tombstone"))
+        .where(F.col("op").isin("c", "r", "u", "d"))
+        .withColumn(IS_DELETE, F.col("op") == "d")
+        .withColumn(ORDER_COL, F.col(offset_col).cast("long"))
+    )
+
+
+def compact(batch: DataFrame, pk_cols: Sequence[str]) -> DataFrame:
+    """Latest event per key, by offset order (SURVEY §2.1 composite
+    semantics).  Key columns come from `after` for upserts and `before`
+    for deletes (Consumer.java:197-253)."""
+    keyed = batch.select(
+        "*",
+        *[
+            F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(f"_pk_{c}")
+            for c in pk_cols
+        ],
+    )
+    pk_aliases = [f"_pk_{c}" for c in pk_cols]
+    others = [c for c in keyed.columns if c not in pk_aliases]
+    return (
+        keyed.groupBy(*pk_aliases)
+        .agg(F.max_by(F.struct(*others), F.col(ORDER_COL)).alias("_latest"))
+        .select(*pk_aliases, "_latest.*")
+    )
+
+
+def apply_changes(
+    state: DataFrame | None,
+    compacted: DataFrame,
+    pk_cols: Sequence[str],
+    row_cols: Sequence[str],
+) -> DataFrame:
+    """Merge one compacted batch into the materialized state.
+
+    Returns the new state with schema (pk_cols ∪ row_cols ∪ _cdc_offset).
+    Semantics = Delta MERGE (matched+delete → drop, matched → replace,
+    not-matched-and-not-delete → insert)."""
+    upserts = compacted.where(~F.col(IS_DELETE)).select(
+        *[F.col(f"_pk_{c}").alias(c) for c in pk_cols],
+        *[F.col(f"after.{c}").alias(c) for c in row_cols],
+        F.col(ORDER_COL),
+    )
+    if state is None:
+        return upserts
+    # Keys touched by this batch (upsert OR delete) are removed from the
+    # old state; the batch's upserts then re-add the surviving versions.
+    # A deleted key is simply absent from both sides of the union.
+    touched = compacted.select(*[F.col(f"_pk_{c}").alias(c) for c in pk_cols])
+    untouched = state.join(touched, on=list(pk_cols), how="left_anti")
+    return untouched.unionByName(upserts)
+
+
+class ParquetStateSink:
+    """Versioned-snapshot keyed state store over parquet.
+
+    ``merge`` reads the current snapshot, applies a compacted batch and
+    writes a new snapshot directory, then atomically swaps a ``_CURRENT``
+    pointer file — a poor man's Delta transaction log sufficient for
+    single-writer streams (Structured Streaming guarantees one active
+    foreachBatch writer per query).  On a cluster, swap this class for
+    ``DeltaTable.merge`` and nothing upstream changes."""
+
+    def __init__(self, spark: SparkSession, root: str, pk_cols: Sequence[str], row_cols: Sequence[str]):
+        self.spark = spark
+        self.root = root
+        self.pk_cols = list(pk_cols)
+        self.row_cols = list(row_cols)
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version_dir(self) -> str | None:
+        try:
+            with open(self._pointer()) as f:
+                name = f.read().strip()
+            return os.path.join(self.root, name) if name else None
+        except FileNotFoundError:
+            return None
+
+    def read(self) -> DataFrame | None:
+        d = self.current_version_dir()
+        if d is None:
+            return None
+        return self.spark.read.parquet(d)
+
+    def merge(self, compacted: DataFrame) -> None:
+        new_state = apply_changes(self.read(), compacted, self.pk_cols, self.row_cols)
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.root, version)
+        new_state.write.mode("overwrite").parquet(out_dir)
+        # Atomic pointer swap (rename is atomic on POSIX).
+        fd, tmp = tempfile.mkstemp(dir=self.root)
+        with os.fdopen(fd, "w") as f:
+            f.write(version)
+        prev = self.current_version_dir()
+        os.replace(tmp, self._pointer())
+        if prev and os.path.isdir(prev):
+            shutil.rmtree(prev, ignore_errors=True)
+
+
+class CdcPipeline:
+    """End-to-end CDC standing query for one table.
+
+    batch mode : ``process_batch`` (used by tests and backfills)
+    stream mode: ``run_stream`` — any streaming frame with (value[,
+    topic, offset]) columns (Kafka via sources.debezium.kafka_cdc_source,
+    or file/memory streams in tests) → foreachBatch merge."""
+
+    def __init__(self, spark, row_schema, pk_cols, row_cols, state_root, offset_col="offset"):
+        self.spark = spark
+        self.row_schema = row_schema
+        self.pk_cols = list(pk_cols)
+        self.row_cols = list(row_cols)
+        self.offset_col = offset_col
+        self.sink = ParquetStateSink(spark, state_root, pk_cols, row_cols)
+
+    def decode(self, raw: DataFrame) -> DataFrame:
+        from mysql_postgres_debezium_cdc_spark.sources.debezium import decode_envelope
+
+        topic = "topic" if "topic" in raw.columns else None
+        return with_change_columns(
+            decode_envelope(raw, self.row_schema, topic_col=topic), self.offset_col
+        )
+
+    def process_batch(self, raw: DataFrame) -> None:
+        events = self.decode(raw)
+        self.sink.merge(compact(events, self.pk_cols))
+
+    def run_stream(self, raw_stream: DataFrame, checkpoint_dir: str, trigger_once: bool = True):
+        def sink_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            self.process_batch(batch_df)
+
+        writer = (
+            raw_stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,249 @@
+"""Oracle-checked CDC queries.
+
+The driver fixtures have no Kafka broker, so these queries *synthesize*
+Debezium envelopes (payload-wrapped and bare, upserts and deletes,
+tombstones and poison records) from the deterministic parquet tables,
+then run them through the engine's real decode → compact → apply path.
+The DuckDB oracle states the expected *final values* directly from the
+base tables — so any decode/compaction/merge bug shows up as a value
+mismatch, exactly like the reference's manual insert→SELECT check
+(README.md:85-134).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.debezium import decode_envelope
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+from mysql_postgres_debezium_cdc_spark.streaming.cdc import (
+    ORDER_COL,
+    apply_changes,
+    compact,
+    with_change_columns,
+)
+
+ORDERS_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("custkey", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("order_ms", T.LongType()),  # Debezium epoch-millis wire form
+    ]
+)
+
+EVENTS_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _orders_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelopes from orders: op ∈ c/u/d by key, every 3rd
+    payload-wrapped (Consumer.java:139-140 handles both shapes)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    op = (
+        F.when(F.col("o_orderkey") % 7 == 0, "d")
+        .when(F.col("o_orderkey") % 2 == 0, "c")
+        .otherwise("u")
+    )
+    row_image = F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz")).alias("order_ms"),
+    )
+    env = F.struct(
+        F.when(op == "d", row_image).alias("before"),
+        F.when(op != "d", row_image).alias("after"),
+        F.struct(
+            F.lit("app").alias("db"),
+            F.lit("orders").alias("table"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz")).alias("ts_ms"),
+        ).alias("source"),
+        op.alias("op"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz")).alias("ts_ms"),
+    )
+    value = F.when(
+        F.col("o_orderkey") % 3 == 0, F.to_json(F.struct(env.alias("payload")))
+    ).otherwise(F.to_json(env))
+    return o.select(
+        value.alias("value"),
+        F.lit("dbserver1.app.orders").alias("topic"),
+        F.col("o_orderkey").alias("offset"),
+    )
+
+
+@register(
+    "cdc_envelope_decode",
+    oracle="""
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'd'
+                WHEN o_orderkey % 2 = 0 THEN 'c'
+                ELSE 'u' END AS op,
+           'orders' AS src_table,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE ROUND(o_totalprice, 2) END AS price,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE STRFTIME(o_orderdate, '%Y-%m-%d') END AS order_date
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY id
+    """,
+    tags=("cdc", "envelope"),
+)
+def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope decode fidelity: payload-or-root unwrap, op dispatch,
+    before/after images, epoch-millis timestamp decode (P1+P3+D1)."""
+    raw = _orders_envelopes(spark, sf_dir)
+    decoded = decode_envelope(raw, ORDERS_ROW_SCHEMA)
+    return decoded.select(
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        "op",
+        "src_table",
+        F.round(F.col("after.price"), 2).alias("price"),
+        F.date_format(F.timestamp_millis(F.col("after.order_ms")), "yyyy-MM-dd").alias(
+            "order_date"
+        ),
+    ).orderBy("id")
+
+
+@register(
+    "cdc_deadletter_isolation",
+    oracle="""
+    SELECT
+      COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS n_malformed,
+      COUNT(*) FILTER (WHERE o_orderkey % 10 = 1) AS n_tombstones,
+      COUNT(*) FILTER (WHERE o_orderkey % 10 > 1) AS n_valid
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    tags=("cdc", "deadletter"),
+)
+def cdc_deadletter_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record error isolation (Consumer.java:186-188) as a
+    dead-letter column: poison records and tombstones are classified,
+    never fatal, and the rest of the batch proceeds."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    good = F.to_json(
+        F.struct(
+            F.lit(None).cast(ORDERS_ROW_SCHEMA).alias("before"),
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+                F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz")).alias("order_ms"),
+            ).alias("after"),
+            F.struct(
+                F.lit("app").alias("db"),
+                F.lit("orders").alias("table"),
+                F.lit(0).cast("long").alias("ts_ms"),
+            ).alias("source"),
+            F.lit("c").alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        )
+    )
+    value = (
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("this is {{{ not json"))
+        .when(F.col("o_orderkey") % 10 == 1, F.lit(""))
+        .otherwise(good)
+    )
+    raw = o.select(value.alias("value"), F.col("o_orderkey").alias("offset"))
+    decoded = decode_envelope(raw, ORDERS_ROW_SCHEMA)
+    return decoded.agg(
+        F.count(F.when(F.col("_error").isNotNull(), 1)).alias("n_malformed"),
+        F.count(F.when(F.col("_tombstone"), 1)).alias("n_tombstones"),
+        F.count(F.when(F.col("_error").isNull() & ~F.col("_tombstone"), 1)).alias(
+            "n_valid"
+        ),
+    )
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str, lo: int | None = None, hi: int | None = None) -> DataFrame:
+    """events as a keyed changelog: key=user_id, offset=event_id,
+    'error' events are deletes, everything else upserts."""
+    ev = load(spark, sf_dir, "events")
+    if lo is not None:
+        ev = ev.where(F.col("event_id") >= lo)
+    if hi is not None:
+        ev = ev.where(F.col("event_id") < hi)
+    op = F.when(F.col("event_type") == "error", "d").otherwise("u")
+    row_image = F.struct(F.col("user_id").alias("id"), F.col("value").alias("v"))
+    env = F.struct(
+        F.when(op == "d", row_image).alias("before"),
+        F.when(op != "d", row_image).alias("after"),
+        F.struct(
+            F.lit("app").alias("db"),
+            F.lit("user_state").alias("table"),
+            F.unix_millis("ts").alias("ts_ms"),
+        ).alias("source"),
+        op.alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    return ev.select(F.to_json(env).alias("value"), F.col("event_id").alias("offset"))
+
+
+_LASTWRITE_ORACLE = """
+    WITH last AS (
+      SELECT user_id,
+             MAX_BY(event_type, event_id) AS last_type,
+             MAX_BY(value, event_id)      AS last_value,
+             MAX(event_id)                AS last_offset
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id AS id, ROUND(last_value, 2) AS v, last_offset
+    FROM last
+    WHERE last_type <> 'error'
+    ORDER BY id
+    """
+
+
+def _materialize(spark: SparkSession, sf_dir: str, n_batches: int) -> DataFrame:
+    bounds = None
+    if n_batches > 1:
+        max_id = load(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
+        step = (max_id + n_batches) // n_batches
+        bounds = [(i * step, (i + 1) * step) for i in range(n_batches)]
+    else:
+        bounds = [(None, None)]
+    state = None
+    for lo, hi in bounds:
+        raw = _events_changelog(spark, sf_dir, lo, hi)
+        events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
+        state = apply_changes(state, compact(events, ["id"]), ["id"], ["v"])
+    return state.select(
+        "id", F.round("v", 2).alias("v"), F.col(ORDER_COL).alias("last_offset")
+    ).orderBy("id")
+
+
+@register(
+    "cdc_lastwrite_materialize",
+    oracle=_LASTWRITE_ORACLE,
+    tags=("cdc", "compaction"),
+    bench=True,
+)
+def cdc_lastwrite_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference standing query: last-write-wins keyed replica with
+    deletes, via decode → compact(max_by offset) → apply, single batch."""
+    return _materialize(spark, sf_dir, n_batches=1)
+
+
+@register(
+    "cdc_incremental_convergence",
+    oracle=_LASTWRITE_ORACLE,
+    tags=("cdc", "incremental"),
+)
+def cdc_incremental_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same standing query applied as three successive micro-batches —
+    must converge to the identical state (idempotent-merge property that
+    lets the reference run at-least-once, Consumer.java:210-211)."""
+    return _materialize(spark, sf_dir, n_batches=3)

@@ -1,0 +1,215 @@
+"""CDC-semantics tests: the FIXTURES.md §A3 scenario matrix.
+
+Synthesized Debezium envelopes (payload-wrapped and bare, op c/r/u/d,
+tombstones, out-of-order per key, multi-column PKs, malformed JSON)
+through decode → compact → apply, plus a real Structured Streaming run
+(file source → foreachBatch → parquet state sink) checked against the
+same last-write-wins oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from mysql_postgres_debezium_cdc_spark.sources.debezium import (
+    CdcConfig,
+    decode_envelope,
+)
+from mysql_postgres_debezium_cdc_spark.streaming.cdc import (
+    CdcPipeline,
+    apply_changes,
+    compact,
+    with_change_columns,
+)
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("created_ms", T.LongType()),
+    ]
+)
+
+SRC = {"db": "app", "table": "customers", "ts_ms": 1700000000000}
+
+
+def env(op, after=None, before=None, wrap=False):
+    e = {"before": before, "after": after, "source": SRC, "op": op, "ts_ms": 1}
+    return json.dumps({"payload": e} if wrap else e)
+
+
+def raw_df(spark, records):
+    """records: list of (value, offset)."""
+    return spark.createDataFrame(
+        [(v, "dbserver1.app.customers", o) for v, o in records],
+        "value string, topic string, offset long",
+    )
+
+
+def run_batch(spark, records, state=None):
+    decoded = decode_envelope(raw_df(spark, records), ROW_SCHEMA)
+    events = with_change_columns(decoded)
+    return apply_changes(state, compact(events, ["id"]), ["id"], ["name", "created_ms"])
+
+
+def state_dict(df):
+    return {r["id"]: r["name"] for r in df.collect()}
+
+
+def test_insert_update_delete_within_one_batch(spark):
+    records = [
+        (env("c", {"id": 1, "name": "a", "created_ms": 10}), 0),
+        (env("u", {"id": 1, "name": "b", "created_ms": 10}, wrap=True), 1),
+        (env("d", None, before={"id": 1, "name": "b", "created_ms": 10}), 2),
+        (env("c", {"id": 2, "name": "x", "created_ms": 20}), 3),
+    ]
+    assert state_dict(run_batch(spark, records)) == {2: "x"}
+
+
+def test_out_of_order_offsets_within_batch(spark):
+    # Shuffled arrival order; offsets define the truth (SURVEY §2.1).
+    records = [
+        (env("u", {"id": 1, "name": "late", "created_ms": 1}), 5),
+        (env("c", {"id": 1, "name": "early", "created_ms": 1}), 1),
+    ]
+    assert state_dict(run_batch(spark, records)) == {1: "late"}
+
+
+def test_snapshot_read_op_is_upsert(spark):
+    records = [(env("r", {"id": 7, "name": "snap", "created_ms": 0}), 0)]
+    assert state_dict(run_batch(spark, records)) == {7: "snap"}
+
+
+def test_delete_of_unseen_key_is_noop(spark):
+    state = run_batch(spark, [(env("c", {"id": 1, "name": "a", "created_ms": 0}), 0)])
+    records = [(env("d", None, before={"id": 99, "name": "?", "created_ms": 0}), 1)]
+    assert state_dict(run_batch(spark, records, state)) == {1: "a"}
+
+
+def test_tombstones_and_malformed_are_skipped(spark):
+    records = [
+        (env("c", {"id": 1, "name": "ok", "created_ms": 0}), 0),
+        (None, 1),  # Kafka tombstone after delete
+        ("", 2),  # blank value
+        ("{{{ not json", 3),  # poison record — must not be fatal
+        (env("zzz", {"id": 9, "name": "?", "created_ms": 0}), 4),  # unknown op
+    ]
+    assert state_dict(run_batch(spark, records)) == {1: "ok"}
+    decoded = decode_envelope(raw_df(spark, records), ROW_SCHEMA)
+    assert decoded.where(F.col("_error").isNotNull()).count() == 1
+    assert decoded.where(F.col("_tombstone")).count() == 2
+
+
+def test_multi_batch_convergence_update_then_delete(spark):
+    s1 = run_batch(spark, [(env("c", {"id": 1, "name": "v1", "created_ms": 0}), 0)])
+    s2 = run_batch(spark, [(env("u", {"id": 1, "name": "v2", "created_ms": 0}), 1)], s1)
+    s3 = run_batch(
+        spark, [(env("d", None, before={"id": 1, "name": "v2", "created_ms": 0}), 2)], s2
+    )
+    assert state_dict(s2) == {1: "v2"}
+    assert state_dict(s3) == {}
+
+
+def test_multi_column_pk_compaction(spark):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    records = [
+        (json.dumps({"after": {"a": 1, "b": "x", "val": 1}, "op": "c", "source": SRC}), 0),
+        (json.dumps({"after": {"a": 1, "b": "y", "val": 2}, "op": "c", "source": SRC}), 1),
+        (json.dumps({"after": {"a": 1, "b": "x", "val": 3}, "op": "u", "source": SRC}), 2),
+    ]
+    df = spark.createDataFrame([(v, o) for v, o in records], "value string, offset long")
+    events = with_change_columns(decode_envelope(df, schema, topic_col=None))
+    state = apply_changes(None, compact(events, ["a", "b"]), ["a", "b"], ["val"])
+    got = {(r["a"], r["b"]): r["val"] for r in state.collect()}
+    assert got == {(1, "x"): 3, (1, "y"): 2}
+
+
+def test_config_properties_routing():
+    cfg = CdcConfig.from_properties(
+        """
+        # comment
+        pk.app.customers=id
+        pk.orders=order_id,line_no
+        map.app.customers=crm_customers
+        map.orders=sales_orders
+        """
+    )
+    assert cfg.resolve_pk("app", "customers") == ("id",)
+    assert cfg.resolve_pk(None, "orders") == ("order_id", "line_no")
+    assert cfg.resolve_pk("app", "unknown") == ("id",)  # default, Consumer.java:171
+    assert cfg.resolve_target("app", "customers") == "crm_customers"
+    assert cfg.resolve_target("x", "orders") == "sales_orders"
+    assert cfg.resolve_target("x", "Widgets") == "widgets"  # lowercase fallback
+
+
+def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
+    """File-fed Structured Streaming → CdcPipeline → parquet state."""
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    lines1 = [
+        env("c", {"id": 1, "name": "a", "created_ms": 0}) + "\t0",
+        env("c", {"id": 2, "name": "b", "created_ms": 0}) + "\t1",
+    ]
+    lines2 = [
+        env("u", {"id": 1, "name": "a2", "created_ms": 0}) + "\t2",
+        env("d", None, before={"id": 2, "name": "b", "created_ms": 0}) + "\t3",
+        (env("c", {"id": 3, "name": "c", "created_ms": 0}, wrap=True)) + "\t4",
+    ]
+    (in_dir / "batch1.jsonl").write_text("\n".join(lines1))
+    (in_dir / "batch2.jsonl").write_text("\n".join(lines2))
+
+    raw = (
+        spark.readStream.format("text")
+        .load(str(in_dir))
+        .select(
+            F.split(F.col("value"), "\t").getItem(0).alias("value"),
+            F.split(F.col("value"), "\t").getItem(1).cast("long").alias("offset"),
+        )
+    )
+    pipe = CdcPipeline(
+        spark,
+        ROW_SCHEMA,
+        pk_cols=["id"],
+        row_cols=["name", "created_ms"],
+        state_root=str(tmp_path / "state"),
+    )
+    q = pipe.run_stream(raw, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    final = pipe.sink.read()
+    assert final is not None
+    assert state_dict(final) == {1: "a2", 3: "c"}
+
+
+def test_streaming_restart_is_idempotent(spark, tmp_path):
+    """Re-running from the same checkpoint adds nothing (effectively-once)."""
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    (in_dir / "b.jsonl").write_text(env("c", {"id": 5, "name": "z", "created_ms": 0}) + "\t0")
+    raw = (
+        spark.readStream.format("text")
+        .load(str(in_dir))
+        .select(
+            F.split(F.col("value"), "\t").getItem(0).alias("value"),
+            F.split(F.col("value"), "\t").getItem(1).cast("long").alias("offset"),
+        )
+    )
+    pipe = CdcPipeline(
+        spark, ROW_SCHEMA, ["id"], ["name", "created_ms"], str(tmp_path / "state")
+    )
+    for _ in range(2):
+        q = pipe.run_stream(raw, checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+    final = pipe.sink.read()
+    assert final.count() == 1
+    assert state_dict(final) == {5: "z"}
