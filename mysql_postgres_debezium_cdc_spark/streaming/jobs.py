@@ -1,0 +1,122 @@
+"""Actual Structured Streaming jobs over the events fixture.
+
+``event_windows.py`` registers the batch-equivalent formulations for the
+DuckDB oracle; this module runs the SAME expressions under
+``readStream`` — tests assert stream-vs-batch equality, which is the
+streaming correctness argument (one definition, two execution modes).
+
+Watermarks bound state: a ``withWatermark("ts", H)`` windowed aggregate
+keeps only windows newer than (max event time − H) in the state store —
+at 100 TB/day of events, state is O(active windows × keys), never
+O(stream).  ``dropDuplicatesWithinWatermark`` is the keyed-dedup
+analogue with the same bound.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos on disk (see sources.parquet.load)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source over the fixture).
+
+    The file stream source wants a *directory*; the fixture is a single
+    parquet file, so stage a symlink directory under /tmp (read-only
+    testdata stays untouched)."""
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"events-stream-{hashlib.md5(src.encode()).hexdigest()[:10]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling count/sum per event_type (streaming form of
+    event_windows.stream_tumbling_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """30-minute-gap session windows per user (streaming form of
+    event_windows.stream_session_window)."""
+    return (
+        events.where(F.col("user_id") < 20)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_s"),
+            F.unix_timestamp("w.end").alias("session_end_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within the
+    watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a streaming frame to a memory sink with availableNow
+    (process-everything-then-stop) and return the result as a batch DF."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

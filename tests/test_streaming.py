@@ -1,0 +1,69 @@
+"""Stream-vs-batch equivalence + watermark semantics.
+
+The registered batch queries are the oracle-checked definitions; these
+tests prove the same expressions produce identical results under real
+Structured Streaming execution (micro-batch, stateful aggregation)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mysql_postgres_debezium_cdc_spark.registry import all_queries
+from mysql_postgres_debezium_cdc_spark.streaming import jobs
+from tests.conftest import SF_DIR_SMOKE
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = all_queries()["stream_tumbling_window"].fn(spark, SF_DIR_SMOKE)
+    stream = jobs.run_to_memory(
+        spark, jobs.tumbling_agg(jobs.stream_events(spark, SF_DIR_SMOKE)), "t_tumbling"
+    )
+    cols = ("window_start_s", "event_type", "n_events", "sum_value")
+    assert rows(stream, *cols) == rows(batch, *cols)
+
+
+def test_session_stream_equals_batch(spark):
+    batch = all_queries()["stream_session_window"].fn(spark, SF_DIR_SMOKE)
+    stream = jobs.run_to_memory(
+        spark, jobs.session_agg(jobs.stream_events(spark, SF_DIR_SMOKE)), "t_session"
+    )
+    cols = ("user_id", "session_start_s", "session_end_s", "n_events", "sum_value")
+    assert rows(stream, *cols) == rows(batch, *cols)
+
+
+def test_dedup_within_watermark_keeps_one_per_key(spark):
+    events = jobs.stream_events(spark, SF_DIR_SMOKE)
+    out = jobs.run_to_memory(
+        spark, jobs.dedup_within_watermark(events), "t_dedup", output_mode="append"
+    )
+    per_key = out.groupBy("user_id", "event_type").count()
+    assert per_key.where(F.col("count") > 1).count() == 0
+    # and it kept at least one event per observed key
+    n_keys_stream = out.select("user_id", "event_type").distinct().count()
+    assert n_keys_stream == per_key.count()
+    assert n_keys_stream > 0
+
+
+def test_watermark_bounds_append_output(spark, tmp_path):
+    """Append mode emits only watermark-finalized windows: with
+    everything in one availableNow batch and a tiny watermark, the last
+    (still-open) window must be withheld."""
+    stream = jobs.tumbling_agg(jobs.stream_events(spark, SF_DIR_SMOKE), watermark="1 minute")
+    out = jobs.run_to_memory(spark, stream, "t_wm", output_mode="append")
+    batch = all_queries()["stream_tumbling_window"].fn(spark, SF_DIR_SMOKE)
+    n_all = batch.select("window_start_s").distinct().count()
+    n_final = out.select("window_start_s").distinct().count()
+    assert 0 < n_final < n_all
+    # emitted finalized windows agree exactly with the batch result
+    joined = out.join(
+        batch.withColumnRenamed("n_events", "n_b").withColumnRenamed("sum_value", "s_b"),
+        ["window_start_s", "event_type"],
+    )
+    assert joined.count() == out.count()
+    assert joined.where(
+        (F.col("n_events") != F.col("n_b")) | (F.col("sum_value") != F.col("s_b"))
+    ).count() == 0
