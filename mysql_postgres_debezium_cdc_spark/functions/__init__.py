@@ -8,4 +8,5 @@ from mysql_postgres_debezium_cdc_spark.functions import (  # noqa: F401
     dates,
     maths,
     strings,
+    udfs,
 )

@@ -178,6 +178,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_sql(j: int) -> str:
+    return f"MIN((({j} * {MH_MULT} + 1) * sid + {j}) % {MH_PRIME}) AS mh{j}"
+
+
+_BAND_SIGS_SQL = ", ".join(
+    "CONCAT_WS(',', "
+    + ", ".join(f"mh{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+    + ")"
+    for b in range(N_BANDS)
+)
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -190,37 +202,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.doc_id, i.sid FROM shingles s JOIN ids i USING (shingle)
     ),
     sigs AS (
-      SELECT doc_id, j,
-             MIN(((j * {MH_MULT} + 1) * sid + j) % {MH_PRIME}) AS mh
-      FROM doc_sids, (SELECT UNNEST(RANGE(0, {N_HASHES})) AS j)
-      GROUP BY doc_id, j
+      SELECT doc_id, COUNT(*) AS n_sh,
+             {", ".join(_mh_sql(j) for j in range(N_HASHES))}
+      FROM doc_sids
+      GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, j // {ROWS_PER_BAND} AS band,
-             STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
-      FROM sigs
-      GROUP BY doc_id, j // {ROWS_PER_BAND}
+      SELECT doc_id, n_sh, b.band, b.band_sig
+      FROM sigs, LATERAL (
+        SELECT UNNEST(RANGE(0, {N_BANDS})) AS band,
+               UNNEST([{_BAND_SIGS_SQL}]) AS band_sig
+      ) b
     ),
     candidates AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS na, b.n_sh AS nb
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_sids GROUP BY doc_id),
     verified AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      SELECT c.doc_a, c.doc_b, MIN(c.na) AS na, MIN(c.nb) AS nb, COUNT(*) AS n_common
       FROM candidates c
       JOIN doc_sids x ON x.doc_id = c.doc_a
       JOIN doc_sids y ON y.doc_id = c.doc_b AND y.sid = x.sid
       GROUP BY c.doc_a, c.doc_b
     )
-    SELECT v.doc_a, v.doc_b,
-           ROUND(CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common), 4) AS jaccard
-    FROM verified v
-    JOIN sizes sa ON sa.doc_id = v.doc_a
-    JOIN sizes sb ON sb.doc_id = v.doc_b
-    WHERE CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) >= {JACCARD_THRESHOLD}
-    ORDER BY v.doc_a, v.doc_b
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup", "minhash"),
     bench=True,
@@ -234,37 +245,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is groupBy/join — no UDFs, no driver loops.  Candidate
     volume is governed by the band collision probability s-curve, which
     is what keeps this near-linear at 100 TB (vs the quadratic worst
-    case of the raw shingle join)."""
+    case of the raw shingle join).
+
+    Physical notes: all 16 min-hashes AND the set size come out of ONE
+    partial+final aggregation over doc_sids (no hash-function explode —
+    the shuffle carries one row per doc, 17 columns); doc_sids is
+    persisted because signature-build and verification both consume it.
+    Shingle ids come from a rank join for oracle portability; at scale
+    use xxhash64(shingle) directly and drop the ids stage entirely."""
     sh = _shingles(spark, sf_dir)
-    # Deterministic shingle ids shared with the oracle (scale path: xxhash64).
     ids = (
         sh.select("shingle")
         .distinct()
         .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
     )
-    doc_sids = sh.join(ids, "shingle").select("doc_id", "sid")
+    doc_sids = sh.join(ids, "shingle").select("doc_id", "sid").persist()
 
-    js = spark.range(N_HASHES).select(F.col("id").alias("j"))
-    sigs = (
-        doc_sids.crossJoin(F.broadcast(js))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min(
-                ((F.col("j") * MH_MULT + 1) * F.col("sid") + F.col("j")) % MH_PRIME
-            ).alias("mh")
-        )
-    )
-    bands = (
-        sigs.groupBy("doc_id", (F.col("j") / ROWS_PER_BAND).cast("bigint").alias("band"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                    lambda s: s.getField("mh").cast("string"),
-                ),
+    mh = [
+        F.min(((j * MH_MULT + 1) * F.col("sid") + j) % MH_PRIME).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    sigs = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *mh)
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
                 ",",
-            ).alias("band_sig")
-        )
+                *[F.col(f"mh{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "n_sh", F.posexplode(band_sigs).alias("band", "band_sig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -275,27 +287,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .distinct()
     )
-    sizes = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     x = doc_sids.alias("x")
     y = doc_sids.alias("y")
     verified = (
         candidates.join(x, F.col("doc_a") == F.col("x.doc_id"))
         .join(y, (F.col("doc_b") == F.col("y.doc_id")) & (F.col("y.sid") == F.col("x.sid")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.min("na").alias("na"), F.min("nb").alias("nb"), F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
-    )
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
+        verified.where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

@@ -4,7 +4,9 @@ from mysql_postgres_debezium_cdc_spark.operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    pivots,
     setops,
+    subqueries,
     topk,
     tpch,
     windows,
