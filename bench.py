@@ -32,6 +32,7 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # drop per-query persists so queries don't interfere
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -108,6 +108,30 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
     )
 
 
+def _pairs_from_bucket(bucketed: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """Expand a bucketed inverted index into candidate (doc_a, doc_b) pairs.
+
+    ``bucketed`` has one row per bucket with a sorted ascending array of
+    doc_ids.  All i<j combinations are generated *inline* with array
+    expressions (whole-stage codegen, no self-join): for a bucket of d
+    docs this emits d(d-1)/2 pairs, exactly what a self-join on the
+    bucket key would emit, but with ONE shuffle (the groupBy that built
+    the bucket) instead of two join-side shuffles.  Hot buckets are the
+    skew lever either way — at 100 TB, cap bucket width (document
+    frequency) upstream before this expands."""
+    docs = F.col(docs_col)
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return bucketed.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
+
+
 _SHINGLES_SQL = """
       SELECT DISTINCT doc_id, shingle
       FROM (
@@ -147,21 +171,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact Jaccard over 3-gram shingles.
 
     Inverted-index join: pairs are generated only for colliding shingles,
-    then verified.  The shingle join is the one heavy shuffle; hot
-    shingles (stopword runs) are the skew risk — AQE skew-join handles
-    moderate cases, and a document-frequency cap on shingles is the
-    production lever (drop shingles appearing in >X% of docs)."""
-    sh = _shingles(spark, sf_dir)
+    then verified.  Physical plan (one pass over the corpus):
+
+    1. shingle → 8-byte ``xxhash64`` key (the shuffle moves hashes, not
+       strings; 2^-64 collision odds are negligible vs corpus sizes),
+    2. ONE groupBy per shingle-hash collecting the sorted doc list, with
+       i<j pairs expanded inline (`_pairs_from_bucket`) — replaces the
+       classic self-join (two shuffles) with one shuffle,
+    3. per-pair collision count = exact |A∩B|; the set-size join is left
+       to AQE (broadcast at small SF, shuffle join when `sizes` — one
+       row per doc — outgrows the broadcast threshold at 100 TB).
+
+    Hot shingles (stopword runs) are the skew risk — AQE handles
+    moderate cases; the production lever is a document-frequency cap
+    (drop shingles appearing in >X% of docs) before step 2."""
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    buckets = sh.groupBy("sid").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _pairs_from_bucket(buckets.where(F.size("docs") > 1))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -247,25 +278,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what keeps this near-linear at 100 TB (vs the quadratic worst
     case of the raw shingle join).
 
-    Physical notes: all 16 min-hashes AND the set size come out of ONE
-    partial+final aggregation over doc_sids (no hash-function explode —
-    the shuffle carries one row per doc, 17 columns); doc_sids is
-    persisted because signature-build and verification both consume it.
-    Shingle ids come from a rank join for oracle portability; at scale
-    use xxhash64(shingle) directly and drop the ids stage entirely."""
-    sh = _shingles(spark, sf_dir)
+    Physical notes: all 16 min-hashes, the set size AND the sorted sid
+    array come out of ONE partial+final aggregation over doc_sids (no
+    hash-function explode — the shuffle carries one row per doc).
+    Candidate pairs come from a groupBy per (band, band_sig) bucket with
+    inline i<j expansion (`_pairs_from_bucket`) — one shuffle, no
+    self-join.  Verification is `size(array_intersect(sids_a, sids_b))`
+    against the per-doc arrays (bounded by document length, so safe to
+    carry through a join at any corpus size).  Shingle ids come from a
+    rank join for oracle portability; at scale use xxhash64(shingle)
+    directly and drop the rank (a global row_number is single-partition)."""
+    sh = _shingles(spark, sf_dir).persist()
     ids = (
         sh.select("shingle")
         .distinct()
         .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
     )
-    doc_sids = sh.join(ids, "shingle").select("doc_id", "sid").persist()
+    doc_sids = sh.join(ids, "shingle").select("doc_id", "sid")
 
     mh = [
         F.min(((j * MH_MULT + 1) * F.col("sid") + j) % MH_PRIME).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-    sigs = doc_sids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *mh)
+    profile = doc_sids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sort_array(F.collect_list("sid")).alias("sids"),
+        *mh,
+    ).persist()
     band_sigs = F.array(
         *[
             F.concat_ws(
@@ -275,33 +314,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sigs.select(
-        "doc_id", "n_sh", F.posexplode(band_sigs).alias("band", "band_sig")
+    buckets = (
+        profile.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
+        .groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") > 1)
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .distinct()
+    candidates = _pairs_from_bucket(buckets).distinct()
+    pa = profile.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("sids").alias("sids_a")
     )
-    x = doc_sids.alias("x")
-    y = doc_sids.alias("y")
+    pb = profile.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("sids").alias("sids_b")
+    )
     verified = (
-        candidates.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(y, (F.col("doc_b") == F.col("y.doc_id")) & (F.col("y.sid") == F.col("x.sid")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.min("na").alias("na"), F.min("nb").alias("nb"), F.count(F.lit(1)).alias("n_common"))
+        candidates.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sids_a", "sids_b")))
     )
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
