@@ -23,6 +23,8 @@ join; the LSH math is identical.
 
 from __future__ import annotations
 
+import functools
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -209,6 +211,117 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash parameters — fixed, shared with the oracle SQL.
+SH_BITS = 32
+SH_BANDS = 4
+SH_BAND_BITS = SH_BITS // SH_BANDS  # 8-bit bands → 256-way blocking
+SH_HAMMING_MAX = 4
+
+
+def _simhash_bit_sql(j: int) -> str:
+    """One SimHash bit as SQL: sign of the ±1 sum over token hashes."""
+    h = f"((({j} * {MH_MULT} + 1) * tid + {j}) % {MH_PRIME})"
+    return (
+        f"CASE WHEN SUM(CASE WHEN {h} % 2 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    )
+
+
+_SH_BAND_CONSTS = [1 << (SH_BAND_BITS * b) for b in range(SH_BANDS)]
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    ids AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT tok FROM toks)
+    ),
+    dt AS (SELECT t.doc_id, i.tid FROM toks t JOIN ids i USING (tok)),
+    sigs AS (
+      SELECT doc_id, {" + ".join(_simhash_bit_sql(j) for j in range(SH_BITS))} AS sig
+      FROM dt GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sig, b.band, b.bval
+      FROM sigs, LATERAL (
+        SELECT UNNEST(RANGE(0, {SH_BANDS})) AS band,
+               UNNEST([{", ".join(f"(sig // {c}) % {1 << SH_BAND_BITS}" for c in _SH_BAND_CONSTS)}]) AS bval
+      ) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, BIT_COUNT(XOR(sig_a, sig_b)) AS hamming
+    FROM cand
+    WHERE BIT_COUNT(XOR(sig_a, sig_b)) <= {SH_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature, banded Hamming blocking.
+
+    Signature: bit j = sign of Σ_tokens ±1, where the sign per token
+    comes from bit j of an affine token hash — the classic Charikar
+    construction over the document's distinct-unigram set.  Blocking:
+    4 × 8-bit bands; only pairs sharing a band value are compared
+    (Hamming ≤ 4 of 32 verifies).  Everything is a fixed-width
+    aggregation — the shuffle carries one 8-byte signature per doc, the
+    cheapest of the dedup family at 100 TB.
+
+    Token ids come from a rank join for oracle portability (same device
+    as dedup_minhash_lsh); at scale use xxhash64(token) directly and the
+    rank disappears."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    ids = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("bigint"))
+    )
+    dt = toks.join(ids, "tok").select("doc_id", "tid")
+    bit_terms = [
+        F.when(
+            F.sum(
+                F.when(((j * MH_MULT + 1) * F.col("tid") + j) % MH_PRIME % 2 == 1, 1).otherwise(-1)
+            )
+            >= 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(SH_BITS)
+    ]
+    sigs = dt.groupBy("doc_id").agg(
+        functools.reduce(lambda a, b: a + b, bit_terms).alias("sig")
+    )
+    band_vals = F.array(
+        *[(F.col("sig") / F.lit(c)).cast("bigint") % (1 << SH_BAND_BITS) for c in _SH_BAND_CONSTS]
+    )
+    buckets = (
+        sigs.select("doc_id", F.posexplode(band_vals).alias("band", "bval"))
+        .groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    cand = _pairs_from_bucket(buckets).distinct()
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= SH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _mh_sql(j: int) -> str:
     return f"MIN((({j} * {MH_MULT} + 1) * sid + {j}) % {MH_PRIME}) AS mh{j}"
 
@@ -337,4 +450,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+COS_NEARDUP_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             LIST_DOT_PRODUCT(a.emb, b.emb) /
+               (SQRT(LIST_DOT_PRODUCT(a.emb, a.emb)) *
+                SQRT(LIST_DOT_PRODUCT(b.emb, b.emb))) AS cs
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cs, 4) AS cos_sim
+    FROM p
+    WHERE cs >= {COS_NEARDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the exact all-pairs baseline.
+
+    Broadcast nested-loop over the embedding table with the dot product
+    in Catalyst higher-order functions (zip_with/aggregate) — JVM-side,
+    no Python.  O(n²) by definition: this is the *verification* kernel.
+    At 100 TB you never run it globally — `ann_lsh_topk`'s
+    random-hyperplane buckets (or `ann_ivf_topk`'s cells) generate the
+    candidate pairs and this exact cosine runs per bucket, which is the
+    same composition the MinHash family uses for text."""
+    from mysql_postgres_debezium_cdc_spark.llm.similarity import cosine_cols
+
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"))
+    cs = cosine_cols(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"), cs.alias("_cs"))
+        .where(F.col("_cs") >= COS_NEARDUP_THRESHOLD)
+        .drop("_cs")
+        .orderBy("vec_a", "vec_b")
     )

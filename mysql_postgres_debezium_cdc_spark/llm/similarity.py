@@ -233,3 +233,110 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
     )
+
+
+N_CELLS = 16  # IVF coarse-quantizer cells
+CENTROID_BASE = 100  # vec_id range [CENTROID_BASE, CENTROID_BASE + N_CELLS) are the centroids
+N_PROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (
+      SELECT vec_id - {CENTROID_BASE} AS cid, emb AS c_emb
+      FROM e WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CELLS}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, cent.cid,
+             LIST_DOT_PRODUCT(e.emb, cent.c_emb) /
+               (SQRT(LIST_DOT_PRODUCT(e.emb, e.emb)) *
+                SQRT(LIST_DOT_PRODUCT(cent.c_emb, cent.c_emb))) AS ccos,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY LIST_DOT_PRODUCT(e.emb, cent.c_emb) /
+                        (SQRT(LIST_DOT_PRODUCT(e.emb, e.emb)) *
+                         SQRT(LIST_DOT_PRODUCT(cent.c_emb, cent.c_emb))) DESC, cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    assign AS (SELECT vec_id, cid FROM scored_cells WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, cid FROM scored_cells
+      WHERE crk <= {N_PROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS c_id
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.c_id,
+             ROUND(LIST_DOT_PRODUCT(q.emb, v.emb) /
+                   (SQRT(LIST_DOT_PRODUCT(q.emb, q.emb)) *
+                    SQRT(LIST_DOT_PRODUCT(v.emb, v.emb))), 4) AS cos_sim
+      FROM cand c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e v ON v.vec_id = c.c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
+      FROM scored
+    )
+    SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY q_id, rk
+    """,
+    tags=("llm", "similarity", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer cells + nprobe=2 cell probing.
+
+    The coarse quantizer is a deterministic centroid sample (vectors
+    100..115 stand in for k-means centroids — the partitioning math is
+    identical, and determinism is what makes this oracle-checkable).
+    Plan shape is the real IVF story at scale:
+
+    - **assignment** is a map-side broadcast cross join vectors ×
+      centroids (centroid table is tiny by construction) + one
+      row_number per vector — linear in N, no all-pairs anything;
+    - the index is just the `assign` relation partitioned by cell id —
+      at 100 TB you'd write it bucketed by `cid` so probes hit only
+      matching buckets;
+    - **probing** joins each query's nprobe best cells against one cell
+      partition each; exact cosine runs only inside probed cells
+      (N/cells × nprobe candidates vs N for brute force).
+
+    Recall vs `ann_bruteforce_topk` is measured in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    cent = (
+        e.where((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_CELLS))
+        .select((F.col("vec_id") - CENTROID_BASE).cast("int").alias("cid"), F.col("emb").alias("c_emb"))
+    )
+    ccos = cosine_cols(F.col("emb"), F.col("c_emb"))
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    scored_cells = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", "emb", ccos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(cw))
+    )
+    assign = scored_cells.where(F.col("crk") == 1).select(
+        F.col("vec_id").alias("c_id"), "cid", F.col("emb").alias("c_vec")
+    )
+    probes = scored_cells.where(
+        (F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("q_id"), "cid", F.col("emb").alias("q_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine_cols(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("q_id", "rk")
+    )

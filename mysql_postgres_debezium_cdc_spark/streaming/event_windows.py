@@ -168,3 +168,64 @@ def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "stream_user_running_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(event_id) AS last_event_id
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_user_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch formulation of the per-user running-state reducer — the
+    oracle-checked definition whose streaming twin is
+    ``jobs.user_state_stateful`` (applyInPandasWithState); equality is
+    asserted in tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_user_running_state_stateful",
+    # No SQL oracle: applyInPandasWithState is a custom stateful operator;
+    # the driver records a rows-only check and tests assert equality with
+    # the oracle-checked batch formulation above.
+    tags=("streaming", "stateful", "pandas"),
+)
+def stream_user_running_state_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL applyInPandasWithState job, executed to a memory sink
+    (availableNow) and returned as the final per-user state."""
+    from mysql_postgres_debezium_cdc_spark.streaming import jobs
+
+    out = jobs.run_to_memory(
+        spark,
+        jobs.user_state_stateful(jobs.stream_events(spark, sf_dir)),
+        "q_user_state",
+        output_mode="update",
+    )
+    # update-mode memory sink appends one row per key per micro-batch;
+    # the final state per key is the row with the highest running count.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 2).alias("sum_value"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )

@@ -120,3 +120,57 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+USER_STATE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+USER_STATE_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("last", T.LongType()),
+    ]
+)
+
+
+def user_state_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user (count, sum, last_event_id) across micro-batches.
+
+    This is the escape hatch for state machines that windowed aggs can't
+    express (the Arrow-batched analogue of a per-key reducer).  State is
+    one fixed-width row per user — O(keys), never O(stream) — and the
+    state store shards by the groupBy key, so it scales out with
+    partitions like any keyed aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s, last = state.get if state.exists else (0, 0.0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last = max(last, int(pdf["event_id"].max()))
+        state.update((n, s, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "last_event_id": [last]}
+        )
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            USER_STATE_OUTPUT,
+            USER_STATE_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -67,3 +67,15 @@ def test_watermark_bounds_append_output(spark, tmp_path):
     assert joined.where(
         (F.col("n_events") != F.col("n_b")) | (F.col("sum_value") != F.col("s_b"))
     ).count() == 0
+
+
+def test_stateful_apply_in_pandas_equals_batch(spark):
+    batch = all_queries()["stream_user_running_state"].fn(spark, SF_DIR_SMOKE)
+    stateful = all_queries()["stream_user_running_state_stateful"].fn(spark, SF_DIR_SMOKE)
+    cols = ("user_id", "n_events", "sum_value", "last_event_id")
+    b, s = rows(batch, *cols), rows(stateful, *cols)
+    assert len(b) == len(s)
+    for rb, rs in zip(b, s):
+        assert rb[0] == rs[0] and rb[1] == rs[1] and rb[3] == rs[3]
+        # float accumulation order differs (pandas per-batch vs Spark agg)
+        assert abs(rb[2] - rs[2]) < 0.05
