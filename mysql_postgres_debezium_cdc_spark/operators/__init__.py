@@ -9,5 +9,6 @@ from mysql_postgres_debezium_cdc_spark.operators import (  # noqa: F401
     subqueries,
     topk,
     tpch,
+    tpch_extra,
     windows,
 )
