@@ -246,8 +246,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (adapted): parts whose shipped value exceeds a fraction
     of the total — a global-scalar-subquery threshold.  The per-part agg
-    is computed ONCE and reused for both the rows and the threshold
-    (Catalyst reuses the exchange; no second scan)."""
+    (one row per part — small even when lineitem isn't) is persisted and
+    consumed twice: once for the threshold, once for the output rows, so
+    the lineitem join runs exactly once."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     s = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 6).select("s_suppkey")
@@ -256,6 +257,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+        .persist()
     )
     threshold = pv.agg((F.sum("value") * 0.002).alias("t"))
     return (
