@@ -264,6 +264,7 @@ _SH_BAND_CONSTS = [1 << (SH_BAND_BITS * b) for b in range(SH_BANDS)]
     ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup", "simhash"),
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signature, banded Hamming blocking.

@@ -288,6 +288,7 @@ N_PROBE = 2
     ORDER BY q_id, rk
     """,
     tags=("llm", "similarity", "ivf"),
+    bench=True,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer cells + nprobe=2 cell probing.

@@ -153,6 +153,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
     tags=("tpch", "join", "agg"),
+    bench=True,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: national market share — 7-way join, all dimension sides
@@ -282,6 +283,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY custdist DESC, c_count DESC
     """,
     tags=("tpch", "outer-join", "agg"),
+    bench=True,
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: customer order-count distribution — outer join with a
@@ -393,6 +395,7 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     """,
     tags=("tpch", "correlated-subquery"),
+    bench=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: small-quantity-order revenue.  The correlated per-part
