@@ -213,3 +213,127 @@ def test_streaming_restart_is_idempotent(spark, tmp_path):
     final = pipe.sink.read()
     assert final.count() == 1
     assert state_dict(final) == {5: "z"}
+
+
+def test_multi_table_router_end_to_end(spark, tmp_path):
+    """The reference's actual topology: ONE stream carrying customers AND
+    orders events (table.include.list), routed per table with per-table
+    PKs and target renames (map.*/pk.* grammar), unknown tables to the
+    dead-letter side."""
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import MultiTableCdcRouter
+
+    orders_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("purchaser", T.LongType()),
+            T.StructField("product", T.StringType()),
+        ]
+    )
+
+    def mk(table, op, after=None, before=None, offset=0, wrap=False):
+        e = {
+            "before": before,
+            "after": after,
+            "source": {"db": "app", "table": table, "ts_ms": 1},
+            "op": op,
+            "ts_ms": 1,
+        }
+        return (json.dumps({"payload": e} if wrap else e), f"dbserver1.app.{table}", offset)
+
+    records = [
+        mk("customers", "c", {"id": 1, "name": "ann", "created_ms": 5}, offset=1),
+        mk("orders", "c", {"id": 10, "purchaser": 1, "product": "bolt"}, offset=2, wrap=True),
+        mk("customers", "u", {"id": 1, "name": "ann2", "created_ms": 6}, offset=3),
+        mk("orders", "d", before={"id": 10, "purchaser": 1, "product": "bolt"}, offset=4),
+        mk("orders", "c", {"id": 11, "purchaser": 1, "product": "gear"}, offset=5),
+        mk("audit_log", "c", {"id": 99}, offset=6),  # not in include list → dead letter
+    ]
+    raw = spark.createDataFrame(records, "value string, topic string, offset long")
+
+    cfg = CdcConfig.from_properties(
+        "pk.customers=id\npk.orders=id\nmap.customers=customers_replica\n"
+    )
+    router = MultiTableCdcRouter(
+        spark,
+        cfg,
+        {
+            "customers": (ROW_SCHEMA, ["name", "created_ms"]),
+            "orders": (orders_schema, ["purchaser", "product"]),
+        },
+        str(tmp_path / "state"),
+    )
+    router.process_batch(raw)
+
+    cust = {r["id"]: r["name"] for r in router.read_state("customers").collect()}
+    assert cust == {1: "ann2"}
+    # renamed target directory honors map.customers
+    assert (tmp_path / "state" / "customers_replica").is_dir()
+    orders = {r["id"]: r["product"] for r in router.read_state("orders").collect()}
+    assert orders == {11: "gear"}  # 10 was inserted then deleted
+
+    dl = router.dead_letters(raw).collect()
+    assert len(dl) == 1 and dl[0]["src_table"] == "audit_log"
+
+    # replay the same batch: converges to identical state (idempotent merge)
+    router.process_batch(raw)
+    assert {r["id"]: r["name"] for r in router.read_state("customers").collect()} == {1: "ann2"}
+
+
+def test_multi_table_router_streaming(spark, tmp_path):
+    """Same router under real Structured Streaming (file source →
+    foreachBatch), reference's consumer loop shape."""
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import MultiTableCdcRouter
+
+    orders_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("purchaser", T.LongType())]
+    )
+    rows = []
+    for i in range(20):
+        table = "customers" if i % 2 == 0 else "orders"
+        key = (i // 2) % 5  # each id written twice: op=c then op=u
+        after = (
+            {"id": key, "name": f"n{i}", "created_ms": i}
+            if table == "customers"
+            else {"id": key, "purchaser": i}
+        )
+        rows.append(
+            (
+                json.dumps(
+                    {
+                        "before": None,
+                        "after": after,
+                        "source": {"db": "app", "table": table, "ts_ms": 1},
+                        "op": "u" if i >= 10 else "c",
+                        "ts_ms": 1,
+                    }
+                ),
+                f"dbserver1.app.{table}",
+                i,
+            )
+        )
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, "value string, topic string, offset long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("value string, topic string, offset long")
+        .parquet(str(src_dir))
+    )
+    cfg = CdcConfig.from_properties("pk.customers=id\npk.orders=id\n")
+    router = MultiTableCdcRouter(
+        spark,
+        cfg,
+        {
+            "customers": (ROW_SCHEMA, ["name", "created_ms"]),
+            "orders": (orders_schema, ["purchaser"]),
+        },
+        str(tmp_path / "state"),
+    )
+    q = router.run_stream(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    cust = router.read_state("customers")
+    assert cust.count() == 5  # ids 0..4, each updated (last write wins)
+    assert {r["name"] for r in cust.collect()} == {"n10", "n12", "n14", "n16", "n18"}
+    assert router.read_state("orders").count() == 5
