@@ -559,3 +559,33 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+_SQL_API_STMT = """
+    SELECT n_name,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+@register(
+    "sql_api_revenue_by_nation",
+    oracle=_SQL_API_STMT,
+    tags=("sql-api", "join", "agg"),
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql front-end: IDENTICAL SQL text runs on Spark and the
+    DuckDB oracle (tables registered as temp views).  Proves the engine's
+    SQL surface end-to-end — parser → Catalyst → same physical plans the
+    DataFrame API gets; Catalyst broadcasts the dims here exactly as in
+    the hand-built joins."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_STMT)

@@ -1,0 +1,71 @@
+"""Property-based CDC test: ANY event sequence, replayed through
+decode → compact → apply in arbitrary batch splits, must equal the
+single-threaded in-order replay (the reference's implicit contract,
+Consumer.java:122-127)."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from mysql_postgres_debezium_cdc_spark.sources.debezium import decode_envelope
+from mysql_postgres_debezium_cdc_spark.streaming.cdc import (
+    apply_changes,
+    compact,
+    with_change_columns,
+)
+
+ROW_SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "r", "d"]),
+        st.integers(min_value=0, max_value=4),  # small key space → collisions
+        st.text(alphabet="abc", min_size=0, max_size=3),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def oracle_replay(events):
+    """Single-threaded in-order replay — the reference's semantics."""
+    state: dict[int, str] = {}
+    for op, key, name in events:
+        if op == "d":
+            state.pop(key, None)
+        else:
+            state[key] = name
+    return state
+
+
+def spark_replay(spark, events, n_batches):
+    rows = []
+    for off, (op, key, name) in enumerate(events):
+        img = {"id": key, "name": name}
+        env = {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "source": {"db": "app", "table": "t", "ts_ms": 0},
+            "op": op,
+            "ts_ms": 0,
+        }
+        rows.append((json.dumps(env), off))
+    state = None
+    step = max(1, (len(rows) + n_batches - 1) // n_batches)
+    for i in range(0, len(rows), step):
+        batch = spark.createDataFrame(rows[i : i + step], "value string, offset long")
+        ev = with_change_columns(decode_envelope(batch, ROW_SCHEMA))
+        state = apply_changes(state, compact(ev, ["id"]), ["id"], ["name"])
+    return {r["id"]: r["name"] for r in state.collect()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=events_strategy, n_batches=st.integers(min_value=1, max_value=3))
+def test_lastwrite_replay_equivalence(spark, events, n_batches):
+    assert spark_replay(spark, events, n_batches) == oracle_replay(events)
