@@ -281,7 +281,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     as dedup_minhash_lsh); at scale use xxhash64(token) directly and the
     rank disappears."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .persist()  # consumed twice: vocabulary rank + the id join
+    )
     ids = (
         toks.select("tok")
         .distinct()
