@@ -245,3 +245,33 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 2)                                   AS p50,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)  AS p90,
+           ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group.  Exact
+    percentile sorts within each group — at 100 TB prefer
+    ``approx_percentile`` (t-digest-style sketch, mergeable, one pass);
+    the exact form here is the oracle-checkable baseline."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_extendedprice"), 2).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

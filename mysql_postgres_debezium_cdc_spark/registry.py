@@ -80,7 +80,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     # Imports are side-effecting: each module registers its queries.
-    from mysql_postgres_debezium_cdc_spark import functions, llm, operators, sources, streaming  # noqa: F401
+    from mysql_postgres_debezium_cdc_spark import functions, llm, operators, plans, sources, streaming  # noqa: F401
 
     _LOADED = True
 

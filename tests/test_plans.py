@@ -96,3 +96,49 @@ def test_q11_reuses_aggregation_for_threshold(spark):
     # both consumers read the cache (2 InMemoryTableScans over 1 relation);
     # the lineitem join itself lives only inside the cached subtree
     assert r.ops.count("InMemoryTableScan") == 2, r.ops
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed-by-key tables join with ZERO exchanges — the pay-the-
+    shuffle-once-at-write-time contract (plans/bucketing.py)."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.plans.bucketing import write_bucketed
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    orders = load(spark, SF_DIR_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, SF_DIR_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders, "b_orders", str(tmp_path / "b_orders"), "o_orderkey")
+    write_bucketed(li, "b_lineitem", str(tmp_path / "b_lineitem"), "l_orderkey")
+    try:
+        bo = spark.table("b_orders").hint("merge")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, F.col("o_orderkey") == F.col("l_orderkey"))
+        r = plan_report(joined)
+        assert r.n_sortmerge_joins == 1, r.ops
+        assert r.n_shuffles == 0, r.ops  # the whole point of bucketing
+        # results still correct
+        n = joined.count()
+        plain = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).count()
+        assert n == plain > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Salting must place a hot key's rows in multiple salt groups."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.plans.skew import SALT_COL, _salt_of
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    ev = load(spark, SF_DIR_SMOKE, "events")  # user_id is low-cardinality = hot
+    salted = ev.withColumn(SALT_COL, _salt_of(ev.columns, 8))
+    spread = (
+        salted.groupBy("user_id")
+        .agg(F.count_distinct(SALT_COL).alias("n_salts"))
+        .agg(F.min("n_salts").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert spread >= 4, "hot keys must hit several salt partitions"
