@@ -139,3 +139,39 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),
     ).orderBy("doc_id")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, every_nth: int = 4) -> DataFrame:
+    """Frame sampling over opaque payloads via mapInPandas: emit every
+    ``every_nth`` fixed-width chunk ("frame") with its offset.
+
+    For real video this is where ffmpeg seek+decode goes; the chunking
+    stand-in keeps the exact Spark shape — one input row fans out to
+    0..n output rows inside the Arrow batch, no shuffle, no collect."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for frame_no, off in enumerate(
+                    range(0, len(data), frame_bytes * every_nth)
+                ):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(frame_no)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(data[off : off + frame_bytes])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
