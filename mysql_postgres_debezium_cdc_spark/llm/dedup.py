@@ -233,14 +233,12 @@ _SH_BAND_CONSTS = [1 << (SH_BAND_BITS * b) for b in range(SH_BANDS)]
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
-    ),
+    WITH toks AS ({_SHINGLES_SQL.format(filter="")}),
     ids AS (
-      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT tok FROM toks)
+      SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT shingle FROM toks)
     ),
-    dt AS (SELECT t.doc_id, i.tid FROM toks t JOIN ids i USING (tok)),
+    dt AS (SELECT t.doc_id, i.tid FROM toks t JOIN ids i USING (shingle)),
     sigs AS (
       SELECT doc_id, {" + ".join(_simhash_bit_sql(j) for j in range(SH_BITS))} AS sig
       FROM dt GROUP BY doc_id
@@ -269,29 +267,29 @@ _SH_BAND_CONSTS = [1 << (SH_BAND_BITS * b) for b in range(SH_BANDS)]
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signature, banded Hamming blocking.
 
-    Signature: bit j = sign of Σ_tokens ±1, where the sign per token
-    comes from bit j of an affine token hash — the classic Charikar
-    construction over the document's distinct-unigram set.  Blocking:
-    4 × 8-bit bands; only pairs sharing a band value are compared
-    (Hamming ≤ 4 of 32 verifies).  Everything is a fixed-width
-    aggregation — the shuffle carries one 8-byte signature per doc, the
-    cheapest of the dedup family at 100 TB.
+    Signature: bit j = sign of Σ_features ±1, where the sign per feature
+    comes from bit j of an affine feature hash — the classic Charikar
+    construction.  Features are the 3-gram SHINGLES (not unigrams): this
+    corpus has a ~31-word vocabulary, and unigram signatures collapse
+    (every doc shares most features → megabuckets → quadratic candidate
+    blowup); shingles give a 27k-feature space and discriminative
+    signatures.  At web scale the same reasoning holds — simhash over
+    word n-grams, never the raw vocabulary.  Blocking: 4 × 8-bit bands;
+    only pairs sharing a band value are compared (Hamming ≤ 4 of 32
+    verifies).  Everything downstream of the feature join is fixed-width
+    — the shuffle carries one 8-byte signature per doc, the cheapest of
+    the dedup family at 100 TB.
 
-    Token ids come from a rank join for oracle portability (same device
-    as dedup_minhash_lsh); at scale use xxhash64(token) directly and the
-    rank disappears."""
-    d = load(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .persist()  # consumed twice: vocabulary rank + the id join
-    )
+    Feature ids come from a rank join for oracle portability (same
+    device as dedup_minhash_lsh); at scale use xxhash64(shingle)
+    directly and the rank disappears."""
+    toks = _shingles(spark, sf_dir).persist()  # consumed twice: rank + id join
     ids = (
-        toks.select("tok")
+        toks.select("shingle")
         .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("tok")).cast("bigint"))
+        .withColumn("tid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
     )
-    dt = toks.join(ids, "tok").select("doc_id", "tid")
+    dt = toks.join(ids, "shingle").select("doc_id", "tid")
     bit_terms = [
         F.when(
             F.sum(
@@ -302,8 +300,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("bigint"))
         for j in range(SH_BITS)
     ]
-    sigs = dt.groupBy("doc_id").agg(
-        functools.reduce(lambda a, b: a + b, bit_terms).alias("sig")
+    sigs = (
+        dt.groupBy("doc_id")
+        .agg(functools.reduce(lambda a, b: a + b, bit_terms).alias("sig"))
+        .persist()  # consumed 3×: band buckets + both verification sides
     )
     band_vals = F.array(
         *[(F.col("sig") / F.lit(c)).cast("bigint") % (1 << SH_BAND_BITS) for c in _SH_BAND_CONSTS]
