@@ -124,3 +124,73 @@ def udf_pandas_scalar_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
         # products), so no cross-engine decimal-half ambiguity exists there.
         F.round(net_due("l_extendedprice", "l_tax", "l_discount"), 4).alias("net_due"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "udtf_tokenize_positions",
+    oracle="""
+    SELECT doc_id, tok, pos
+    FROM (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+             GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+      FROM documents
+      WHERE doc_id < 20
+    )
+    ORDER BY doc_id, pos
+    """,
+    tags=("udtf", "python", "lateral"),
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table function): one input row →
+    many output rows, lateral-joined against the source.
+
+    A UDTF runs row-at-a-time in Python — the SLOW path, kept off hot
+    loops (the same result is posexplode in Catalyst, which is how
+    fn_array_explode does it).  Registered here to prove the API surface
+    with an oracle-checkable tokenizer."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield tok, i
+
+    spark.udtf.register("tokenize_positions", Tokenize)
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.tok AS tok, t.pos AS pos
+        FROM _udtf_docs, LATERAL tokenize_positions(text) t
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS BIGINT)                    AS bad_cast,
+           o_totalprice / NULLIF(o_orderkey % 3, 0)             AS safe_div,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)      AS roundtrip
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    tags=("function", "ansi", "try"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs ANSI mode (overflow/bad-cast/
+    div-by-zero THROW); try_cast/try_divide are the explicit
+    null-on-error escape hatches, matching DuckDB's TRY_CAST /
+    NULLIF-guarded division."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("bigint").alias("bad_cast"),
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_div"),
+        F.col("o_orderkey").cast("string").try_cast("bigint").alias("roundtrip"),
+    ).orderBy("o_orderkey")
