@@ -110,6 +110,29 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
     )
 
 
+def _global_rank(values: DataFrame, col: str, out: str) -> DataFrame:
+    """Distributed global rank 1..N over the distinct values of ``col``
+    — identical values to ``row_number() OVER (ORDER BY col)`` (what the
+    DuckDB oracles run) but with NO single-partition window over the
+    vocabulary: rank runs inside 2-char-prefix partitions (parallel),
+    then a broadcast cumulative-offset table of lexicographically
+    smaller prefixes shifts each partition into place.  The only global
+    window left is over the prefix-count table (≤ a few thousand rows,
+    bounded by the prefix alphabet, not the data)."""
+    dv = values.select(col).distinct().withColumn("_pfx", F.substring(F.col(col), 1, 2))
+    counts = dv.groupBy("_pfx").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pfx").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pfx", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    intra = F.row_number().over(Window.partitionBy("_pfx").orderBy(col))
+    return (
+        dv.withColumn("_r", intra)
+        .join(F.broadcast(offsets), "_pfx")
+        .select(F.col(col), (F.col("_r") + F.col("_off")).cast("bigint").alias(out))
+    )
+
+
 def _pairs_from_bucket(bucketed: DataFrame, docs_col: str = "docs") -> DataFrame:
     """Expand a bucketed inverted index into candidate (doc_a, doc_b) pairs.
 
@@ -284,11 +307,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     device as dedup_minhash_lsh); at scale use xxhash64(shingle)
     directly and the rank disappears."""
     toks = _shingles(spark, sf_dir).persist()  # consumed twice: rank + id join
-    ids = (
-        toks.select("shingle")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
-    )
+    ids = _global_rank(toks, "shingle", "tid")
     dt = toks.join(ids, "shingle").select("doc_id", "tid")
     bit_terms = [
         F.when(
@@ -407,11 +426,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank join for oracle portability; at scale use xxhash64(shingle)
     directly and drop the rank (a global row_number is single-partition)."""
     sh = _shingles(spark, sf_dir).persist()
-    ids = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("bigint"))
-    )
+    ids = _global_rank(sh, "shingle", "sid")
     doc_sids = sh.join(ids, "shingle").select("doc_id", "sid")
 
     mh = [
