@@ -1,24 +1,27 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Four families, all shuffle-based and driver-free (100 TB posture):
+Five families, all shuffle-based and driver-free (100 TB posture):
 
 - **exact**: hash-groupBy on the raw text (or a normalized fingerprint).
   One shuffle on the dedup key; at scale, group on ``xxhash64(text)``
   first so the shuffle moves 8-byte keys, not documents.
-- **n-gram Jaccard**: inverted-index self-join on word shingles —
-  candidate pairs only where at least one shingle collides (never the
-  O(n²) cross join), then exact Jaccard verification on the candidates.
+- **n-gram Jaccard**: inverted index over word shingles — candidate
+  pairs only where at least one shingle collides (never the O(n²) cross
+  join), expanded inline per bucket, then exact Jaccard verification.
 - **MinHash + LSH**: constant-size signatures (16 hashes), banded into
   4 buckets; only same-bucket pairs are compared.  At 100 TB this is the
-  only family whose candidate-pair count stays near-linear.
-- **SimHash**: 64-bit fingerprint via sign-aggregated token hashes;
-  near-dups = small Hamming distance within blocking buckets
-  (tests/test_llm_dedup.py; see also llm/text.py fingerprints).
+  family whose candidate-pair count stays near-linear.
+- **SimHash**: 32-bit fingerprint via sign-aggregated shingle hashes;
+  near-dups = small Hamming distance within 8-bit band blocks.
+- **embedding cosine**: exact all-pairs verification kernel; candidate
+  generation at scale comes from llm/similarity.py's LSH/IVF blocks.
 
-Portability note: queries that are oracle-checked derive *shingle ids*
-from a rank over distinct shingles (deterministic in both engines).  At
-scale you would use ``xxhash64(shingle)`` directly and skip the rank
-join; the LSH math is identical.
+Portability note: oracle-checked queries derive *feature ids* from a
+rank over distinct shingles — identical in both engines, and computed
+distributed (`_global_rank`: prefix-partitioned rank + broadcast
+offsets, no data-sized single-partition window).  At scale you would
+use ``xxhash64(shingle)`` directly and skip the rank join entirely; the
+LSH math is identical.
 """
 
 from __future__ import annotations

@@ -163,41 +163,45 @@ def ann_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     # No oracle: hyperplane constants are engine-internal; the driver does a
-    # rows-only check and tests measure recall vs ann_bruteforce_topk.
+    # rows-only check and tests/test_llm_similarity.py measures recall vs
+    # ann_bruteforce_topk.
     tags=("llm", "similarity", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k: 8 random-hyperplane sign bits.
+    """Multi-table random-hyperplane LSH top-k (OR-amplification).
 
-    Bucket key = sign pattern of 8 deterministic pseudo-random
-    hyperplanes (derived from a hash of (plane, dim) — reproducible with
-    no stored model).  Exact cosine runs only within same-bucket pairs:
-    at N vectors/bucket ≈ N/256, candidate volume drops ~256× vs brute
-    force, the standard ANN trade (recall measured in tests)."""
-    n_planes = 8
+    L=4 hash tables × k=4 sign bits: a candidate pair is compared if it
+    collides in ANY table — P(hit) = 1-(1-p^k)^L for per-plane agreement
+    p, the standard recall/candidate-volume dial (single-table k=8 gives
+    ~2% recall on this mid-similarity corpus; 4×4 gives ~50%).
+    Hyperplanes are hash-derived from (table, plane, dim) — reproducible
+    with no stored model.  Exact cosine runs only on candidates;
+    per-query dedup across tables happens BEFORE scoring.
+
+    Scale shape: signatures are one 16-bit-ish key per (vector, table) —
+    4 rows per vector; buckets shard by (table, signature); the probe
+    side (queries) is tiny and broadcast.  Candidate volume is the
+    recall dial, never O(n²).  Recall gate: tests/test_llm_similarity.py."""
+    n_tables, bits = 4, 4
     emb = load(spark, sf_dir, "embeddings")
     dims = spark.range(64).select(F.col("id").cast("int").alias("d"))
-    planes = spark.range(n_planes).select(F.col("id").cast("int").alias("p"))
+    planes = spark.range(n_tables * bits).select(
+        (F.col("id") / bits).cast("int").alias("t"), F.col("id").cast("int").alias("p")
+    )
     # Deterministic hyperplane component in [-1, 1): hash-derived.
-    hp = (
-        planes.crossJoin(dims)
-        .select(
-            "p",
-            "d",
-            ((F.xxhash64(F.concat_ws(":", F.col("p"), F.col("d"))) % 2001) / 1000.0).alias(
-                "v"
-            ),
-        )
+    hp = planes.crossJoin(dims).select(
+        "t",
+        "p",
+        "d",
+        ((F.xxhash64(F.concat_ws(":", F.col("p"), F.col("d"))) % 2001) / 1000.0).alias("v"),
     )
-    # signature bit per (vec, plane): sign of dot(embedding, plane)
-    ev = emb.select(
-        "vec_id", F.posexplode(_as_double("embedding")).alias("d", "x")
-    )
-    bits = (
+    ev = emb.select("vec_id", F.posexplode(_as_double("embedding")).alias("d", "x"))
+    # one signature string per (vector, table)
+    sigs = (
         ev.join(F.broadcast(hp), "d")
-        .groupBy("vec_id", "p")
+        .groupBy("vec_id", "t", "p")
         .agg(F.sum(F.col("x") * F.col("v")).alias("proj"))
-        .groupBy("vec_id")
+        .groupBy("vec_id", "t")
         .agg(
             F.array_join(
                 F.transform(
@@ -209,31 +213,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s.getField("b"),
                 ),
                 "",
-            ).alias("bucket")
+            ).alias("sig")
         )
     )
-    sig = emb.join(bits, "vec_id").select(
-        F.col("vec_id"), F.col("bucket"), _as_double("embedding").alias("emb")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    cand_q = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "t", "sig"
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
+    cands = (
+        sigs.join(F.broadcast(cand_q), ["t", "sig"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .distinct()  # collapse multi-table collisions before scoring
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        cands.join(vecs.withColumnRenamed("vec_id", "c_id").withColumnRenamed("emb", "c_emb"), "c_id")
+        .join(
+            F.broadcast(
+                vecs.where(F.col("vec_id") < N_QUERIES)
+                .withColumnRenamed("vec_id", "q_id")
+                .withColumnRenamed("emb", "q_emb")
+            ),
+            "q_id",
         )
         .select(
-            F.col("a.vec_id").alias("q_id"),
-            F.col("b.vec_id").alias("c_id"),
-            F.round(cosine_cols(F.col("a.emb"), F.col("b.emb")), 4).alias("cos_sim"),
+            "q_id",
+            "c_id",
+            F.round(cosine_cols(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
     )
-
 
 N_CELLS = 16  # IVF coarse-quantizer cells
 CENTROID_BASE = 100  # vec_id range [CENTROID_BASE, CENTROID_BASE + N_CELLS) are the centroids

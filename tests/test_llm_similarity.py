@@ -1,0 +1,53 @@
+"""ANN quality gates: LSH and IVF recall against the exact brute-force
+top-k, and internal consistency of the returned rankings."""
+
+from __future__ import annotations
+
+from mysql_postgres_debezium_cdc_spark.registry import all_queries
+from tests.conftest import SF_DIR_ORACLE
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["c_id"])
+    return out
+
+
+def _recall(approx, exact):
+    total = hit = 0
+    for q, truth in exact.items():
+        got = approx.get(q, set())
+        hit += len(got & truth)
+        total += len(truth)
+    return hit / total
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    exact = _topk_sets(all_queries()["ann_bruteforce_topk"].fn(spark, SF_DIR_ORACLE))
+    approx = _topk_sets(all_queries()["ann_lsh_topk"].fn(spark, SF_DIR_ORACLE))
+    r = _recall(approx, exact)
+    # 4 tables x 4 bits lands ~0.4-0.5 on this mid-similarity corpus; the
+    # gate catches a collapse (e.g. a broken signature), not tuning drift.
+    assert r >= 0.2, f"LSH recall collapsed: {r:.3f}"
+    assert set(approx) <= set(exact)  # only real query ids
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    exact = _topk_sets(all_queries()["ann_bruteforce_topk"].fn(spark, SF_DIR_ORACLE))
+    approx = _topk_sets(all_queries()["ann_ivf_topk"].fn(spark, SF_DIR_ORACLE))
+    r = _recall(approx, exact)
+    assert r >= 0.05, f"IVF recall collapsed: {r:.3f}"
+
+
+def test_rankings_are_sorted_and_bounded(spark):
+    for name in ("ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk"):
+        rows = all_queries()[name].fn(spark, SF_DIR_ORACLE).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["q_id"], []).append(r)
+        for q, rs in by_q.items():
+            rks = [r["rk"] for r in rs]
+            assert rks == sorted(rks) and rks[0] == 1 and len(rks) <= 5
+            sims = [r["cos_sim"] for r in rs]
+            assert sims == sorted(sims, reverse=True), (name, q, sims)
