@@ -134,3 +134,63 @@ def test_replay_is_idempotent(spark, tmp_path):
     first = _sink_state(db)
     _apply(spark, db, rows)  # replay the same batch
     assert _sink_state(db) == first == [(1, "ann2", 1.5)]
+
+
+def test_streaming_foreachbatch_into_dbapi_sink(spark, tmp_path):
+    """Full streaming topology ending in the SQL sink: file stream →
+    foreachBatch(decode → compact → DbapiKeyedSink.apply) → sqlite —
+    the reference's consumer loop with its Postgres sink swapped for a
+    DBAPI target."""
+    db = str(tmp_path / "sink.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE people (id INTEGER PRIMARY KEY, name TEXT, score REAL)")
+
+    import json
+
+    rows = []
+    for i in range(30):
+        key = i % 10
+        img = {"id": key, "name": f"n{i}", "score": float(i)}
+        env = {
+            "before": img if (i >= 20 and key % 3 == 0) else None,
+            "after": None if (i >= 20 and key % 3 == 0) else img,
+            "source": {"db": "app", "table": "people", "ts_ms": 0},
+            "op": "d" if (i >= 20 and key % 3 == 0) else "u",
+            "ts_ms": 0,
+        }
+        rows.append((json.dumps(env), i))
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(rows, "value string, offset long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    sink = DbapiKeyedSink(
+        functools.partial(sqlite3.connect, db),
+        "people",
+        pk_cols=["id"],
+        row_cols=["id", "name", "score"],
+        n_partitions=1,
+    )
+
+    def sink_batch(batch_df, _bid):
+        events = with_change_columns(decode_envelope(batch_df, ROW_SCHEMA))
+        sink.apply(compact(events, ["id"]))
+
+    stream = spark.readStream.schema("value string, offset long").parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = _sink_state(db)
+    # keys 0,3,6,9 deleted in the final wave (i>=20, key%3==0); keys
+    # 1,2,4,5,7,8 hold their last-written version
+    expected_keys = {1, 2, 4, 5, 7, 8}
+    assert {r[0] for r in state} == expected_keys
+    for key, name, score in state:
+        last_i = max(i for i in range(30) if i % 10 == key)
+        assert name == f"n{last_i}" and score == float(last_i)
