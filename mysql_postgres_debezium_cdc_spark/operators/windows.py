@@ -158,3 +158,40 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           PERCENT_RANK() OVER w AS pr,
+           ROUND(CUME_DIST() OVER w, 4) AS cd
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "first_last", "rank_dist"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value + percent_rank/cume_dist.  last_value needs
+    the full-partition frame (the default frame stops at CURRENT ROW —
+    the classic silent-wrong-answer; stated explicitly in both engines)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.percent_rank().over(w).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("o_custkey", "o_orderkey")
