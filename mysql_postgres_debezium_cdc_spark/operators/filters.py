@@ -118,3 +118,52 @@ def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("partial")
         .alias("status_name"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0 OR o_totalprice IS NULL)
+        AS bad_totalprice,
+      (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5)
+        AS bad_discount
+    """,
+    tags=("dq", "anti-join", "validation"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: FK orphans (anti-joins) + range violations —
+    the validation pass a training-data pipeline runs before ingest.
+    Spark doesn't enforce FK/CHECK constraints (SURVEY §2.1 Q3 note);
+    this operator IS the enforcement, as a plan instead of a promise.
+    Each anti-join broadcasts the key side at this SF and degrades to a
+    shuffle join at scale; the four counts run as one job."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    okeys = o.select("o_orderkey")
+    orphan_orders = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    orphan_lineitems = (
+        li.join(okeys, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    bad_price = o.agg(
+        F.count(F.when(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1)).alias(
+            "bad_totalprice"
+        )
+    )
+    bad_disc = li.agg(
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)).alias(
+            "bad_discount"
+        )
+    )
+    return orphan_orders.join(orphan_lineitems).join(bad_price).join(bad_disc)

@@ -79,3 +79,35 @@ def test_stateful_apply_in_pandas_equals_batch(spark):
         assert rb[0] == rs[0] and rb[1] == rs[1] and rb[3] == rs[3]
         # float accumulation order differs (pandas per-batch vs Spark agg)
         assert abs(rb[2] - rs[2]) < 0.05
+
+
+def test_rate_source_windowed_agg(spark):
+    """The built-in rate source (offline-capable streaming source,
+    SURVEY §2.2 scans row): prove a windowed aggregation over it runs
+    and produces monotone counters."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+    )
+    agg = rate.groupBy(F.window("timestamp", "1 second").alias("w")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("t_rate").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table("t_rate").collect()
+        assert rows and all(r["count"] > 0 for r in rows)
+    finally:
+        q.stop()
