@@ -61,7 +61,20 @@ def with_change_columns(
 def compact(batch: DataFrame, pk_cols: Sequence[str]) -> DataFrame:
     """Latest event per key, by offset order (SURVEY §2.1 composite
     semantics).  Key columns come from `after` for upserts and `before`
-    for deletes (Consumer.java:197-253)."""
+    for deletes (Consumer.java:197-253).
+
+    Physical note: ``max_by(struct(...), offset)`` carries a struct
+    aggregation buffer, which Tungsten cannot hash-aggregate in place —
+    the plan is SortAggregate (shuffle by key, per-partition sort,
+    streaming agg).  Considered and rejected: (a) per-column scalar
+    ``max_by`` would hash-aggregate but loses row atomicity when two
+    Kafka partitions carry the same offset for one key; (b) a two-phase
+    max(offset)-then-self-join re-shuffles the whole batch a second
+    time, which costs more than the per-partition sort.  The partial
+    (map-side) SortAggregate still runs before the shuffle, so the
+    exchange carries ≤ one event per (key, map partition) — the
+    frontier, not the firehose — which is the property that matters at
+    100 TB."""
     keyed = batch.select(
         "*",
         *[
