@@ -213,3 +213,89 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("content_fp"),
         F.md5(F.col("text")).alias("exact_fp"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_preprocess_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)) AS n_tokens,
+             LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)))
+               AS n_unique
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 1000
+        AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.3
+        AND lang IN ('en', 'es', 'de')
+    ),
+    deduped AS (
+      SELECT text, MIN(doc_id) AS keep_doc_id,
+             MIN_BY(lang, doc_id) AS lang,
+             MIN_BY(n_tokens, doc_id) AS n_tokens
+      FROM filtered
+      GROUP BY text
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "pipeline", "composition"),
+)
+def corpus_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data preprocess: quality filter → language
+    filter → exact dedup (keep lowest doc_id) → per-language token
+    budget.  One declarative plan: Catalyst fuses the filters into the
+    scan, the dedup is the only wide stage before the final (tiny)
+    rollup — the 100 TB shape of a C4-style cleanup pass."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    n_tokens = F.size(toks).cast("bigint")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    filtered = (
+        d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens"))
+        .where(
+            F.col("n_tokens").between(20, 1000)
+            & (ttr >= 0.3)
+            & F.col("lang").isin("en", "es", "de")
+        )
+    )
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE doc_id % 10 < 3  -- deterministic 30% sample, same rows both engines
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("llm", "pipeline", "sampling"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a modulo predicate on the
+    stable id picks the SAME 30% everywhere (re-runnable, resumable —
+    what `df.sample`'s RNG can't give across engines/retries), counted
+    per (lang, source) stratum.  At 100 TB the predicate pushes into the
+    scan: the other 70% is never materialized past the reader."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") % 10 < 3)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang", "source")
+    )

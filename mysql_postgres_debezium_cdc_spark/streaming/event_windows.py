@@ -229,3 +229,60 @@ def stream_user_running_state_stateful(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_stream_join_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY purchase_id, click_id
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: every purchase joined to the clicks
+    of the same user in the preceding 30 minutes — the batch formulation
+    of a watermarked stream-stream interval join (live twin:
+    jobs.attribution_join, equality-tested in tests/test_streaming.py).
+
+    Streaming physics: both sides shuffle on user_id; the interval
+    condition plus watermarks BOUNDS the join state — each side keeps
+    only rows younger than (watermark + 30 min), so state is
+    O(rate × horizon), never O(stream)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

@@ -174,3 +174,41 @@ def user_state_stateful(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def attribution_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join (live twin of
+    event_windows.stream_stream_join_attribution): purchases ⋈ same-user
+    clicks within the previous 30 minutes.  Watermarks on BOTH sides +
+    the interval condition let Spark evict join state older than the
+    horizon."""
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+    )

@@ -337,3 +337,31 @@ def test_multi_table_router_streaming(spark, tmp_path):
     assert cust.count() == 5  # ids 0..4, each updated (last write wins)
     assert {r["name"] for r in cust.collect()} == {"n10", "n12", "n14", "n16", "n18"}
     assert router.read_state("orders").count() == 5
+
+
+def test_schema_drift_maptype_fallback(spark):
+    """SURVEY §1.3: the reference types rows *dynamically* per JSON
+    token; our explicit-StructType decode must degrade gracefully when
+    the wire carries columns the schema doesn't know — and a
+    MapType(String,String) row schema must capture everything (the
+    drift-tolerant mode)."""
+    drifted = json.dumps(
+        {
+            "before": None,
+            "after": {"id": 7, "name": "x", "created_ms": 1, "NEW_COL": "surprise"},
+            "source": SRC,
+            "op": "c",
+            "ts_ms": 1,
+        }
+    )
+    raw = spark.createDataFrame([(drifted, 1)], "value string, offset long")
+
+    # struct mode: unknown column silently pruned, knowns decoded
+    d1 = decode_envelope(raw, ROW_SCHEMA).collect()[0]
+    assert d1["_error"] is None and d1["after"]["id"] == 7 and d1["after"]["name"] == "x"
+
+    # map mode: every column captured as strings (dynamic-typing analogue)
+    map_schema = T.MapType(T.StringType(), T.StringType())
+    d2 = decode_envelope(raw, map_schema).collect()[0]
+    assert d2["after"]["NEW_COL"] == "surprise"
+    assert d2["after"]["id"] == "7" and set(d2["after"].keys()) >= {"id", "name", "NEW_COL"}

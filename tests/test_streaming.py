@@ -111,3 +111,15 @@ def test_rate_source_windowed_agg(spark):
         assert rows and all(r["count"] > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_stream_stream_join_equals_batch(spark):
+    batch = all_queries()["stream_stream_join_attribution"].fn(spark, SF_DIR_SMOKE)
+    stream = jobs.run_to_memory(
+        spark,
+        jobs.attribution_join(jobs.stream_events(spark, SF_DIR_SMOKE)),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    cols = ("purchase_id", "click_id", "user_id", "purchase_value")
+    assert rows(stream, *cols) == rows(batch, *cols)
