@@ -275,3 +275,26 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_hll_sketch_mergeable",
+    # No oracle: Apache DataSketches HLL internals are engine-specific.
+    # tests/test_aggregates.py asserts (a) estimate within 5% of exact and
+    # (b) merge-of-group-sketches == whole-table sketch — the property
+    # that makes sketches the 100 TB path (pre-aggregate per partition /
+    # day / shard, union later, never rescan).
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 4 DataSketches functions): per-group
+    sketches unioned into a global distinct-count WITHOUT touching rows
+    again."""
+    li = load(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return (
+        per_group.agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(F.hll_sketch_estimate("merged").alias("approx_global_parts"))
+    )

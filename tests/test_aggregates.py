@@ -20,3 +20,25 @@ def test_approx_count_distinct_within_bound(spark):
     for flag, e in exact.items():
         rel = abs(approx[flag] - e) / e
         assert rel <= 0.05, f"{flag}: approx {approx[flag]} vs exact {e} ({rel:.1%})"
+
+
+def test_hll_sketch_merge_matches_direct(spark):
+    """Union of per-group sketches must estimate the same cardinality as
+    sketching the whole column directly, and land within 5% of exact."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    li = load(spark, SF_DIR_ORACLE, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    merged = all_queries()["agg_hll_sketch_mergeable"].fn(spark, SF_DIR_ORACLE).collect()[0][
+        "approx_global_parts"
+    ]
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e")
+    ).collect()[0]["e"]
+    # union-of-sketches and direct sketching take different register
+    # paths; both must land within the sketch's error bound of exact
+    assert abs(merged - exact) / exact <= 0.05
+    assert abs(direct - exact) / exact <= 0.05
+    assert abs(merged - direct) / exact <= 0.05
