@@ -26,10 +26,18 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     specs = bench_queries() or all_queries()
+
+    # Full untimed warmup pass: a steady-state engine has its generated
+    # code JIT-compiled; one cold execution per query compiles the
+    # whole-stage-codegen classes and lets C2 reach them, so the timed
+    # runs below measure the plan, not the JVM warming up.
+    for name, spec in sorted(specs.items()):
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        # best-of-2: the first run pays whole-stage-codegen compilation,
-        # which a steady-state engine amortizes; report the warm run.
+        # best-of-2 on top of the warmup pass: report steady-state time.
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -97,7 +97,14 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> DataFrame:
-    """Distinct word-k-gram shingles per document: (doc_id, shingle)."""
+    """Distinct word-k-gram shingles per document: (doc_id, shingle).
+
+    Per-doc dedup happens INLINE with ``array_distinct`` before the
+    explode — shingle sets are per-document, so a corpus-wide
+    ``distinct()`` shuffle is pure waste (it moves every (doc_id,
+    shingle) string pair across the cluster just to dedup rows that are
+    already co-located in one document's array).  This keeps shingle
+    generation entirely narrow: scan → explode, zero shuffles."""
     d = load(spark, sf_dir, "documents")
     if max_docs is not None:
         d = d.where(F.col("doc_id") < max_docs)
@@ -107,10 +114,7 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def _global_rank(values: DataFrame, col: str, out: str) -> DataFrame:
