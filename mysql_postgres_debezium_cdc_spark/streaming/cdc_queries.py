@@ -20,6 +20,7 @@ from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.debezium import decode_envelope
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 from mysql_postgres_debezium_cdc_spark.streaming.cdc import (
+    IS_DELETE,
     ORDER_COL,
     apply_changes,
     compact,
@@ -247,3 +248,168 @@ def cdc_incremental_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     must converge to the identical state (idempotent-merge property that
     lets the reference run at-least-once, Consumer.java:210-211)."""
     return _materialize(spark, sf_dir, n_batches=3)
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id AS id,
+             value AS v,
+             event_type,
+             event_id AS valid_from,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to
+      FROM events
+    )
+    SELECT id, ROUND(v, 2) AS v, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM ordered
+    WHERE event_type <> 'error'
+    ORDER BY id, valid_from
+    """,
+    tags=("cdc", "scd2"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from the changelog: every row
+    VERSION with its validity interval, not just the latest (what a
+    warehouse keeps downstream of the reference's replica).
+
+    Where ``compact`` throws away superseded versions, SCD2 keeps them
+    all: each upsert opens an interval at its own offset; the NEXT event
+    for the key (upsert or delete) closes it.  One window over
+    (key, offset) — the shuffle carries each version exactly once, and
+    per-key history is naturally co-partitioned, so this holds at 100 TB
+    backlog (state per key is bounded by its version count, and deletes
+    close intervals without emitting a version row)."""
+    raw = _events_changelog(spark, sf_dir)
+    events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
+    from pyspark.sql import Window
+
+    key = F.coalesce(F.col("after.id"), F.col("before.id"))
+    versions = events.select(
+        key.alias("id"),
+        F.col("after.v").alias("v"),
+        F.col(IS_DELETE).alias("is_del"),
+        F.col(ORDER_COL).alias("valid_from"),
+    )
+    w = Window.partitionBy("id").orderBy("valid_from")
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(w))
+        .where(~F.col("is_del"))
+        .select(
+            "id",
+            F.round("v", 2).alias("v"),
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("id", "valid_from")
+    )
+
+
+_N_AGG_GROUPS = 10
+
+_IVM_ORACLE = f"""
+    WITH last AS (
+      SELECT user_id,
+             MAX_BY(event_type, event_id) AS last_type,
+             MAX_BY(value, event_id)      AS last_value
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id % {_N_AGG_GROUPS} AS grp,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(last_value), 2) AS sum_v
+    FROM last
+    WHERE last_type <> 'error'
+    GROUP BY grp
+    ORDER BY grp
+    """
+
+
+@register(
+    "cdc_incremental_agg_maintenance",
+    oracle=_IVM_ORACLE,
+    tags=("cdc", "ivm"),
+)
+def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-VIEW maintenance: a grouped aggregate
+    (count + sum per group) kept current under upserts AND deletes by
+    applying retractions, never re-scanning history.
+
+    Per micro-batch: join the compacted batch against the keyed state to
+    recover each key's OLD contribution, emit (add - retract) deltas per
+    group, and fold them into the aggregate state.  All shuffles are
+    frontier-sized (batch keys + touched groups); the aggregate state is
+    one row per group.  This is the standard changelog→materialized-view
+    composition (what Flink calls retract streams) built from the same
+    compact/apply primitives as the replica, so at 100 TB the aggregate
+    maintains for the cost of the batch, not the corpus."""
+    max_id = load(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
+    n_batches = 3
+    step = (max_id + n_batches) // n_batches
+
+    keyed_state: DataFrame | None = None  # id -> v (surviving rows)
+    agg_state: DataFrame | None = None  # grp -> n_rows, sum_v
+    for b in range(n_batches):
+        raw = _events_changelog(spark, sf_dir, b * step, (b + 1) * step)
+        events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
+        batch = compact(events, ["id"]).select(
+            F.col("_pk_id").alias("id"),
+            F.col("after.v").alias("new_v"),
+            F.col(IS_DELETE).alias("is_del"),
+            F.col(ORDER_COL),
+        )
+        old = (
+            keyed_state.select("id", F.col("v").alias("old_v"))
+            if keyed_state is not None
+            else spark.createDataFrame([], "id long, old_v double")
+        )
+        # Per-key delta: retract the old contribution (if the key was in
+        # the view), add the new one (unless this event is a delete).
+        joined = batch.join(old, "id", "left")
+        deltas = joined.select(
+            (F.col("id") % _N_AGG_GROUPS).alias("grp"),
+            (
+                F.when(F.col("is_del"), 0).otherwise(1)
+                - F.when(F.col("old_v").isNotNull(), 1).otherwise(0)
+            ).alias("d_rows"),
+            (
+                F.when(F.col("is_del"), F.lit(0.0)).otherwise(F.col("new_v"))
+                - F.coalesce(F.col("old_v"), F.lit(0.0))
+            ).alias("d_sum"),
+        ).groupBy("grp").agg(
+            F.sum("d_rows").alias("d_rows"), F.sum("d_sum").alias("d_sum")
+        )
+        if agg_state is None:
+            agg_state = deltas.select(
+                "grp",
+                F.col("d_rows").alias("n_rows"),
+                F.col("d_sum").alias("sum_v"),
+            )
+        else:
+            agg_state = (
+                agg_state.join(deltas, "grp", "full_outer")
+                .select(
+                    "grp",
+                    (
+                        F.coalesce(F.col("n_rows"), F.lit(0))
+                        + F.coalesce(F.col("d_rows"), F.lit(0))
+                    ).alias("n_rows"),
+                    (
+                        F.coalesce(F.col("sum_v"), F.lit(0.0))
+                        + F.coalesce(F.col("d_sum"), F.lit(0.0))
+                    ).alias("sum_v"),
+                )
+            )
+        # Checkpoint both states so each loop iteration's lineage stays
+        # one-batch deep (a streaming job would persist these per epoch).
+        agg_state = agg_state.localCheckpoint(eager=False)
+        keyed_state = apply_changes(keyed_state, compact(events, ["id"]), ["id"], ["v"])
+        keyed_state = keyed_state.localCheckpoint(eager=False)
+    return (
+        agg_state.where(F.col("n_rows") > 0)
+        .select("grp", "n_rows", F.round("sum_v", 2).alias("sum_v"))
+        .orderBy("grp")
+    )
