@@ -2,6 +2,7 @@
 
 from mysql_postgres_debezium_cdc_spark.operators import (  # noqa: F401
     aggregates,
+    behavioral,
     filters,
     joins,
     pivots,

@@ -1,0 +1,208 @@
+"""Behavioral / event-stream analytics: sessionization, funnel
+conversion, retention cohorts.
+
+The reference's sink is an OLTP replica (SURVEY.md §0); these are the
+first queries a product team runs downstream of that replica on the
+`events` changelog.  All three are single-pass compositions of window
+functions and aggregations over a `user_id` shuffle:
+
+- **Sessionize** — the classic gap-based session assignment: one window
+  over (user_id, ts) computes the previous timestamp; a second running
+  sum over the same partitioning turns "gap > threshold" boundary flags
+  into session ordinals.  Both windows share one hash partitioning by
+  user_id, so Catalyst plans a SINGLE shuffle; per-user state is a sort
+  run, never materialized whole.  At 100 TB this is the standard
+  formulation: sessions never cross users, so the shuffle is the only
+  data movement and skew is bounded by the hottest user.
+- **Funnel** — per-stage user counts where stage N must occur AFTER the
+  user's first stage N-1 event.  Expressed as one conditional
+  aggregation per user (no self-joins): min signup ts, min qualifying
+  purchase ts, then a global roll-up.  Fact-sized input, two
+  frontier-sized aggregations.
+- **Retention cohort** — users bucketed by first-activity week; for each
+  (cohort-week, week-offset) the number of distinct users active.  Two
+  aggregations by user_id then (cohort, offset); the distinct is free
+  because (user, week) pairs are already deduped by the first groupBy.
+
+Epoch math is done in MICROseconds (`unix_micros` / DuckDB `epoch_us`)
+— integer, identical truncation in both engines, no float rounding at
+the hash-compare boundary.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+# 6 hours, in microseconds. The fixtures' median per-user inter-event
+# gap at sf0.01 is ~7.3h, so this splits real session structure rather
+# than producing one-session-per-user or one-session-per-event.
+_SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id,
+             epoch_us(ts) AS t_us,
+             value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       > {_SESSION_GAP_US}
+                  OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, t_us, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           session_idx,
+           MIN(t_us) // 1000000 AS session_start_s,
+           (MAX(t_us) - MIN(t_us)) // 1000000 AS duration_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+    tags=("behavioral", "session", "window"),
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle longer than the gap threshold.  Batch twin of
+    `stream_session_window` (session_window does the same assignment
+    incrementally); this formulation also yields session ordinals."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t_us"), "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    prev = F.lag("t_us").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("t_us") - prev) > _SESSION_GAP_US), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("t_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_idx", F.sum("is_new").over(run))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            (F.min("t_us") / 1_000_000).cast("long").alias("session_start_s"),
+            ((F.max("t_us") - F.min("t_us")) / 1_000_000).cast("long").alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS first_signup_us,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS first_view_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      COUNT(first_signup_us) AS n_signup,
+      COUNT(CASE WHEN first_view_us > first_signup_us THEN 1 END)
+        AS n_view_after_signup,
+      COUNT(CASE WHEN first_purchase_us > first_signup_us THEN 1 END)
+        AS n_purchase_after_signup,
+      ROUND(COUNT(CASE WHEN first_purchase_us > first_signup_us THEN 1 END)
+            * 1.0 / COUNT(first_signup_us), 4) AS conversion_rate
+    FROM per_user
+    """,
+    tags=("behavioral", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → later view / purchase) without
+    self-joins: one conditional aggregate per user collapses each
+    user's history to first-touch timestamps, then a global roll-up
+    counts stage survivors.  Two aggregations, no join — the shape
+    that holds when `events` is 100 TB and users are millions."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("t_us")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("first_signup_us"),
+        first_ts("view").alias("first_view_us"),
+        first_ts("purchase").alias("first_purchase_us"),
+    )
+    after = lambda c: F.count(  # noqa: E731
+        F.when(F.col(c) > F.col("first_signup_us"), F.lit(1))
+    )
+    return per_user.agg(
+        F.count("first_signup_us").alias("n_signup"),
+        after("first_view_us").alias("n_view_after_signup"),
+        after("first_purchase_us").alias("n_purchase_after_signup"),
+        F.round(
+            after("first_purchase_us") * F.lit(1.0) / F.count("first_signup_us"), 4
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+           date_diff('day', c.cohort_week, w.week) // 7 AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM weekly w JOIN cohorts c USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("behavioral", "retention"),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first-active week, counted
+    in each later week they return.  (user, week) pairs are deduped
+    first, so the final count needs no DISTINCT; the cohort join is
+    user-keyed and reuses the same partitioning as the dedup.  Both
+    date_trunc('week') engines snap to Monday; offsets use day-diff/7,
+    which is exact on week-aligned dates in either engine."""
+    weekly = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+        .distinct()
+    )
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
