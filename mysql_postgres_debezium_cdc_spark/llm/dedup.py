@@ -217,6 +217,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot shingles (stopword runs) are the skew risk — AQE handles
     moderate cases; the production lever is a document-frequency cap
     (drop shingles appearing in >X% of docs) before step 2."""
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) —
+    the shared edge set for `dedup_ngram_jaccard` and the clustering in
+    `dedup_connected_components`.  See `dedup_ngram_jaccard` for the
+    physical-plan walkthrough."""
     sh = _shingles(spark, sf_dir).select(
         "doc_id", F.xxhash64("shingle").alias("sid")
     ).persist()
@@ -236,8 +248,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -524,4 +535,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_cs") >= COS_NEARDUP_THRESHOLD)
         .drop("_cs")
         .orderBy("vec_a", "vec_b")
+    )
+
+
+_CC_PAIRS_SQL = f"""
+      WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+      sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+      ),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+            >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comps AS (
+      SELECT node AS doc_id, MIN(reach) AS component_id
+      FROM walk GROUP BY node
+    )
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comps
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    near-dup pair graph, so a chain A~B~C collapses to one canonical id
+    (the component minimum) even when A and C never matched directly —
+    what an LLM-corpus dedup actually deletes against.
+
+    Iterative min-label propagation, the standard distributed CC
+    (GraphX/GraphFrames run the same loop): each round every node takes
+    the min of its own label and its neighbors'; converged when no label
+    changed.  Rounds = graph diameter ≤ log n after path-shortcutting
+    via the label table itself; each round is one key-partitioned join +
+    aggregate on the EDGE list (never the corpus), so at 100 TB the cost
+    is #edges per round — the pair generation upstream already made that
+    near-linear.  The per-round driver action is a single converged?
+    count, not data collection; lineage is cut per round with
+    localCheckpoint exactly like the CDC batch loop."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("component_id", F.col("node"))
+    )
+    for _ in range(32):  # hard cap; converges in O(diameter) rounds
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                ).alias("component_id"),
+                (F.col("nbr_min") < F.col("component_id")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    comp_sizes = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            "component_id",
+            F.count(F.lit(1)).over(comp_sizes).alias("component_size"),
+        )
+        .orderBy("doc_id")
     )

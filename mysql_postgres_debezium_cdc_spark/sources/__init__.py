@@ -1,6 +1,10 @@
-"""Sources: fixture parquet loader, Debezium envelope, Kafka CDC source."""
+"""Sources: fixture parquet loader, Debezium envelope, Kafka CDC source,
+JSON-lines/CSV text formats."""
 
-from mysql_postgres_debezium_cdc_spark.sources import parquet  # noqa: F401  (registers queries)
+from mysql_postgres_debezium_cdc_spark.sources import (  # noqa: F401  (registers queries)
+    parquet,
+    text_formats,
+)
 from mysql_postgres_debezium_cdc_spark.sources.parquet import TABLES, load
 
 __all__ = ["TABLES", "load"]

@@ -1,0 +1,162 @@
+"""Text-format sources: JSON-lines and CSV scans with explicit schemas.
+
+The reference's wire format is schemaless JSON (SURVEY.md §1.3 — events
+carry no schema, `connectors/mysql-source.json:30-31`), and its typing
+is inferred per value.  Our engine's rule is the opposite and these
+sources enforce it: **schema is explicit config** — every text read
+passes a `StructType`, never `inferSchema` (at 100 TB schema inference
+is a full extra pass over the data, and a drifting file silently
+changes column types mid-pipeline).
+
+Each query materializes a fixture once per scale factor into a scratch
+directory in the target format, then answers an aggregate from the
+text-format scan, oracle-checked against the parquet truth — proving
+the round-trip preserves types (timestamps included) end-to-end.
+
+Malformed-record isolation (the E1 dead-letter analogue for file
+sources, `Consumer.java:186-188`) is covered in
+tests/test_text_sources.py: PERMISSIVE mode routes bad lines to
+`_corrupt_record` instead of failing the scan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        # the fixture column is NTZ (no zone on disk); keep it NTZ through
+        # the text round-trip rather than silently rebasing into a zone
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+# Microsecond-precision, timezone-less — written and parsed with the
+# session pinned to UTC so the round-trip is value-exact.
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_src{tag}_{kind}")
+
+
+def jsonl_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) events as JSON-lines; return the path."""
+    path = _scratch(sf_dir, "events_jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "events").write.mode("overwrite").option(
+            "timestampFormat", TS_FMT
+        ).json(path)
+    return path
+
+
+def csv_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf) orders as headered CSV; return the path."""
+    path = _scratch(sf_dir, "orders_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "orders").write.mode("overwrite").option(
+            "header", "true"
+        ).option("timestampNTZFormat", TS_FMT).csv(path)
+    return path
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with explicit schema; PERMISSIVE (default) mode
+    nulls out unparseable fields instead of failing the scan."""
+    return spark.read.schema(schema).option("timestampFormat", TS_FMT).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", TS_FMT)
+        .csv(path)
+    )
+
+
+@register(
+    "source_jsonl_scan",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS spend
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("source", "json"),
+)
+def source_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate straight off a JSON-lines scan (explicit schema).
+    Matching the parquet-truth oracle proves long/double/timestamp
+    fidelity through the text round-trip."""
+    ev = read_jsonl(spark, jsonl_events_path(spark, sf_dir), EVENTS_SCHEMA)
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("spend"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "source_csv_scan",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue off a headered-CSV scan with explicit schema —
+    timestamp parsing included (the type the reference's sink got wrong,
+    landing epoch millis in VARCHAR, postgres/init/01_schema.sql:9-10)."""
+    orders = read_csv(spark, csv_orders_path(spark, sf_dir), ORDERS_CSV_SCHEMA)
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
