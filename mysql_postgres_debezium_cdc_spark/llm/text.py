@@ -11,7 +11,7 @@ partitions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
@@ -298,4 +298,72 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
         .orderBy("lang", "source")
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+_PACK_SHARDS = 8
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             doc_id % {_PACK_SHARDS} AS shard,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {_PACK_BUDGET} AS BIGINT) AS chunk_id
+      FROM toks
+    )
+    SELECT shard, chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, chunk_id
+    ORDER BY shard, chunk_id
+    """,
+    tags=("llm", "pipeline", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents (in stable doc_id
+    order) to fixed token-budget chunks, per shard.
+
+    chunk_id = floor(exclusive-prefix-sum(tokens) / budget) — the
+    offset-based packing a data loader uses when documents may straddle
+    chunk boundaries (the common case with BPE streams).  The prefix sum
+    runs INSIDE each shard (`doc_id % {_PACK_SHARDS}`), never globally:
+    a corpus-wide running sum would serialize into one partition, while
+    per-shard packing is exactly how a real pipeline shards its output
+    files — each shard's chunks are independent, so at 100 TB this is
+    one shuffle by shard and embarrassingly parallel within."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.withColumn(
+        "chunk_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET).cast("bigint"),
+    )
+    return (
+        packed.groupBy("shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "chunk_id")
     )

@@ -298,3 +298,32 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_group.agg(F.hll_union_agg("sketch").alias("merged"))
         .select(F.hll_sketch_estimate("merged").alias("approx_global_parts"))
     )
+
+
+@register(
+    "agg_approx_percentile",
+    # No oracle: t-digest/GK-style quantile estimates are engine-specific
+    # by construction (DuckDB's approx_quantile uses a different sketch).
+    # The driver records a rows-only check; tests/test_aggregates.py
+    # bounds each estimate against the exact percentile.
+    tags=("agg", "approx", "percentile"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 per group (single-pass, mergeable sketch).
+
+    `percentile_approx` (Greenwald-Khanna) is THE quantile path at
+    100 TB: exact percentiles need a full sort (or per-group collected
+    arrays — memory-unbounded on a hot group), while the sketch is
+    fixed-size per group, merges associatively across partitions, and
+    its error is bounded by the accuracy knob (10000 ≈ 0.01%%-ile)."""
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts[0].alias("p50"),
+            pcts[1].alias("p90"),
+            pcts[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

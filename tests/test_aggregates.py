@@ -42,3 +42,26 @@ def test_hll_sketch_merge_matches_direct(spark):
     assert abs(merged - exact) / exact <= 0.05
     assert abs(direct - exact) / exact <= 0.05
     assert abs(merged - direct) / exact <= 0.05
+
+
+def test_approx_percentile_within_bound(spark):
+    """GK-sketch percentiles at accuracy=10000 must land within 0.5%
+    (relative) of the exact per-group percentiles."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in all_queries()["agg_approx_percentile"].fn(spark, SF_DIR_ORACLE).collect()
+    }
+    li = load(spark, SF_DIR_ORACLE, "lineitem")
+    ex = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    exact = {
+        r["l_returnflag"]: r["ex"]
+        for r in li.groupBy("l_returnflag").agg(ex.alias("ex")).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a50, a90, a99) in approx.items():
+        for a, e in zip((a50, a90, a99), exact[flag]):
+            assert abs(a - e) / e <= 0.005, (flag, a, e)
