@@ -168,3 +168,42 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.concat_ws("|", F.map_values(m)).alias("joined_vals"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("function", "json", "variant"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through the VARIANT type (Spark 4):
+    ``parse_json`` decodes once into a binary-encoded variant,
+    ``variant_get`` extracts typed paths from the decoded form.
+
+    Versus per-path ``get_json_object`` (which re-parses the string for
+    every path), VARIANT parses each document ONCE and every extraction
+    walks the binary encoding — the right trade at 100 TB where props
+    blobs are wide and queries touch several paths.  Storage-side, a
+    variant column also shreds into parquet natively."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

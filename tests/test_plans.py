@@ -211,3 +211,21 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observe_metrics_ride_the_query_pass(spark):
+    """Observation counters must report on the full input while the
+    query itself filters — one scan, both answers (plans/observe.py)."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.plans.observe import observe_dq
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    ev = load(spark, SF_DIR_SMOKE, "events")
+    observed, obs = observe_dq(ev, "value", "dq_events")
+    n_purchases = observed.where(F.col("event_type") == "purchase").count()
+    m = obs.get
+    assert m["n_rows"] == ev.count()  # counters saw ALL rows pre-filter
+    assert m["n_nulls"] == 0
+    assert m["min_value"] <= m["max_value"]
+    assert 0 < n_purchases < m["n_rows"]
