@@ -37,9 +37,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        # best-of-2 on top of the warmup pass: report steady-state time.
+        # best-of-3 on top of the warmup pass: report steady-state time
+        # (single runs on a shared box spike 2-3x from CPU contention).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

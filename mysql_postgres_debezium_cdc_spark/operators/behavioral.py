@@ -75,6 +75,7 @@ _SESSION_GAP_US = 6 * 3600 * 1_000_000
     ORDER BY user_id, session_idx
     """,
     tags=("behavioral", "session", "window"),
+    bench=True,
 )
 def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is

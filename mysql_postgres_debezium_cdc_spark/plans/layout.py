@@ -78,3 +78,20 @@ def layout_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(PARTITION_COL)
     )
+
+
+def compact_small_files(
+    df: DataFrame, path: str, target_rows_per_file: int, total_rows: int | None = None
+) -> None:
+    """Small-file compaction: rewrite ``df`` into ~equal files of
+    ``target_rows_per_file`` rows.
+
+    The operational counterpart of streaming ingestion: every micro-batch
+    writes a file per partition, and after a day a 100 TB table is
+    millions of KB-sized files whose open/footer costs dominate scans.
+    Compaction is one job: count (or reuse a known count), choose the
+    file count, and rewrite via ``repartition(n)`` — a round-robin
+    shuffle that yields uniform files regardless of input skew."""
+    n = total_rows if total_rows is not None else df.count()
+    n_files = max(1, -(-n // target_rows_per_file))  # ceil
+    df.repartition(n_files).write.mode("overwrite").parquet(path)

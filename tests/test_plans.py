@@ -229,3 +229,20 @@ def test_observe_metrics_ride_the_query_pass(spark):
     assert m["n_nulls"] == 0
     assert m["min_value"] <= m["max_value"]
     assert 0 < n_purchases < m["n_rows"]
+
+
+def test_small_file_compaction_rewrites_to_target(spark, tmp_path):
+    """Many tiny files in, few right-sized files out, same rows."""
+    from mysql_postgres_debezium_cdc_spark.plans.layout import compact_small_files
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    ev = load(spark, SF_DIR_SMOKE, "events")
+    fragmented = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(fragmented)  # simulate micro-batch litter
+    frag = spark.read.parquet(fragmented)
+    assert len(frag.inputFiles()) == 64
+    compacted = str(tmp_path / "compacted")
+    compact_small_files(frag, compacted, target_rows_per_file=500)
+    out = spark.read.parquet(compacted)
+    assert len(out.inputFiles()) == 2  # 1000 rows / 500 per file
+    assert out.count() == ev.count()
