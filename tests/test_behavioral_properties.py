@@ -1,0 +1,81 @@
+"""Property-based sessionization test: for ANY event timeline, the
+gap-based session assignment (operators/behavioral.py) must satisfy the
+session invariants a single-threaded scan would produce."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mysql_postgres_debezium_cdc_spark.operators import behavioral
+
+GAP_US = behavioral._SESSION_GAP_US
+
+# (user_id, t_us offsets): few users, gaps straddling the threshold
+timeline_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=10 * GAP_US),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def oracle_sessions(rows):
+    """Single-threaded scan: per user, ordered by time, split on gap."""
+    by_user: dict[int, list[int]] = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    out = {}
+    for u, ts in by_user.items():
+        ts.sort()
+        sessions, cur = [], [ts[0]]
+        for prev, t in zip(ts, ts[1:]):
+            if t - prev > GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(t)
+        sessions.append(cur)
+        out[u] = [(s[0], s[-1], len(s)) for s in sessions]
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=timeline_strategy)
+def test_sessionize_matches_inorder_scan(spark, rows):
+    # distinct timestamps per user: the window's (t_us, event_id) order
+    # tie-break is covered by the oracle-parity test; properties focus
+    # on the gap-splitting semantics
+    rows = list({(u, t) for u, t in rows})
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rows)], "user_id long, t_us long, event_id long"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    prev = F.lag("t_us").over(w)
+    flagged = df.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((F.col("t_us") - prev) > GAP_US), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("t_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = (
+        flagged.withColumn("session_idx", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("t_us").alias("start"),
+            F.max("t_us").alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id", "session_idx")
+        .collect()
+    )
+    expected = oracle_sessions(rows)
+    by_user: dict[int, list] = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append((r["start"], r["end"], r["n"]))
+    assert by_user == expected

@@ -246,3 +246,38 @@ def test_small_file_compaction_rewrites_to_target(spark, tmp_path):
     out = spark.read.parquet(compacted)
     assert len(out.inputFiles()) == 2  # 1000 rows / 500 per file
     assert out.count() == ev.count()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join must detect a hot key at runtime and split its
+    partition (SortMergeJoin(skew=true) + AQEShuffleRead skewed) — the
+    no-code-change complement to the explicit salting in plans/skew.py.
+    Thresholds are lowered so fixture-scale data trips the same rule
+    that fires on real skew at cluster scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "20KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS payload"
+        )
+        right = spark.range(1000).selectExpr("id AS k", "id * 2 AS r")
+        j = left.join(right.hint("merge"), "k")
+        n = len(j.collect())  # execute THIS dataset so AQE finalizes its plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+        assert n == 180000 + 100  # hot key fan-out + 1:1 tail matches
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
