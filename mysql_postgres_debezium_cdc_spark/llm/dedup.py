@@ -588,16 +588,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the component minimum) even when A and C never matched directly —
     what an LLM-corpus dedup actually deletes against.
 
-    Iterative min-label propagation, the standard distributed CC
-    (GraphX/GraphFrames run the same loop): each round every node takes
-    the min of its own label and its neighbors'; converged when no label
-    changed.  Rounds = graph diameter ≤ log n after path-shortcutting
-    via the label table itself; each round is one key-partitioned join +
-    aggregate on the EDGE list (never the corpus), so at 100 TB the cost
-    is #edges per round — the pair generation upstream already made that
-    near-linear.  The per-round driver action is a single converged?
-    count, not data collection; lineage is cut per round with
-    localCheckpoint exactly like the CDC batch loop."""
+    Iterative min-label propagation with pointer-jumping, the standard
+    distributed CC (GraphX/GraphFrames run the same loop): each round
+    every node takes the min of its own label and its neighbors', then
+    adopts its label's label (path shortcutting — chain depth halves per
+    round, so convergence is O(log diameter), not O(diameter)).  Each
+    round is two key-partitioned joins on the EDGE/label tables (never
+    the corpus), so at 100 TB the cost is #edges per round — the pair
+    generation upstream already made that near-linear.  The per-round
+    driver action is a single converged? count, not data collection;
+    lineage is cut per round with localCheckpoint exactly like the CDC
+    batch loop.  A graph needing more than the round cap raises rather
+    than silently returning unconverged labels."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -607,26 +609,46 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("component_id", F.col("node"))
     )
-    for _ in range(32):  # hard cap; converges in O(diameter) rounds
+    max_rounds = 32  # with pointer-jumping: handles diameter up to ~2^32
+    for round_no in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+            ).alias("component_id"),
+            (F.col("nbr_min") < F.col("component_id")).alias("_changed"),
+        )
+        # Pointer jumping: adopt the current label of your label, so a
+        # min-label propagates down a chain exponentially fast.
+        parents = stepped.select(
+            F.col("node").alias("p_node"), F.col("component_id").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(parents, stepped.component_id == parents.p_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                    F.col("component_id"), F.coalesce(F.col("p_label"), F.col("component_id"))
                 ).alias("component_id"),
-                (F.col("nbr_min") < F.col("component_id")).alias("_changed"),
+                (
+                    F.col("_changed") | (F.col("p_label") < F.col("component_id"))
+                ).alias("_changed"),
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected-components did not converge within {max_rounds} rounds"
+        )
     comp_sizes = Window.partitionBy("component_id")
     return (
         labels.select(

@@ -53,13 +53,15 @@ _SESSION_GAP_US = 6 * 3600 * 1_000_000
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                        > {_SESSION_GAP_US}
                   OR LAG(epoch_us(ts)) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS is_new
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, t_us, value,
-             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS session_idx
       FROM flagged
@@ -91,7 +93,10 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new",
         F.when(prev.isNull() | ((F.col("t_us") - prev) > _SESSION_GAP_US), 1).otherwise(0),
     )
-    run = Window.partitionBy("user_id").orderBy("t_us").rowsBetween(
+    # Same (t_us, event_id) total order as the lag window: with duplicate
+    # per-user timestamps, ordering by t_us alone would make session
+    # assignment of tied rows nondeterministic across engines.
+    run = Window.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = flagged.withColumn("session_idx", F.sum("is_new").over(run))

@@ -17,13 +17,11 @@ tests/test_plans.py::test_partitioned_scan_prunes_directories.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
 PARTITION_COL = "event_type"
@@ -36,13 +34,12 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = PARTITION_C
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (once) the events fixture partitioned by event_type;
-    return the path.  Keyed by sf so scale factors don't collide."""
-    tag = sf_dir.rstrip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_layout{tag}_events")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_partitioned(load(spark, sf_dir, "events"), path)
-    return path
+    """Materialize (once per fixture version) the events fixture
+    partitioned by event_type; return the path.  Staged + atomically
+    renamed, keyed by sf and fixture fingerprint (see scratch.py)."""
+    return materialize_once(
+        sf_dir, "layout_events", lambda p: write_partitioned(load(spark, sf_dir, "events"), p)
+    )
 
 
 def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:

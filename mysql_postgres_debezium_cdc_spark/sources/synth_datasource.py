@@ -52,8 +52,12 @@ def _mix(k: int) -> int:
     return z ^ (z >> 31)
 
 
-def make_record(seq: int, n_keys: int, malformed_every: int) -> tuple:
-    """Envelope for global sequence number ``seq`` (pure function)."""
+def make_record(seq: int, n_keys: int, malformed_every: int, n_partitions: int = 4) -> tuple:
+    """Envelope for global sequence number ``seq`` (pure function).
+
+    The emitted ``partition`` field matches the reader's actual layout
+    (partition p serves seq ≡ p mod n_partitions), so the wire record
+    agrees with the physical partitioning for any n_partitions."""
     key = seq % n_keys
     h = _mix(seq)
     is_delete = h % 10 == 0  # ~10% deletes
@@ -72,7 +76,7 @@ def make_record(seq: int, n_keys: int, malformed_every: int) -> tuple:
         payload = json.dumps(env)
     if malformed_every and seq % malformed_every == malformed_every - 1:
         payload = "{ not json %d" % seq
-    return (str(key), payload, _TOPIC, seq % 4, seq, 1704067200000 + seq)
+    return (str(key), payload, _TOPIC, seq % n_partitions, seq, 1704067200000 + seq)
 
 
 class _Opts:
@@ -92,7 +96,7 @@ class _Range(InputPartition):
 def _gen(part: _Range):
     o = part.opts
     for seq in range(part.lo, part.hi, part.step):
-        yield make_record(seq, o.n_keys, o.malformed_every)
+        yield make_record(seq, o.n_keys, o.malformed_every, o.n_partitions)
 
 
 class _BatchReader(DataSourceReader):

@@ -21,14 +21,12 @@ tests/test_text_sources.py: PERMISSIVE mode routes bad lines to
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
 EVENTS_SCHEMA = T.StructType(
@@ -60,29 +58,31 @@ ORDERS_CSV_SCHEMA = T.StructType(
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
-def _scratch(sf_dir: str, kind: str) -> str:
-    tag = sf_dir.rstrip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_src{tag}_{kind}")
-
-
 def jsonl_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (once per sf) events as JSON-lines; return the path."""
-    path = _scratch(sf_dir, "events_jsonl")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load(spark, sf_dir, "events").write.mode("overwrite").option(
-            "timestampFormat", TS_FMT
-        ).json(path)
-    return path
+    """Materialize (once per fixture version) events as JSON-lines;
+    return the path (staged + atomic rename, see scratch.py)."""
+    return materialize_once(
+        sf_dir,
+        "src_events_jsonl",
+        lambda p: load(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .option("timestampFormat", TS_FMT)
+        .json(p),
+    )
 
 
 def csv_orders_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (once per sf) orders as headered CSV; return the path."""
-    path = _scratch(sf_dir, "orders_csv")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load(spark, sf_dir, "orders").write.mode("overwrite").option(
-            "header", "true"
-        ).option("timestampNTZFormat", TS_FMT).csv(path)
-    return path
+    """Materialize (once per fixture version) orders as headered CSV;
+    return the path (staged + atomic rename, see scratch.py)."""
+    return materialize_once(
+        sf_dir,
+        "src_orders_csv",
+        lambda p: load(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", TS_FMT)
+        .csv(p),
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

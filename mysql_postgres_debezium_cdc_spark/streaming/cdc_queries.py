@@ -369,6 +369,11 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         # Per-key delta: retract the old contribution (if the key was in
         # the view), add the new one (unless this event is a delete).
         joined = batch.join(old, "id", "left")
+        # Deltas accumulate in DECIMAL: add/retract applies many more FP
+        # ops than the oracle's direct SUM, and double drift could flip a
+        # ROUND(..., 2) half-cent boundary.  Fixed-point accumulation is
+        # exact for 2-decimal inputs; cast back to double at the end.
+        dec = "decimal(24,6)"
         deltas = joined.select(
             (F.col("id") % _N_AGG_GROUPS).alias("grp"),
             (
@@ -376,8 +381,10 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
                 - F.when(F.col("old_v").isNotNull(), 1).otherwise(0)
             ).alias("d_rows"),
             (
-                F.when(F.col("is_del"), F.lit(0.0)).otherwise(F.col("new_v"))
-                - F.coalesce(F.col("old_v"), F.lit(0.0))
+                F.when(F.col("is_del"), F.lit(0).cast(dec)).otherwise(
+                    F.col("new_v").cast(dec)
+                )
+                - F.coalesce(F.col("old_v").cast(dec), F.lit(0).cast(dec))
             ).alias("d_sum"),
         ).groupBy("grp").agg(
             F.sum("d_rows").alias("d_rows"), F.sum("d_sum").alias("d_sum")
@@ -398,8 +405,8 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
                         + F.coalesce(F.col("d_rows"), F.lit(0))
                     ).alias("n_rows"),
                     (
-                        F.coalesce(F.col("sum_v"), F.lit(0.0))
-                        + F.coalesce(F.col("d_sum"), F.lit(0.0))
+                        F.coalesce(F.col("sum_v"), F.lit(0).cast(dec))
+                        + F.coalesce(F.col("d_sum"), F.lit(0).cast(dec))
                     ).alias("sum_v"),
                 )
             )
@@ -410,6 +417,10 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         keyed_state = keyed_state.localCheckpoint(eager=False)
     return (
         agg_state.where(F.col("n_rows") > 0)
-        .select("grp", "n_rows", F.round("sum_v", 2).alias("sum_v"))
+        .select(
+            "grp",
+            "n_rows",
+            F.round("sum_v", 2).cast("double").alias("sum_v"),
+        )
         .orderBy("grp")
     )
