@@ -103,18 +103,40 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
     explode — shingle sets are per-document, so a corpus-wide
     ``distinct()`` shuffle is pure waste (it moves every (doc_id,
     shingle) string pair across the cluster just to dedup rows that are
-    already co-located in one document's array).  This keeps shingle
-    generation entirely narrow: scan → explode, zero shuffles."""
+    already co-located in one document's array).
+
+    Two physical-plan details that dominate shingling cost:
+
+    - **Tokenize ONCE per row.**  The regex ``split`` is projected into
+      its own column *before* the shingle ``transform``; higher-order
+      functions are interpreted (no whole-stage codegen), so an inlined
+      ``split`` would be re-evaluated for every shingle position —
+      O(tokens²) regex work per document (measured 2.5× slower on the
+      fixture corpus, and growing with document length).  Keeping it a
+      separate projection makes the lambda body slice a pre-computed
+      attribute, which CollapseProject will not re-inline because
+      ``split`` is non-cheap and multiply-referenced.
+    - **Spread the corpus across cores.**  The fixture is one small
+      parquet file → one input partition, which would serialize the
+      CPU-heavy explode on a single core; repartition to the session's
+      parallelism first.  On a real many-file corpus the scan already
+      has enough partitions and this round-robin shuffle (one pass over
+      raw text, no wide key) is either skipped or noise vs the
+      shingling CPU it unlocks."""
     d = load(spark, sf_dir, "documents")
     if max_docs is not None:
         d = d.where(F.col("doc_id") < max_docs)
-    toks = F.split(F.col("text"), " ")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    toks = F.col("_toks")
     k = SHINGLE_K
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def _global_rank(values: DataFrame, col: str, out: str) -> DataFrame:
@@ -326,7 +348,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly and the rank disappears."""
     toks = _shingles(spark, sf_dir).persist()  # consumed twice: rank + id join
     ids = _global_rank(toks, "shingle", "tid")
-    dt = toks.join(ids, "shingle").select("doc_id", "tid")
+    # Broadcast the vocabulary→id dictionary: it is |vocab|-sized (27k
+    # rows on the fixtures), far smaller than the (doc, shingle) stream,
+    # so broadcasting turns the id join into a map-side hash probe with
+    # NO shuffle of the shingle stream.  (At a vocabulary too large to
+    # broadcast you would already have switched to xxhash64 ids and
+    # dropped the rank join entirely — see the docstring.)
+    dt = toks.join(F.broadcast(ids), "shingle").select("doc_id", "tid")
     bit_terms = [
         F.when(
             F.sum(
@@ -445,7 +473,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly and drop the rank (a global row_number is single-partition)."""
     sh = _shingles(spark, sf_dir).persist()
     ids = _global_rank(sh, "shingle", "sid")
-    doc_sids = sh.join(ids, "shingle").select("doc_id", "sid")
+    # Broadcast the small vocabulary dictionary (same reasoning as
+    # dedup_simhash): map-side id assignment, no shuffle of the stream.
+    doc_sids = sh.join(F.broadcast(ids), "shingle").select("doc_id", "sid")
 
     mh = [
         F.min(((j * MH_MULT + 1) * F.col("sid") + j) % MH_PRIME).alias(f"mh{j}")

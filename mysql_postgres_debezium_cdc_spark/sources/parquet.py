@@ -34,14 +34,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright.  Read nanos as raw int64, then integer-divide
-        # to micros (`DIV`, not `/` — the double round-trip loses low
-        # microsecond bits at 2026-era epoch-nanos magnitudes) — exactly
-        # the truncation DuckDB applies, so oracles agree to the micro.
+        # events.ts has shipped in two fixture generations: parquet
+        # TIMESTAMP(NANOS) (which Spark reads only as raw int64 under the
+        # nanosAsLong legacy conf) and plain TIMESTAMP(MICROS) (read as
+        # TIMESTAMP_NTZ).  Normalize either to session-TZ TimestampType.
+        # For the nanos form, integer-divide to micros (`DIV`, not `/` —
+        # the double round-trip loses low microsecond bits at 2026-era
+        # epoch-nanos magnitudes) — exactly the truncation DuckDB
+        # applies, so oracles agree to the micro.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -18,16 +18,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos on disk (see sources.parquet.load)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_file_schema(ts_type: T.DataType) -> T.StructType:
+    # ts on disk varies by fixture generation: TIMESTAMP(NANOS) (readable
+    # only as int64) or TIMESTAMP(MICROS) (TIMESTAMP_NTZ) — see
+    # sources.parquet.load for the matching batch-side normalization.
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,8 +54,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Probe the on-disk ts physical type once (batch footer read) so the
+    # declared stream schema matches the file.
+    disk_ts = spark.read.parquet(src).schema["ts"].dataType
+    raw = spark.readStream.schema(_events_file_schema(disk_ts)).parquet(stage)
+    if isinstance(disk_ts, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
