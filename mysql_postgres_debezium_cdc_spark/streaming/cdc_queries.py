@@ -176,6 +176,16 @@ def _events_changelog(spark: SparkSession, sf_dir: str, lo: int | None = None, h
         ev = ev.where(F.col("event_id") >= lo)
     if hi is not None:
         ev = ev.where(F.col("event_id") < hi)
+    # The fixture is one single-row-group parquet file, so the scan (and
+    # everything narrow above the first exchange — here a to_json per
+    # row, and the from_json downstream of it) would run on ONE core.
+    # Spread the slim projected rows across the session's parallelism
+    # first; the round-robin shuffle is far cheaper than serializing the
+    # JSON encode/decode.  (A real Kafka/Debezium source arrives already
+    # partitioned and skips this.)
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par)
     op = F.when(F.col("event_type") == "error", "d").otherwise("u")
     row_image = F.struct(F.col("user_id").alias("id"), F.col("value").alias("v"))
     env = F.struct(
