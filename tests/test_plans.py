@@ -281,3 +281,25 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shingles_tokenize_once(spark):
+    """The shingle transform must slice a PRE-COMPUTED token array.
+    Higher-order functions are interpreted, so an inlined regex split
+    would re-evaluate per shingle position — O(tokens²) per document.
+    Exactly one split in the plan = tokenize once per row."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _shingles
+    from mysql_postgres_debezium_cdc_spark.plans.explain import explain_str
+
+    text = explain_str(_shingles(spark, SF_DIR_SMOKE))
+    assert text.count("split(") == 1, text
+
+
+def test_dedup_vocab_join_broadcasts(spark):
+    """The shingle→id dictionary join must broadcast (map-side probe of
+    a |vocab|-sized dict), never shuffle the (doc, shingle) stream."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        r = _plan(spark, name)
+        # rank-offset broadcast + vocabulary-dictionary broadcast at minimum
+        assert r.n_broadcast_joins >= 2, (name, r.ops)
+        assert r.n_sortmerge_joins == 0, (name, r.ops)
