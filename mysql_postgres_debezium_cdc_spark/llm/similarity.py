@@ -160,11 +160,60 @@ def ann_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_TABLES = 4
+LSH_BITS = 4
+LSH_DIM = 64
+# Hyperplane component for (plane p, dim d): a Weyl-style mixed
+# congruence — multiply a per-(p,d) index by a large odd constant, mod a
+# small range, scale to [-1, 1].  Chosen over a hash because BOTH
+# engines (Spark and the DuckDB oracle) can evaluate it exactly with
+# integer built-ins, which is what makes this LSH query value-checkable
+# end-to-end; equidistribution of the k*2654435761 mod 2001 orbit gives
+# hyperplanes that behave like random ones for bucketing purposes.
+_HP_SQL = "((((p * 8191 + d + 1) * 2654435761) % 2001) / 1000.0 - 1.0)"
+
+
 @register(
     "ann_lsh_topk",
-    # No oracle: hyperplane constants are engine-internal; the driver does a
-    # rows-only check and tests/test_llm_similarity.py measures recall vs
-    # ann_bruteforce_topk.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    planes AS (
+      SELECT p // {LSH_BITS} AS t, p,
+             [{_HP_SQL} FOR d IN RANGE(0, {LSH_DIM})] AS w
+      FROM (SELECT UNNEST(RANGE(0, {LSH_TABLES * LSH_BITS})) AS p)
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             STRING_AGG(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+      FROM (
+        SELECT e.vec_id, pl.t, pl.p, LIST_DOT_PRODUCT(e.emb, pl.w) AS proj
+        FROM e CROSS JOIN planes pl
+      )
+      GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, s.vec_id AS c_id
+      FROM sigs s
+      JOIN sigs q ON q.t = s.t AND q.sig = s.sig
+      WHERE q.vec_id < {N_QUERIES} AND s.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.c_id,
+             ROUND(LIST_DOT_PRODUCT(q.emb, v.emb) /
+                   (SQRT(LIST_DOT_PRODUCT(q.emb, q.emb)) *
+                    SQRT(LIST_DOT_PRODUCT(v.emb, v.emb))), 4) AS cos_sim
+      FROM cand c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e v ON v.vec_id = c.c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
+      FROM scored
+    )
+    SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
+    ORDER BY q_id, rk
+    """,
     tags=("llm", "similarity", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,33 +223,41 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collides in ANY table — P(hit) = 1-(1-p^k)^L for per-plane agreement
     p, the standard recall/candidate-volume dial (single-table k=8 gives
     ~2% recall on this mid-similarity corpus; 4×4 gives ~50%).
-    Hyperplanes are hash-derived from (table, plane, dim) — reproducible
-    with no stored model.  Exact cosine runs only on candidates;
-    per-query dedup across tables happens BEFORE scoring.
+    Hyperplanes derive arithmetically from (plane, dim) — reproducible
+    with no stored model, and portable to the DuckDB oracle so the whole
+    pipeline is value-checked (projection sums run in the same d-order in
+    both engines, so even the float bits agree).  Exact cosine runs only
+    on candidates; per-query dedup across tables happens BEFORE scoring.
 
     Scale shape: signatures are one 16-bit-ish key per (vector, table) —
     4 rows per vector; buckets shard by (table, signature); the probe
     side (queries) is tiny and broadcast.  Candidate volume is the
     recall dial, never O(n²).  Recall gate: tests/test_llm_similarity.py."""
-    n_tables, bits = 4, 4
+    n_tables, bits = LSH_TABLES, LSH_BITS
     emb = load(spark, sf_dir, "embeddings")
-    dims = spark.range(64).select(F.col("id").cast("int").alias("d"))
+    # One row per plane, carrying its full weight VECTOR — so the
+    # projection is an ordered array dot product (F.aggregate runs
+    # left-to-right, exactly like the oracle's LIST_DOT_PRODUCT; an
+    # unordered SUM over exploded dims could reorder float adds and flip
+    # a sign bit for a projection near zero).  16 rows broadcast; no
+    # explode, no per-dim join, no extra aggregation level.
     planes = spark.range(n_tables * bits).select(
-        (F.col("id") / bits).cast("int").alias("t"), F.col("id").cast("int").alias("p")
+        (F.col("id") / bits).cast("int").alias("t"),
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
+            lambda d: (
+                ((F.col("id").cast("int") * 8191 + d + 1) * F.lit(2654435761)) % 2001
+            ).cast("double")
+            / 1000.0
+            - 1.0,
+        ).alias("w"),
     )
-    # Deterministic hyperplane component in [-1, 1): hash-derived.
-    hp = planes.crossJoin(dims).select(
-        "t",
-        "p",
-        "d",
-        ((F.xxhash64(F.concat_ws(":", F.col("p"), F.col("d"))) % 2001) / 1000.0).alias("v"),
-    )
-    ev = emb.select("vec_id", F.posexplode(_as_double("embedding")).alias("d", "x"))
+    proj = _dot(_as_double("embedding"), F.col("w"))
     # one signature string per (vector, table)
     sigs = (
-        ev.join(F.broadcast(hp), "d")
-        .groupBy("vec_id", "t", "p")
-        .agg(F.sum(F.col("x") * F.col("v")).alias("proj"))
+        emb.crossJoin(F.broadcast(planes))
+        .select("vec_id", "t", "p", proj.alias("proj"))
         .groupBy("vec_id", "t")
         .agg(
             F.array_join(
