@@ -568,6 +568,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from mysql_postgres_debezium_cdc_spark.llm.similarity import (  # noqa: E402
+    LSH_SIGS_SQL,
+    cosine_cols,
+    lsh_signatures,
+)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH {LSH_SIGS_SQL},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             LIST_DOT_PRODUCT(x.emb, y.emb) /
+               (SQRT(LIST_DOT_PRODUCT(x.emb, x.emb)) *
+                SQRT(LIST_DOT_PRODUCT(y.emb, y.emb))) AS cs
+      FROM cand c
+      JOIN e x ON x.vec_id = c.vec_a
+      JOIN e y ON y.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(cs, 4) AS cos_sim
+    FROM scored
+    WHERE cs >= {COS_NEARDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("llm", "dedup", "embedding", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the SCALE path that
+    replaces `dedup_embedding_cosine`'s O(n²) cross join.
+
+    Candidates = pairs sharing a (table, signature) bucket under the same
+    portable random-hyperplane signatures as `ann_lsh_topk`
+    (similarity.lsh_signatures); exact cosine verifies only candidates.
+    One groupBy per bucket with inline i<j expansion (same device as the
+    text family's `_pairs_from_bucket`) — one shuffle for candidate
+    generation regardless of corpus size, candidate volume governed by
+    the bucket-collision s-curve.  Recall < 1 by construction (that is
+    the dial); the oracle computes the identical bucketed pipeline, so
+    the check is exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = lsh_signatures(emb)
+    buckets = (
+        sigs.groupBy("t", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    cand = (
+        _pairs_from_bucket(buckets)
+        .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
+        .distinct()
+    )
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    va = emb.select(F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"))
+    cs = cosine_cols(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"), cs.alias("_cs"))
+        .where(F.col("_cs") >= COS_NEARDUP_THRESHOLD)
+        .drop("_cs")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 _CC_PAIRS_SQL = f"""
       WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
       sizes AS (

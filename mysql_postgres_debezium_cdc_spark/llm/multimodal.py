@@ -74,7 +74,11 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False) -> list[fl
     for b in payload:
         buckets[b % FEATURE_DIM] += 1
     total = max(len(payload), 1)
-    return [round(c / total, 6) for c in buckets]
+    # Fixed-point parts-per-million ratios: INTEGER math only, so the
+    # values are portable bit-for-bit to the SQL oracle (float rounding
+    # of c/total ties differently between Python's banker's rounding and
+    # SQL ROUND-half-away — e.g. any 128-byte payload).
+    return [float(c * 1_000_000 // total) for c in buckets]
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -125,9 +129,25 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_fake_features",
-    # No oracle: the byte-histogram featurizer runs through mapInPandas
-    # (not SQL-expressible); driver records a rows-only check, and
-    # tests/test_multimodal.py asserts the feature math independently.
+    # The featurizer runs through mapInPandas (Python, not SQL), but its
+    # math is deterministic integer arithmetic over the payload bytes —
+    # so the oracle recomputes it per character (the corpus is ASCII:
+    # chars ↔ UTF-8 bytes 1:1, which multimodal_metadata's md5 check
+    # already pins) and the driver value-checks the whole Arrow path.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+             [UNICODE(text[i]) % 8 FOR i IN RANGE(1, LEN(text) + 1)] AS residues
+      FROM documents
+    )
+    SELECT doc_id, n_bytes,
+           CAST(LEN(LIST_FILTER(residues, r -> r = 0)) * 1000000
+                // GREATEST(n_bytes, 1) AS DOUBLE) AS f0,
+           CAST(LEN(LIST_FILTER(residues, r -> r = 1)) * 1000000
+                // GREATEST(n_bytes, 1) AS DOUBLE) AS f1
+    FROM b ORDER BY doc_id
+    """,
     tags=("llm", "multimodal", "mapinpandas"),
 )
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,8 +156,8 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
     ).orderBy("doc_id")
 
 

@@ -172,11 +172,10 @@ LSH_DIM = 64
 # hyperplanes that behave like random ones for bucketing purposes.
 _HP_SQL = "((((p * 8191 + d + 1) * 2654435761) % 2001) / 1000.0 - 1.0)"
 
-
-@register(
-    "ann_lsh_topk",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+# Shared oracle CTE fragment: embeddings → per-(vector, table) LSH
+# signature strings.  Expects to follow a WITH; used by ann_lsh_topk here
+# and dedup_embedding_lsh in llm/dedup.py.
+LSH_SIGS_SQL = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     planes AS (
       SELECT p // {LSH_BITS} AS t, p,
              [{_HP_SQL} FOR d IN RANGE(0, {LSH_DIM})] AS w
@@ -190,7 +189,57 @@ _HP_SQL = "((((p * 8191 + d + 1) * 2654435761) % 2001) / 1000.0 - 1.0)"
         FROM e CROSS JOIN planes pl
       )
       GROUP BY vec_id, t
-    ),
+    )"""
+
+
+def lsh_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, t, sig): one sign-bit signature string per (vector, hash
+    table) — the Spark twin of ``LSH_SIGS_SQL``.
+
+    One row per plane carries its full weight VECTOR, so the projection
+    is an ordered array dot product (F.aggregate runs left-to-right,
+    exactly like the oracle's LIST_DOT_PRODUCT; an unordered SUM over
+    exploded dims could reorder float adds and flip a sign bit for a
+    projection near zero).  16 rows broadcast; no explode, no per-dim
+    join, no extra aggregation level."""
+    spark = emb.sparkSession
+    planes = spark.range(LSH_TABLES * LSH_BITS).select(
+        (F.col("id") / LSH_BITS).cast("int").alias("t"),
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
+            lambda d: (
+                ((F.col("id").cast("int") * 8191 + d + 1) * F.lit(2654435761)) % 2001
+            ).cast("double")
+            / 1000.0
+            - 1.0,
+        ).alias("w"),
+    )
+    proj = _dot(_as_double("embedding"), F.col("w"))
+    return (
+        emb.crossJoin(F.broadcast(planes))
+        .select("vec_id", "t", "p", proj.alias("proj"))
+        .groupBy("vec_id", "t")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("p", F.when(F.col("proj") >= 0, "1").otherwise("0").alias("b"))
+                        )
+                    ),
+                    lambda s: s.getField("b"),
+                ),
+                "",
+            ).alias("sig")
+        )
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {LSH_SIGS_SQL},
     cand AS (
       SELECT DISTINCT q.vec_id AS q_id, s.vec_id AS c_id
       FROM sigs s
@@ -233,46 +282,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rows per vector; buckets shard by (table, signature); the probe
     side (queries) is tiny and broadcast.  Candidate volume is the
     recall dial, never O(n²).  Recall gate: tests/test_llm_similarity.py."""
-    n_tables, bits = LSH_TABLES, LSH_BITS
     emb = load(spark, sf_dir, "embeddings")
-    # One row per plane, carrying its full weight VECTOR — so the
-    # projection is an ordered array dot product (F.aggregate runs
-    # left-to-right, exactly like the oracle's LIST_DOT_PRODUCT; an
-    # unordered SUM over exploded dims could reorder float adds and flip
-    # a sign bit for a projection near zero).  16 rows broadcast; no
-    # explode, no per-dim join, no extra aggregation level.
-    planes = spark.range(n_tables * bits).select(
-        (F.col("id") / bits).cast("int").alias("t"),
-        F.col("id").cast("int").alias("p"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
-            lambda d: (
-                ((F.col("id").cast("int") * 8191 + d + 1) * F.lit(2654435761)) % 2001
-            ).cast("double")
-            / 1000.0
-            - 1.0,
-        ).alias("w"),
-    )
-    proj = _dot(_as_double("embedding"), F.col("w"))
-    # one signature string per (vector, table)
-    sigs = (
-        emb.crossJoin(F.broadcast(planes))
-        .select("vec_id", "t", "p", proj.alias("proj"))
-        .groupBy("vec_id", "t")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("p", F.when(F.col("proj") >= 0, "1").otherwise("0").alias("b"))
-                        )
-                    ),
-                    lambda s: s.getField("b"),
-                ),
-                "",
-            ).alias("sig")
-        )
-    )
+    sigs = lsh_signatures(emb)
     vecs = emb.select("vec_id", _as_double("embedding").alias("emb"))
     cand_q = sigs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "t", "sig"

@@ -22,8 +22,9 @@ def test_decode_media_stub_raises_without_fake():
 
 def test_fake_featurizer_math():
     feats = decode_media(b"\x00\x01\x08\x09", "application/octet-stream", fake=True)
-    # bytes mod 8 → buckets {0: 2 (0x00,0x08), 1: 2 (0x01,0x09)}
-    assert feats[0] == 0.5 and feats[1] == 0.5 and sum(feats) == 1.0
+    # bytes mod 8 → buckets {0: 2 (0x00,0x08), 1: 2 (0x01,0x09)}; features
+    # are integer parts-per-million ratios (2/4 → 500000)
+    assert feats[0] == 500000.0 and feats[1] == 500000.0 and sum(feats) == 1_000_000.0
 
 
 def test_extract_features_matches_local_recompute(spark):
