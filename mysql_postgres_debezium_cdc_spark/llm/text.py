@@ -367,3 +367,87 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "chunk_id")
     )
+
+
+_TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        t -> LENGTH(t) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, rk
+    FROM ranked WHERE rk <= {_TFIDF_TOPK}
+    ORDER BY doc_id, rk
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — the classic
+    corpus-analytics primitive (keyword extraction, quality filters,
+    topic drift monitoring).
+
+    Plan shape at scale: term frequencies are one groupBy over the
+    exploded token stream (map-side partial aggregation collapses
+    within-partition repeats before the shuffle); document frequencies
+    aggregate the SAME tf relation (one row per (doc, token), far
+    smaller than the token stream — no second pass over the corpus);
+    the |vocab|-sized idf table then broadcasts back onto tf, and the
+    per-doc top-k window is keyed by doc_id (WindowGroupLimit prunes to
+    k rows per partition before the sort).  N (total docs) rides along
+    as a broadcast scalar subquery, not a collected literal.
+
+    Determinism: idf = LN(N/df) where N/df is an exact IEEE division in
+    both engines; LN agrees to <1 ulp and scores are rounded to 4dp with
+    a deterministic (tfidf DESC, token) tie-break, so the value hash is
+    stable cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias("token"),
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _TFIDF_TOPK)
+        .orderBy("doc_id", "rk")
+    )

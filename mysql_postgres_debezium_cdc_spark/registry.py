@@ -51,6 +51,7 @@ _PRIORITY: tuple[str, ...] = (
     # CDC — the reference's actual semantics (SURVEY §2.1)
     "cdc_envelope_decode",
     "cdc_lastwrite_materialize",
+    "cdc_composite_pk_materialize",
     "cdc_incremental_convergence",
     "cdc_scd2_history",
     "cdc_incremental_agg_maintenance",
@@ -82,9 +83,11 @@ _PRIORITY: tuple[str, ...] = (
     # Set ops
     "setop_union_distinct",
     "setop_except",
-    # Subqueries
+    # Subqueries (subq_not_in_with_filter stays registered+oracle-checked
+    # in the pytest sweep but leaves the 50-key driver prefix: it returns
+    # 0 rows on these fixtures — an empty-matches-empty check — and the
+    # slot buys a much stronger composite-PK CDC value check)
     "subq_correlated_exists",
-    "subq_not_in_with_filter",
     # Pivot
     "pivot_status_by_priority",
     # TPC-H compositions

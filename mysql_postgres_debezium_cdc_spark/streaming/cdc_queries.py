@@ -248,6 +248,107 @@ def cdc_lastwrite_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(spark, sf_dir, n_batches=1)
 
 
+LINEITEM_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("okey", T.LongType()),
+        T.StructField("lno", T.LongType()),
+        T.StructField("qty", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "cdc_composite_pk_materialize",
+    oracle="""
+    WITH base AS (
+      -- the synthetic lineitem repeats (okey, lno); collapse to one row
+      -- per composite key so every changelog offset is unique (as Kafka
+      -- guarantees) and compaction ties cannot differ between engines
+      SELECT l_orderkey AS okey, l_linenumber AS lno, MAX(l_quantity) AS qty
+      FROM lineitem WHERE l_orderkey < 2000
+      GROUP BY okey, lno
+    ),
+    src AS (
+      SELECT okey, lno, qty, okey * 8 + lno AS off, 'c' AS op FROM base
+      UNION ALL
+      SELECT okey, lno, qty * 2 AS qty, 1000000 + okey * 8 + lno AS off,
+             CASE WHEN (okey + lno) % 11 = 0 THEN 'd' ELSE 'u' END AS op
+      FROM base WHERE okey % 3 = 0
+    ),
+    last AS (
+      SELECT okey, lno,
+             MAX_BY(op, off)  AS last_op,
+             MAX_BY(qty, off) AS last_qty,
+             MAX(off)         AS last_offset
+      FROM src GROUP BY okey, lno
+    )
+    SELECT okey, lno, ROUND(last_qty, 2) AS qty, last_offset
+    FROM last WHERE last_op <> 'd'
+    ORDER BY okey, lno
+    """,
+    tags=("cdc", "compaction", "composite-pk"),
+)
+def cdc_composite_pk_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins replica under a MULTI-COLUMN primary key
+    (l_orderkey, l_linenumber) — the `pk.<table>=a,b` grammar of the
+    reference (comma-split at Consumer.java:77-86; composite WHERE at
+    :241-248) driven through the real decode → compact → apply path.
+
+    Two synthesized epochs: epoch 0 snapshot-inserts every line (op=c),
+    epoch 1 re-delivers every third order with doubled quantity, every
+    11th (okey+lno) as a delete — so compaction must pick the epoch-1
+    version per composite key and the delete must remove exactly that
+    (okey, lno) pair, not the whole order.  The compaction shuffle is
+    keyed on BOTH columns (groupBy okey, lno), which is what keeps hot
+    multi-line orders from concentrating on one reducer at scale."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        li = li.repartition(par)
+    # the synthetic lineitem repeats (okey, lno); collapse to one row per
+    # composite key so every changelog offset is unique (see oracle note)
+    base = (
+        li.groupBy(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("long").alias("lno"),
+        )
+        .agg(F.max("l_quantity").alias("qty"))
+    )
+
+    def envelopes(rows: DataFrame, op, qty_col, off):
+        row_image = F.struct(F.col("okey"), F.col("lno"), qty_col.alias("qty"))
+        env = F.struct(
+            F.when(op == "d", row_image).alias("before"),
+            F.when(op != "d", row_image).alias("after"),
+            F.struct(
+                F.lit("app").alias("db"),
+                F.lit("lineitem").alias("table"),
+                F.lit(0).cast("long").alias("ts_ms"),
+            ).alias("source"),
+            op.alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        )
+        return rows.select(F.to_json(env).alias("value"), off.alias("offset"))
+
+    off0 = F.col("okey") * 8 + F.col("lno")
+    epoch0 = envelopes(base, F.lit("c"), F.col("qty"), off0)
+    epoch1 = envelopes(
+        base.where(F.col("okey") % 3 == 0),
+        F.when((F.col("okey") + F.col("lno")) % 11 == 0, "d").otherwise("u"),
+        F.col("qty") * 2,
+        F.lit(1000000) + off0,
+    )
+    raw = epoch0.unionByName(epoch1)
+    events = with_change_columns(decode_envelope(raw, LINEITEM_ROW_SCHEMA))
+    state = apply_changes(None, compact(events, ["okey", "lno"]), ["okey", "lno"], ["qty"])
+    return state.select(
+        "okey",
+        "lno",
+        F.round("qty", 2).alias("qty"),
+        F.col(ORDER_COL).alias("last_offset"),
+    ).orderBy("okey", "lno")
+
+
 @register(
     "cdc_incremental_convergence",
     oracle=_LASTWRITE_ORACLE,
