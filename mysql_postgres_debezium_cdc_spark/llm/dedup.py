@@ -17,11 +17,14 @@ Five families, all shuffle-based and driver-free (100 TB posture):
   generation at scale comes from llm/similarity.py's LSH/IVF blocks.
 
 Portability note: oracle-checked queries derive *feature ids* from a
-rank over distinct shingles — identical in both engines, and computed
-distributed (`_global_rank`: prefix-partitioned rank + broadcast
-offsets, no data-sized single-partition window).  At scale you would
-use ``xxhash64(shingle)`` directly and skip the rank join entirely; the
-LSH math is identical.
+polynomial (Horner) hash over the shingle's characters — pure integer
+arithmetic both engines evaluate identically, so the id is computed
+INLINE per row: no vocabulary distinct, no rank window, no id join, no
+persist — shingle → signature is a single narrow pass, exactly the
+shape ``xxhash64(shingle)`` gives at production scale (and a hash
+collision, ~|vocab|²/2³² probable, is deterministic in BOTH engines:
+two shingles sharing an id just merge as one feature — the
+approximation families tolerate that by construction).
 """
 
 from __future__ import annotations
@@ -139,27 +142,27 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
     return t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def _global_rank(values: DataFrame, col: str, out: str) -> DataFrame:
-    """Distributed global rank 1..N over the distinct values of ``col``
-    — identical values to ``row_number() OVER (ORDER BY col)`` (what the
-    DuckDB oracles run) but with NO single-partition window over the
-    vocabulary: rank runs inside 2-char-prefix partitions (parallel),
-    then a broadcast cumulative-offset table of lexicographically
-    smaller prefixes shifts each partition into place.  The only global
-    window left is over the prefix-count table (≤ a few thousand rows,
-    bounded by the prefix alphabet, not the data)."""
-    dv = values.select(col).distinct().withColumn("_pfx", F.substring(F.col(col), 1, 2))
-    counts = dv.groupBy("_pfx").agg(F.count(F.lit(1)).alias("_n"))
-    off_w = Window.orderBy("_pfx").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pfx", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+def _feature_id(col) -> "F.Column":
+    """Portable shingle → integer feature id: Horner polynomial hash
+    (base 31, mod 2³¹−1) over the characters, the classic string hash —
+    pure integer arithmetic, so Spark and the DuckDB oracle
+    (`_SID_SQL`) produce bit-identical ids with NO vocabulary pass (the
+    r1 design ranked distinct shingles instead, costing a distinct
+    shuffle + rank window + id join per query).  The accumulator stays
+    < 2³¹ so acc·31+char never approaches int64 overflow under either
+    engine's ANSI semantics."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % MH_PRIME,
     )
-    intra = F.row_number().over(Window.partitionBy("_pfx").orderBy(col))
-    return (
-        dv.withColumn("_r", intra)
-        .join(F.broadcast(offsets), "_pfx")
-        .select(F.col(col), (F.col("_r") + F.col("_off")).cast("bigint").alias(out))
-    )
+
+
+_SID_SQL = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+    "[CAST(UNICODE(shingle[i]) AS BIGINT) FOR i IN RANGE(1, LEN(shingle)+1)]), "
+    f"(acc, c) -> (acc * 31 + c) % {MH_PRIME})"
+)
 
 
 def _pairs_from_bucket(bucketed: DataFrame, docs_col: str = "docs") -> DataFrame:
@@ -282,8 +285,12 @@ SH_HAMMING_MAX = 4
 
 
 def _simhash_bit_sql(j: int) -> str:
-    """One SimHash bit as SQL: sign of the ±1 sum over token hashes."""
-    h = f"((({j} * {MH_MULT} + 1) * tid + {j}) % {MH_PRIME})"
+    """One SimHash bit as SQL: sign of the ±1 sum over token hashes.
+
+    The per-bit affine multiplier is pre-reduced mod P so the product
+    with a 31-bit feature id stays < 2⁶² (no int64 overflow under
+    either engine's ANSI semantics)."""
+    h = f"(({(j * MH_MULT + 1) % MH_PRIME} * tid + {j}) % {MH_PRIME})"
     return (
         f"CASE WHEN SUM(CASE WHEN {h} % 2 = 1 THEN 1 ELSE -1 END) >= 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
@@ -297,11 +304,7 @@ _SH_BAND_CONSTS = [1 << (SH_BAND_BITS * b) for b in range(SH_BANDS)]
     "dedup_simhash",
     oracle=f"""
     WITH toks AS ({_SHINGLES_SQL.format(filter="")}),
-    ids AS (
-      SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT shingle FROM toks)
-    ),
-    dt AS (SELECT t.doc_id, i.tid FROM toks t JOIN ids i USING (shingle)),
+    dt AS (SELECT doc_id, {_SID_SQL} AS tid FROM toks),
     sigs AS (
       SELECT doc_id, {" + ".join(_simhash_bit_sql(j) for j in range(SH_BITS))} AS sig
       FROM dt GROUP BY doc_id
@@ -343,22 +346,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the shuffle carries one 8-byte signature per doc, the cheapest of
     the dedup family at 100 TB.
 
-    Feature ids come from a rank join for oracle portability (same
-    device as dedup_minhash_lsh); at scale use xxhash64(shingle)
-    directly and the rank disappears."""
-    toks = _shingles(spark, sf_dir).persist()  # consumed twice: rank + id join
-    ids = _global_rank(toks, "shingle", "tid")
-    # Broadcast the vocabulary→id dictionary: it is |vocab|-sized (27k
-    # rows on the fixtures), far smaller than the (doc, shingle) stream,
-    # so broadcasting turns the id join into a map-side hash probe with
-    # NO shuffle of the shingle stream.  (At a vocabulary too large to
-    # broadcast you would already have switched to xxhash64 ids and
-    # dropped the rank join entirely — see the docstring.)
-    dt = toks.join(F.broadcast(ids), "shingle").select("doc_id", "tid")
+    Feature ids are the portable Horner hash (`_feature_id`) computed
+    inline — shingle → signature is one narrow pass plus the one
+    per-doc aggregation shuffle; no vocabulary pass, no id join (the
+    module docstring has the collision argument)."""
+    toks = _shingles(spark, sf_dir)
+    dt = toks.select("doc_id", _feature_id(F.col("shingle")).alias("tid"))
     bit_terms = [
         F.when(
             F.sum(
-                F.when(((j * MH_MULT + 1) * F.col("tid") + j) % MH_PRIME % 2 == 1, 1).otherwise(-1)
+                F.when(
+                    (F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("tid") + j) % MH_PRIME % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
             )
             >= 0,
             F.lit(1 << j).cast("bigint"),
@@ -393,7 +394,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_sql(j: int) -> str:
-    return f"MIN((({j} * {MH_MULT} + 1) * sid + {j}) % {MH_PRIME}) AS mh{j}"
+    # multiplier pre-reduced mod P: product with a 31-bit sid stays < 2⁶²
+    return f"MIN(({(j * MH_MULT + 1) % MH_PRIME} * sid + {j}) % {MH_PRIME}) AS mh{j}"
 
 
 _BAND_SIGS_SQL = ", ".join(
@@ -408,12 +410,8 @@ _BAND_SIGS_SQL = ", ".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
-    ids AS (
-      SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      FROM (SELECT DISTINCT shingle FROM shingles)
-    ),
     doc_sids AS (
-      SELECT s.doc_id, i.sid FROM shingles s JOIN ids i USING (shingle)
+      SELECT DISTINCT doc_id, {_SID_SQL} AS sid FROM shingles
     ),
     sigs AS (
       SELECT doc_id, COUNT(*) AS n_sh,
@@ -468,17 +466,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline i<j expansion (`_pairs_from_bucket`) — one shuffle, no
     self-join.  Verification is `size(array_intersect(sids_a, sids_b))`
     against the per-doc arrays (bounded by document length, so safe to
-    carry through a join at any corpus size).  Shingle ids come from a
-    rank join for oracle portability; at scale use xxhash64(shingle)
-    directly and drop the rank (a global row_number is single-partition)."""
-    sh = _shingles(spark, sf_dir).persist()
-    ids = _global_rank(sh, "shingle", "sid")
-    # Broadcast the small vocabulary dictionary (same reasoning as
-    # dedup_simhash): map-side id assignment, no shuffle of the stream.
-    doc_sids = sh.join(F.broadcast(ids), "shingle").select("doc_id", "sid")
+    carry through a join at any corpus size).  Shingle ids are the
+    portable Horner hash (`_feature_id`) computed inline: shingle →
+    signature is one narrow pass + one per-doc shuffle, no vocabulary
+    pass, no id join, no pre-profile persist.  A deterministic hash
+    collision can merge two shingles into one feature id in BOTH
+    engines — `distinct` on (doc, sid) keeps the set semantics exact
+    under that merge."""
+    sh = _shingles(spark, sf_dir)
+    doc_sids = sh.select(
+        "doc_id", _feature_id(F.col("shingle")).alias("sid")
+    ).distinct()
 
     mh = [
-        F.min(((j * MH_MULT + 1) * F.col("sid") + j) % MH_PRIME).alias(f"mh{j}")
+        F.min((F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("sid") + j) % MH_PRIME).alias(
+            f"mh{j}"
+        )
         for j in range(N_HASHES)
     ]
     profile = doc_sids.groupBy("doc_id").agg(
