@@ -173,14 +173,24 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
     tags=("join", "anti"),
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order.  (Every customer has SOME order
+    in these fixtures — an unfiltered anti join would return 0 rows,
+    and an empty-matches-empty oracle check proves nothing; the
+    priority filter makes the anti semantics observable.)"""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").orderBy("c_custkey")
 
 

@@ -81,18 +81,29 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
     ORDER BY nationkey
     """,
     tags=("setop",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # subtract == EXCEPT DISTINCT (exceptAll is the multiset variant and
-    # would keep keys whose left multiplicity exceeds the right's).
-    return (
-        _cust_nations(spark, sf_dir)
-        .subtract(_supp_nations(spark, sf_dir))
-        .orderBy("nationkey")
+    """Nations with a high-balance customer but no high-balance
+    supplier.  (Unfiltered, both relations cover every nation — an
+    empty EXCEPT whose oracle check proves nothing; the balance filter
+    makes the subtraction observable.)
+
+    subtract == EXCEPT DISTINCT (exceptAll is the multiset variant and
+    would keep keys whose left multiplicity exceeds the right's)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
     )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return cust.subtract(supp).orderBy("nationkey")

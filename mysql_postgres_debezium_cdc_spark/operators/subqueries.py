@@ -138,21 +138,24 @@ def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_brand
     FROM part
     WHERE p_partkey NOT IN (
-      SELECT l_partkey FROM lineitem WHERE l_quantity >= 10
+      SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
     )
     ORDER BY p_partkey
     """,
     tags=("subquery", "not_in"),
 )
 def subq_not_in_with_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN (null-free subquery) → Catalyst left-anti join."""
+    """NOT IN (null-free subquery) → Catalyst left-anti join.  The
+    quantity threshold keeps the subquery selective enough that parts
+    DO survive (a NOT IN that returns 0 rows is an empty-matches-empty
+    oracle check, which proves nothing)."""
     _views(spark, sf_dir, "part", "lineitem")
     return spark.sql(
         """
         SELECT p_partkey, p_brand
         FROM part
         WHERE p_partkey NOT IN (
-          SELECT l_partkey FROM lineitem WHERE l_quantity >= 10
+          SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
         )
         ORDER BY p_partkey
         """
