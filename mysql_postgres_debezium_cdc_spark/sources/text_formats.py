@@ -160,3 +160,49 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month")
     )
+
+
+def orc_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture version) lineitem as ORC — the
+    other columnar format a lakehouse ingests; return the path."""
+    return materialize_once(
+        sf_dir,
+        "src_lineitem_orc",
+        lambda p: load(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .orc(p),
+    )
+
+
+@register(
+    "source_orc_scan",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate straight off an ORC scan.  Spark's vectorized ORC
+    reader gives the same column pruning + predicate pushdown story as
+    parquet (the filter lands in the ORC search argument); matching the
+    parquet-truth oracle proves type fidelity through the columnar
+    round-trip.  At scale this is the drop-in path for ORC-resident
+    lakehouse data — same plan shape, different file source."""
+    li = spark.read.orc(orc_lineitem_path(spark, sf_dir))
+    return (
+        li.where(F.col("l_quantity") < 25)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
