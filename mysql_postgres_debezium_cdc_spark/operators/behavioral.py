@@ -212,3 +212,89 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_resample_ffill_1h",
+    oracle="""
+    WITH hourly AS (
+      -- integer-cents math: FLOOR(value*100) and BIGINT // division are
+      -- bit-deterministic in both engines, where ROUND(AVG(double), 2)
+      -- ties at the half-cent differently per summation order
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS v_cents,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    b AS (
+      SELECT MIN(DATE_TRUNC('hour', ts)) AS lo, MAX(DATE_TRUNC('hour', ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN b
+      CROSS JOIN UNNEST(GENERATE_SERIES(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    )
+    SELECT g.event_type,
+           CAST(EPOCH(g.h) AS BIGINT) AS hour_s,
+           LAST_VALUE(hourly.v_cents IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS UNBOUNDED PRECEDING) AS v_cents_filled,
+           (hourly.n IS NULL) AS is_gap
+    FROM grid g
+    LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+    ORDER BY g.event_type, hour_s
+    """,
+    tags=("behavioral", "timeseries"),
+)
+def events_resample_ffill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream onto a fixed 1-hour grid with
+    forward-fill — the gap-filling primitive every feature pipeline
+    needs before aligning signals for training (sensor streams have
+    holes; models want dense grids).
+
+    Plan shape at scale: the hourly pre-aggregate collapses the raw
+    stream FIRST (one keyed shuffle carries (type, hour) rows, never
+    events); the dense grid is generated per key with `sequence` +
+    `explode` from a broadcast 1-row bounds relation (no driver-side
+    loop, no collect); the forward fill is `last(v, ignorenulls)` over
+    a key-partitioned window — state bounded by grid length per key.
+    Filling runs per event_type partition, so 10⁶ keys × dense grids
+    parallelize trivially."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.expr("CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) DIV COUNT(*) AS BIGINT)").alias(
+            "v_cents"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("hour_s"),
+            F.last("v_cents", ignorenulls=True).over(w).alias("v_cents_filled"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_s")
+    )
