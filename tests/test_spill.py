@@ -1,0 +1,75 @@
+"""Spill-path robustness: operators must complete (correctly) when
+their in-memory buffers are forced to disk.
+
+At 100 TB some partition always exceeds executor memory; the scale
+contract is that window/sort/aggregate fall back to spilling external
+buffers rather than OOM.  Forcing the spill thresholds to tiny values
+runs the fixture workload through the SAME external-spill code paths a
+memory-pressured cluster hits, and asserts results are unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+
+def _with_confs(spark, confs):
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return saved
+
+
+def _restore(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_window_completes_with_forced_spill(spark):
+    confs = {
+        # every window partition buffer past 16 rows goes to disk
+        "spark.sql.windowExecBufferSpillThreshold": "16",
+        "spark.sql.windowExecBufferInMemoryThreshold": "16",
+    }
+    saved = _with_confs(spark, confs)
+    try:
+        df = spark.range(200_000).selectExpr("id % 7 AS k", "id")
+        w = Window.partitionBy("k").orderBy("id")
+        spilled = (
+            df.select("k", F.row_number().over(w).alias("rn"), F.sum("id").over(w).alias("s"))
+            .groupBy("k")
+            .agg(F.max("rn").alias("n"), F.max("s").alias("total"))
+        )
+        rows = {r["k"]: (r["n"], r["total"]) for r in spilled.collect()}
+        # oracle: per-key count and full running-sum endpoint = sum of the
+        # arithmetic progression of ids ≡ k (mod 7) below 200000
+        for k in range(7):
+            ids = range(k, 200_000, 7)
+            assert rows[k] == (len(ids), sum(ids))
+    finally:
+        _restore(spark, saved)
+
+
+def test_aggregate_completes_with_forced_sort_fallback(spark):
+    confs = {
+        # force hash aggregation to give up quickly and fall back to
+        # sort-based aggregation (the spillable path)
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "2",
+    }
+    saved = _with_confs(spark, confs)
+    try:
+        df = spark.range(100_000).selectExpr("id % 1000 AS k", "id")
+        out = (
+            df.groupBy("k")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .select("k", F.size("ids").alias("n"), F.element_at("ids", 1).alias("first"))
+        )
+        rows = {r["k"]: (r["n"], r["first"]) for r in out.collect()}
+        assert len(rows) == 1000
+        assert rows[3] == (100, 3)
+    finally:
+        _restore(spark, saved)
