@@ -194,3 +194,42 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_div"),
         F.col("o_orderkey").cast("string").try_cast("bigint").alias("roundtrip"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2)
+             AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("udf", "pandas", "grouped_agg"),
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (the `groupBy().agg(pandas_udf)` surface,
+    distinct from applyInPandas): quantity-weighted average price per
+    return flag, computed by numpy over each group's Arrow batch.
+
+    The weighted mean is a ratio of two sums, so it is NOT decomposable
+    into Spark's built-in aggregates without two passes or a struct
+    accumulator — exactly the shape where a grouped-agg pandas UDF
+    earns its Arrow transfer cost.  (Partial aggregation does not apply
+    to pandas aggregates — each group's rows all reach one executor —
+    so at scale, keys must outnumber cores and no key may dominate;
+    both hold for the flag domain here and the salting devices in
+    plans/skew.py are the mitigation when they don't.)"""
+    import pandas as pd
+
+    @F.pandas_udf(T.DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )

@@ -303,3 +303,37 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    WITH urgent AS (
+      SELECT o_custkey, COUNT(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, urgent.n_urgent
+    FROM urgent RIGHT OUTER JOIN customer c ON urgent.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer row survives, urgent-order
+    counts attach where they exist (NULL elsewhere — the 203 customers
+    join_left_anti isolates).  Catalyst plans this as the mirrored left
+    outer with the preserved side streaming, so the same
+    broadcast/shuffle selection rules apply."""
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        urgent.join(cust, urgent.o_custkey == cust.c_custkey, "right_outer")
+        .select("c_custkey", "n_urgent")
+        .orderBy("c_custkey")
+    )
