@@ -349,7 +349,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Feature ids are the portable Horner hash (`_feature_id`) computed
     inline — shingle → signature is one narrow pass plus the one
     per-doc aggregation shuffle; no vocabulary pass, no id join (the
-    module docstring has the collision argument)."""
+    module docstring has the collision argument).
+
+    Verification is JOIN-FREE: the signature IS 8 bytes, so each bucket
+    element carries its (doc_id, sig) struct and pair expansion emits
+    both signatures inline — Hamming distance computes right off the
+    pair, with no lookup joins and no multiply-consumed signature
+    relation to persist.  (Contrast dedup_minhash_lsh, which carries
+    set-size + sid-array payloads: those are document-sized, so THERE
+    the scale-correct shape is bare ids through the buckets and joins
+    back to the profile — each family ships the cheaper of
+    {payload-through-shuffle, join-back}.)"""
     toks = _shingles(spark, sf_dir)
     dt = toks.select("doc_id", _feature_id(F.col("shingle")).alias("tid"))
     bit_terms = [
@@ -366,28 +376,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("bigint"))
         for j in range(SH_BITS)
     ]
-    sigs = (
-        dt.groupBy("doc_id")
-        .agg(functools.reduce(lambda a, b: a + b, bit_terms).alias("sig"))
-        .persist()  # consumed 3×: band buckets + both verification sides
+    sigs = dt.groupBy("doc_id").agg(
+        functools.reduce(lambda a, b: a + b, bit_terms).alias("sig")
     )
     band_vals = F.array(
         *[(F.col("sig") / F.lit(c)).cast("bigint") % (1 << SH_BAND_BITS) for c in _SH_BAND_CONSTS]
     )
     buckets = (
-        sigs.select("doc_id", F.posexplode(band_vals).alias("band", "bval"))
+        sigs.select(F.struct("doc_id", "sig").alias("ds"), F.posexplode(band_vals).alias("band", "bval"))
         .groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .agg(F.sort_array(F.collect_list("ds")).alias("docs"))
         .where(F.size("docs") > 1)
     )
-    cand = _pairs_from_bucket(buckets).distinct()
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # inline i<j pair expansion carrying both signatures (struct sort
+    # orders by doc_id first, so pairs come out doc_a < doc_b)
+    docs = F.col("docs")
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("doc_a"),
+                    y.getField("doc_id").alias("doc_b"),
+                    x.getField("sig").alias("sig_a"),
+                    y.getField("sig").alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= SH_HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
