@@ -253,26 +253,52 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) —
     the shared edge set for `dedup_ngram_jaccard` and the clustering in
     `dedup_connected_components`.  See `dedup_ngram_jaccard` for the
-    physical-plan walkthrough."""
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("sid")
-    ).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    buckets = sh.groupBy("sid").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    physical-plan walkthrough.
+
+    Join-free shape (same device as dedup_simhash): the per-doc profile
+    aggregates FIRST, so each bucket element carries (doc_id, n_sh) —
+    16 fixed bytes — and pair expansion emits both set sizes inline.
+    The collision count then groups by the pair WITH its sizes (they
+    are functionally dependent on the ids — no extra cardinality), and
+    Jaccard computes right off the aggregate: no sizes relation, no
+    persist, no verification joins."""
+    sh = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("shingle").alias("sid"))
+    profile = sh.groupBy("doc_id").agg(
+        F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("n_sh")
+    )
+    exploded = profile.select(
+        F.struct("doc_id", "n_sh").alias("dn"), F.explode("sids").alias("sid")
+    )
+    buckets = (
+        exploded.groupBy("sid")
+        .agg(F.sort_array(F.collect_list("dn")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    docs = F.col("docs")
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("doc_a"),
+                    y.getField("doc_id").alias("doc_b"),
+                    x.getField("n_sh").alias("na"),
+                    y.getField("n_sh").alias("nb"),
+                ),
+            ),
+        )
+    )
     common = (
-        _pairs_from_bucket(buckets.where(F.size("docs") > 1))
-        .groupBy("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
+        common.where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
