@@ -606,13 +606,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-hyperplane buckets (or `ann_ivf_topk`'s cells) generate the
     candidate pairs and this exact cosine runs per bucket, which is the
     same composition the MinHash family uses for text."""
-    from mysql_postgres_debezium_cdc_spark.llm.similarity import cosine_cols
-
     emb = load(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"))
-    cs = cosine_cols(F.col("emb_a"), F.col("emb_b"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"), _norm(as_double).alias("nrm_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"), _norm(as_double).alias("nrm_b")
+    )
+    cs = cosine_from_norms(_dot(F.col("emb_a"), F.col("emb_b")), F.col("nrm_a"), F.col("nrm_b"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"), cs.alias("_cs"))
@@ -624,7 +626,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from mysql_postgres_debezium_cdc_spark.llm.similarity import (  # noqa: E402
     LSH_SIGS_SQL,
-    cosine_cols,
+    _dot,
+    _norm,
+    cosine_from_norms,
     lsh_signatures,
 )
 
@@ -679,9 +683,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    va = emb.select(F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"))
-    cs = cosine_cols(F.col("emb_a"), F.col("emb_b"))
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"), _norm(as_double).alias("nrm_a")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"), _norm(as_double).alias("nrm_b")
+    )
+    cs = cosine_from_norms(_dot(F.col("emb_a"), F.col("emb_b")), F.col("nrm_a"), F.col("nrm_b"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")

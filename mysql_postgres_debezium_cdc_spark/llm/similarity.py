@@ -7,8 +7,9 @@
   at large N because the query side broadcasts and the scan streams.
 - ``ann_lsh_topk``: random-hyperplane LSH variant — the scale path.
   Sign-bit bucket join first, exact cosine only within buckets; recall
-  vs brute force is measured in tests/test_llm_similarity.py.  No SQL
-  oracle (the hyperplane constants are engine-internal): rows-only check.
+  vs brute force is measured in tests/test_llm_similarity.py.  Fully
+  oracle-checked: hyperplanes derive from an engine-portable arithmetic
+  formula (see ``_HP_SQL``), so DuckDB reproduces the whole pipeline.
 - ``ann_cosine_pandas_udf``: same brute-force semantics through an
   Arrow-batched pandas UDF (numpy matmul per batch) — proves the
   vectorized-UDF surface and is the pattern for real model-embedding
@@ -43,6 +44,21 @@ def cosine_cols(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(a):
+    """sqrt(a·a) — precompute ONCE per vector before any pairwise stage.
+
+    Higher-order array functions are interpreted, so evaluating
+    `cosine_cols` per candidate pair costs three 64-element folds; with
+    norms carried as plain double columns each pair costs one.  The
+    float math is bit-identical (same sqrt of the same ordered dot), so
+    oracle parity is unaffected."""
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_from_norms(dot_ab, norm_a, norm_b):
+    return dot_ab / (norm_a * norm_b)
+
+
 @register(
     "ann_bruteforce_topk",
     oracle=f"""
@@ -73,20 +89,22 @@ def cosine_cols(a, b):
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each of the first 10 vectors."""
     emb = load(spark, sf_dir, "embeddings")
-    q = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_emb"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double("embedding").alias("q_emb"),
+        _norm(_as_double("embedding")).alias("q_nrm"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), _as_double("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        _as_double("embedding").alias("c_emb"),
+        _norm(_as_double("embedding")).alias("c_nrm"),
+    )
+    cs = cosine_from_norms(_dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm"), F.col("c_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(cosine_cols(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
-        )
+        .select("q_id", "c_id", F.round(cs, 4).alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
@@ -284,7 +302,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall dial, never O(n²).  Recall gate: tests/test_llm_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
     sigs = lsh_signatures(emb)
-    vecs = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    vecs = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        _norm(_as_double("embedding")).alias("nrm"),
+    )
     cand_q = sigs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "t", "sig"
     )
@@ -296,19 +318,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
-        cands.join(vecs.withColumnRenamed("vec_id", "c_id").withColumnRenamed("emb", "c_emb"), "c_id")
+        cands.join(
+            vecs.select(
+                F.col("vec_id").alias("c_id"), F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm")
+            ),
+            "c_id",
+        )
         .join(
             F.broadcast(
-                vecs.where(F.col("vec_id") < N_QUERIES)
-                .withColumnRenamed("vec_id", "q_id")
-                .withColumnRenamed("emb", "q_emb")
+                vecs.where(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+                )
             ),
             "q_id",
         )
         .select(
             "q_id",
             "c_id",
-            F.round(cosine_cols(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(
+                    _dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
@@ -390,33 +422,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall vs `ann_bruteforce_topk` is measured in tests."""
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _as_double("embedding").alias("emb"))
+    e = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        _norm(_as_double("embedding")).alias("nrm"),
+    )
     cent = (
         e.where((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_CELLS))
-        .select((F.col("vec_id") - CENTROID_BASE).cast("int").alias("cid"), F.col("emb").alias("c_emb"))
+        .select(
+            (F.col("vec_id") - CENTROID_BASE).cast("int").alias("cid"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
     )
-    ccos = cosine_cols(F.col("emb"), F.col("c_emb"))
+    ccos = cosine_from_norms(_dot(F.col("emb"), F.col("c_emb")), F.col("nrm"), F.col("c_nrm"))
     cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     scored_cells = (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", "emb", ccos.alias("ccos"))
+        .select("vec_id", "cid", "emb", "nrm", ccos.alias("ccos"))
         .withColumn("crk", F.row_number().over(cw))
     )
     assign = scored_cells.where(F.col("crk") == 1).select(
-        F.col("vec_id").alias("c_id"), "cid", F.col("emb").alias("c_vec")
+        F.col("vec_id").alias("c_id"), "cid", F.col("emb").alias("c_vec"), F.col("nrm").alias("c_nrm")
     )
     probes = scored_cells.where(
         (F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(F.col("vec_id").alias("q_id"), "cid", F.col("emb").alias("q_vec"))
+    ).select(F.col("vec_id").alias("q_id"), "cid", F.col("emb").alias("q_vec"), F.col("nrm").alias("q_nrm"))
+    cs = cosine_from_norms(_dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nrm"), F.col("c_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
         assign.join(F.broadcast(probes), "cid")
         .where(F.col("c_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(cosine_cols(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
-        )
+        .select("q_id", "c_id", F.round(cs, 4).alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
