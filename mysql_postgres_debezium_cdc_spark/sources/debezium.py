@@ -73,13 +73,23 @@ def decode_envelope(
     """
     schema = envelope_schema(row_schema)
     wrapped_schema = T.StructType([T.StructField("payload", schema)])
-    # payload-or-root unwrap as a coalesce of two parses.  (Rebuilding a
-    # struct from fields of a nullable from_json result trips a codegen
-    # NPE in Spark 4.1 when the parse returns null — two parses + struct
-    # coalesce sidesteps it and reads cleaner anyway.)
+    # payload-or-root unwrap with ONE parse per row on the hot path: a
+    # cheap substring test picks which schema to try first (a JsonConverter
+    # schemas-enabled record must literally contain `"payload"`), and the
+    # lazily-evaluated coalesce only runs the second parse when the first
+    # guess yields nothing — a bare envelope whose row DATA happens to
+    # contain the string "payload", or a malformed record.  Outcomes are
+    # identical to parsing both ways; the steady-state JSON-parse CPU
+    # halves, which is the dominant decode cost on a real firehose.
+    # (Rebuilding one struct from fields of a nullable from_json result
+    # would trip a codegen NPE in Spark 4.1 when the parse returns null —
+    # branching between two whole-struct parses sidesteps it.)
+    looks_wrapped = F.col(value_col).contains('"payload"')
+    parse_wrapped = F.from_json(F.col(value_col), wrapped_schema).getField("payload")
+    parse_bare = F.from_json(F.col(value_col), schema)
     env = F.coalesce(
-        F.from_json(F.col(value_col), wrapped_schema).getField("payload"),
-        F.from_json(F.col(value_col), schema),
+        F.when(looks_wrapped, parse_wrapped).otherwise(parse_bare),
+        F.when(looks_wrapped, parse_bare).otherwise(parse_wrapped),
     )
     topic_table = (
         F.element_at(F.split(F.col(topic_col), r"\."), -1)
