@@ -35,7 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
-from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load, spread_small_scan
 
 # MinHash parameters — fixed, shared with the oracle SQL.
 N_HASHES = 16
@@ -119,26 +119,26 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
       separate projection makes the lambda body slice a pre-computed
       attribute, which CollapseProject will not re-inline because
       ``split`` is non-cheap and multiply-referenced.
-    - **Spread the corpus across cores.**  The fixture is one small
-      parquet file → one input partition, which would serialize the
-      CPU-heavy explode on a single core; repartition to the session's
-      parallelism first.  On a real many-file corpus the scan already
-      has enough partitions and this round-robin shuffle (one pass over
-      raw text, no wide key) is either skipped or noise vs the
-      shingling CPU it unlocks."""
+    - **Spread the corpus across cores** before the explode — see
+      sources.parquet.spread_small_scan."""
     d = load(spark, sf_dir, "documents")
     if max_docs is not None:
         d = d.where(F.col("doc_id") < max_docs)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
-    t = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    t = spread_small_scan(d).select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
     toks = F.col("_toks")
     k = SHINGLE_K
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
+    # Documents shorter than k tokens have NO k-shingles: guard the
+    # position sequence explicitly — F.sequence(1, 0) is a DESCENDING
+    # [1, 0] in Spark, whose 0 start would crash slice(); the oracle's
+    # RANGE(1, GREATEST(LEN-1, 1)) yields an empty list for the same
+    # input, and explode on the empty array drops the doc in both.
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
@@ -165,28 +165,50 @@ _SID_SQL = (
 )
 
 
-def _pairs_from_bucket(bucketed: DataFrame, docs_col: str = "docs") -> DataFrame:
+def _pairs_from_bucket(
+    bucketed: DataFrame,
+    docs_col: str = "docs",
+    fields: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
     """Expand a bucketed inverted index into candidate (doc_a, doc_b) pairs.
 
-    ``bucketed`` has one row per bucket with a sorted ascending array of
-    doc_ids.  All i<j combinations are generated *inline* with array
-    expressions (whole-stage codegen, no self-join): for a bucket of d
-    docs this emits d(d-1)/2 pairs, exactly what a self-join on the
-    bucket key would emit, but with ONE shuffle (the groupBy that built
-    the bucket) instead of two join-side shuffles.  Hot buckets are the
-    skew lever either way — at 100 TB, cap bucket width (document
-    frequency) upstream before this expands."""
+    ``bucketed`` has one row per bucket with a sorted ascending array —
+    of bare doc_ids (``fields=None``), or of structs whose first field
+    is ``doc_id`` plus per-doc payload fields (struct sort orders by
+    doc_id first, so pairs still come out doc_a < doc_b).  ``fields``
+    maps each payload field to its (left, right) output names, e.g.
+    ``{"sig": ("sig_a", "sig_b")}`` — carrying fixed-width payloads
+    through the buckets is what makes the SimHash/Jaccard verification
+    join-free.
+
+    All i<j combinations are generated *inline* with array expressions
+    (no self-join): for a bucket of d docs this emits d(d-1)/2 pairs,
+    exactly what a self-join on the bucket key would emit, but with ONE
+    shuffle (the groupBy that built the bucket) instead of two
+    join-side shuffles.  Hot buckets are the skew lever either way — at
+    100 TB, cap bucket width (document frequency) upstream before this
+    expands."""
     docs = F.col(docs_col)
+
+    def pair_struct(x, y):
+        if fields is None:
+            return F.struct(x.alias("doc_a"), y.alias("doc_b"))
+        cols = [x.getField("doc_id").alias("doc_a"), y.getField("doc_id").alias("doc_b")]
+        for src, (left, right) in fields.items():
+            cols.append(x.getField(src).alias(left))
+            cols.append(y.getField(src).alias(right))
+        return F.struct(*cols)
+
     pairs = F.flatten(
         F.transform(
             docs,
             lambda x, i: F.transform(
                 F.slice(docs, i + F.lit(2), F.size(docs)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: pair_struct(x, y),
             ),
         )
     )
-    return bucketed.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
+    return bucketed.select(F.explode(pairs).alias("p")).select("p.*")
 
 
 _SHINGLES_SQL = """
@@ -235,9 +257,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. ONE groupBy per shingle-hash collecting the sorted doc list, with
        i<j pairs expanded inline (`_pairs_from_bucket`) — replaces the
        classic self-join (two shuffles) with one shuffle,
-    3. per-pair collision count = exact |A∩B|; the set-size join is left
-       to AQE (broadcast at small SF, shuffle join when `sizes` — one
-       row per doc — outgrows the broadcast threshold at 100 TB).
+    3. per-pair collision count = exact |A∩B|, grouped together with
+       the pair's set sizes (carried through the buckets as fixed-width
+       payload — no sizes relation, no verification join; see
+       `_jaccard_pairs`).
 
     Hot shingles (stopword runs) are the skew risk — AQE handles
     moderate cases; the production lever is a document-frequency cap
@@ -274,24 +297,9 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("dn")).alias("docs"))
         .where(F.size("docs") > 1)
     )
-    docs = F.col("docs")
-    pairs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + F.lit(2), F.size(docs)),
-                lambda y: F.struct(
-                    x.getField("doc_id").alias("doc_a"),
-                    y.getField("doc_id").alias("doc_b"),
-                    x.getField("n_sh").alias("na"),
-                    y.getField("n_sh").alias("nb"),
-                ),
-            ),
-        )
-    )
     common = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        _pairs_from_bucket(buckets, fields={"n_sh": ("na", "nb")})
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (
@@ -414,28 +422,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("ds")).alias("docs"))
         .where(F.size("docs") > 1)
     )
-    # inline i<j pair expansion carrying both signatures (struct sort
-    # orders by doc_id first, so pairs come out doc_a < doc_b)
-    docs = F.col("docs")
-    pairs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + F.lit(2), F.size(docs)),
-                lambda y: F.struct(
-                    x.getField("doc_id").alias("doc_a"),
-                    y.getField("doc_id").alias("doc_b"),
-                    x.getField("sig").alias("sig_a"),
-                    y.getField("sig").alias("sig_b"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
-        .distinct()
-    )
+    cand = _pairs_from_bucket(buckets, fields={"sig": ("sig_a", "sig_b")}).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))

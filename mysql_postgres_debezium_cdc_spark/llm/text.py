@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
-from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load, spread_small_scan
 
 # Tiny stopword profiles for the heuristic language scorer.  Word-match
 # counts against each profile; argmax wins.  (A production lang-id uses
@@ -423,10 +423,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; LN agrees to <1 ulp and scores are rounded to 4dp with
     a deterministic (tfidf DESC, token) tie-break, so the value hash is
     stable cross-engine."""
-    d = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
     tokens = d.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias("token"),

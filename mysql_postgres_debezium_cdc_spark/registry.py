@@ -84,9 +84,10 @@ _PRIORITY: tuple[str, ...] = (
     "setop_union_distinct",
     "setop_except",
     # Subqueries (subq_not_in_with_filter stays registered+oracle-checked
-    # in the pytest sweep but leaves the 50-key driver prefix: it returns
-    # 0 rows on these fixtures — an empty-matches-empty check — and the
-    # slot buys a much stronger composite-PK CDC value check)
+    # in the pytest sweep but leaves the 50-key driver prefix — its slot
+    # bought the composite-PK CDC value check above, and
+    # subq_correlated_exists keeps NULL-aware anti-join semantics covered
+    # in the prefix)
     "subq_correlated_exists",
     # Pivot
     "pivot_status_by_priority",

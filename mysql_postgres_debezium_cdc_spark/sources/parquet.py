@@ -52,6 +52,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow-partitioned scan across the session's
+    parallelism before CPU-heavy per-row work (shingling, JSON
+    encode/decode, char-level hashing).
+
+    The fixtures are single-row-group parquet files — unsplittable, so
+    every scan starts as ONE partition and anything narrow above it
+    would serialize on one core.  On a real many-file corpus the scan
+    already has enough partitions and this is a no-op; the partition
+    probe costs one plan->RDD conversion on the driver, which the
+    repartition it usually saves dwarfs."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --- scan/projection smoke queries (S1-analogue for batch) -----------------
 
 

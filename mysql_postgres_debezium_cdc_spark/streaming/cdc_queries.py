@@ -18,7 +18,7 @@ from pyspark.sql import types as T
 
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.debezium import decode_envelope
-from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load, spread_small_scan
 from mysql_postgres_debezium_cdc_spark.streaming.cdc import (
     IS_DELETE,
     ORDER_COL,
@@ -176,16 +176,10 @@ def _events_changelog(spark: SparkSession, sf_dir: str, lo: int | None = None, h
         ev = ev.where(F.col("event_id") >= lo)
     if hi is not None:
         ev = ev.where(F.col("event_id") < hi)
-    # The fixture is one single-row-group parquet file, so the scan (and
-    # everything narrow above the first exchange — here a to_json per
-    # row, and the from_json downstream of it) would run on ONE core.
-    # Spread the slim projected rows across the session's parallelism
-    # first; the round-robin shuffle is far cheaper than serializing the
-    # JSON encode/decode.  (A real Kafka/Debezium source arrives already
-    # partitioned and skips this.)
-    par = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < par:
-        ev = ev.repartition(par)
+    # Spread the slim projected rows before the JSON encode/decode — a
+    # real Kafka/Debezium source arrives already partitioned and skips
+    # this (see sources.parquet.spread_small_scan).
+    ev = spread_small_scan(ev)
     op = F.when(F.col("event_type") == "error", "d").otherwise("u")
     row_image = F.struct(F.col("user_id").alias("id"), F.col("value").alias("v"))
     env = F.struct(
@@ -301,10 +295,7 @@ def cdc_composite_pk_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (okey, lno) pair, not the whole order.  The compaction shuffle is
     keyed on BOTH columns (groupBy okey, lno), which is what keeps hot
     multi-line orders from concentrating on one reducer at scale."""
-    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
-    par = spark.sparkContext.defaultParallelism
-    if li.rdd.getNumPartitions() < par:
-        li = li.repartition(par)
+    li = spread_small_scan(load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000))
     # the synthetic lineitem repeats (okey, lno); collapse to one row per
     # composite key so every changelog offset is unique (see oracle note)
     base = (
