@@ -120,7 +120,16 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
       attribute, which CollapseProject will not re-inline because
       ``split`` is non-cheap and multiply-referenced.
     - **Spread the corpus across cores** before the explode — see
-      sources.parquet.spread_small_scan."""
+      sources.parquet.spread_small_scan.
+
+    Tried and rejected: projecting the shingle ARRAY as its own column
+    to ride `size(arr)` along with the explode (saving the per-doc
+    count aggregation downstream).  InferFiltersFromGenerate
+    synthesizes a `size(arr) > 0` predicate from the Generate, and
+    predicate pushdown rebuilds that expression BELOW the repartition —
+    re-running the whole tokenize+shingle pipeline per row on the
+    unspread single-partition scan (measured 1.7× slower end-to-end at
+    sf0.1 despite one less shuffle)."""
     d = load(spark, sf_dir, "documents")
     if max_docs is not None:
         d = d.where(F.col("doc_id") < max_docs)
