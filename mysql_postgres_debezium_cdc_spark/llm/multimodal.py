@@ -195,3 +195,41 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, every_nth: int = 4) -> D
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize/downsample stand-in over opaque payloads via mapInPandas:
+    keep every ``factor``-th byte (deterministic decimation).
+
+    For real images this is where PIL's resize goes — same Spark shape
+    either way: a narrow Arrow-batched pass, one output row per input
+    row, payload column rewritten in place, no shuffle.  Downstream
+    stages (feature extraction, frame sampling) compose unchanged on
+    the smaller payloads."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            resized = [bytes(bytes(p)[::factor]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_bytes": pdf["n_bytes"],
+                    "resized_bytes": [len(r) for r in resized],
+                    "payload": resized,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

@@ -52,3 +52,28 @@ def test_sample_frames_shape_and_offsets(spark):
         for f in fs:
             assert f["frame_offset"] == f["frame_no"] * 64 * 4
             assert bytes(f["frame"]) == data[f["frame_offset"] : f["frame_offset"] + 64]
+
+
+def test_resize_media_decimates_and_composes(spark):
+    from mysql_postgres_debezium_cdc_spark.llm.multimodal import resize_media
+
+    media = media_table(spark, SF_DIR_SMOKE).limit(10)
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    resized = resize_media(media, factor=4)
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    assert rows.keys() == originals.keys()
+    for doc_id, r in rows.items():
+        expect = originals[doc_id][::4]
+        assert bytes(r["payload"]) == expect
+        assert r["resized_bytes"] == len(expect)
+        assert r["orig_bytes"] == len(originals[doc_id])
+    # composes with the featurizer: same math on the decimated payload
+    feats = extract_features(
+        resized.select(
+            "doc_id", "media_type", "payload",
+            resized["resized_bytes"].alias("n_bytes"),
+        )
+    )
+    got = {r["doc_id"]: r["features"] for r in feats.collect()}
+    for doc_id in originals:
+        assert got[doc_id] == decode_media(originals[doc_id][::4], "text/plain", fake=True)
