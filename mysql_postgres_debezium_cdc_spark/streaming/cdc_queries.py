@@ -526,3 +526,66 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "cdc_schema_drift_decode",
+    oracle="""
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'v2' ELSE NULL END AS extra_col,
+           CASE WHEN o_orderkey % 2 = 0 THEN 5 ELSE 4 END AS n_row_cols
+    FROM orders
+    WHERE o_orderkey < 1000
+    ORDER BY id
+    """,
+    tags=("cdc", "drift"),
+)
+def cdc_schema_drift_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift tolerant decode (SURVEY §1.3): half the envelopes
+    carry a column the declared schema does not know (`extra_col`,
+    mimicking an upstream ALTER TABLE mid-stream), decoded with the
+    MapType(String,String) row schema — the engine's analogue of the
+    reference's dynamic per-token typing (Consumer.java:259-271).
+
+    Every wire column survives as a string (nothing silently dropped),
+    the unknown column is observable (extracted + counted), and the
+    whole thing remains one from_json expression — drift tolerance
+    costs no extra pass at any scale."""
+    o = spread_small_scan(load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000))
+    base = F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    drifted = F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("v2").alias("extra_col"),
+    )
+    env = lambda row: F.struct(  # noqa: E731
+        F.lit(None).cast("string").alias("before"),
+        row.alias("after"),
+        F.struct(
+            F.lit("app").alias("db"),
+            F.lit("orders").alias("table"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit("c").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+    )
+    value = F.when(F.col("o_orderkey") % 2 == 0, F.to_json(env(drifted))).otherwise(
+        F.to_json(env(base))
+    )
+    raw = o.select(value.alias("value"), F.col("o_orderkey").alias("offset"))
+    decoded = decode_envelope(raw, T.MapType(T.StringType(), T.StringType()))
+    # 'after' is a map capturing EVERY wire column as strings
+    return decoded.select(
+        F.element_at("after", "id").cast("long").alias("id"),
+        F.element_at("after", "status").alias("status"),
+        F.element_at("after", "extra_col").alias("extra_col"),
+        F.size("after").cast("int").alias("n_row_cols"),
+    ).orderBy("id")
