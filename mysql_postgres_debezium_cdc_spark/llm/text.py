@@ -448,3 +448,49 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TFIDF_TOPK)
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, text,
+             ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' ')[1:8]), ' ') AS fp
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           LEVENSHTEIN(a.text, b.text) AS edit_dist,
+           CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS BIGINT) AS max_len
+    FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "text", "editdistance"),
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit distance over fingerprint-blocked candidate pairs —
+    the characterwise verification kernel fuzzy matching uses after a
+    cheap blocking stage (same blocking-then-verify shape as the
+    MinHash/SimHash families, with Levenshtein as the verifier).
+
+    Levenshtein is O(len²) per pair, so it NEVER runs all-pairs: the
+    fingerprint block bounds candidates, and both engines implement the
+    same unit-cost dynamic program, so distances match exactly.  The
+    fingerprint groupBy is the only wide stage; at 100 TB the block
+    key's fan-out bound (cap group width) is the safety valve, exactly
+    like bucket-width caps in the LSH families."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.array_join(F.array_sort(F.slice(F.split(F.col("text"), " "), 1, 8)), " ")
+    keyed = d.select("doc_id", "text", fp.alias("fp"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "fp")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint").alias("max_len"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
