@@ -69,3 +69,63 @@ def spark_replay(spark, events, n_batches):
 @given(events=events_strategy, n_batches=st.integers(min_value=1, max_value=3))
 def test_lastwrite_replay_equivalence(spark, events, n_batches):
     assert spark_replay(spark, events, n_batches) == oracle_replay(events)
+
+
+COMPOSITE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("okey", T.LongType()),
+        T.StructField("lno", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def oracle_replay_composite(events):
+    state: dict[tuple[int, int], str] = {}
+    for op, okey, lno, name in events:
+        if op == "d":
+            state.pop((okey, lno), None)
+        else:
+            state[(okey, lno)] = name
+    return state
+
+
+def spark_replay_composite(spark, events, n_batches):
+    rows = []
+    for off, (op, okey, lno, name) in enumerate(events):
+        img = {"okey": okey, "lno": lno, "name": name}
+        env = {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "source": {"db": "app", "table": "t", "ts_ms": 0},
+            "op": op,
+            "ts_ms": 0,
+        }
+        rows.append((json.dumps(env), off))
+    state = None
+    step = max(1, (len(rows) + n_batches - 1) // n_batches)
+    for i in range(0, len(rows), step):
+        batch = spark.createDataFrame(rows[i : i + step], "value string, offset long")
+        ev = with_change_columns(decode_envelope(batch, COMPOSITE_ROW_SCHEMA))
+        state = apply_changes(state, compact(ev, ["okey", "lno"]), ["okey", "lno"], ["name"])
+    return {(r["okey"], r["lno"]): r["name"] for r in state.collect()}
+
+
+composite_events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "r", "d"]),
+        st.integers(min_value=0, max_value=2),  # okey — tiny → heavy collisions
+        st.integers(min_value=0, max_value=2),  # lno — deletes must hit (okey, lno), not okey
+        st.text(alphabet="abc", min_size=0, max_size=3),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=composite_events_strategy, n_batches=st.integers(min_value=1, max_value=3))
+def test_lastwrite_replay_equivalence_composite_pk(spark, events, n_batches):
+    """The multi-column-PK contract (pk.<table>=a,b grammar): compaction
+    and deletes key on the FULL composite, never a prefix of it."""
+    assert spark_replay_composite(spark, events, n_batches) == oracle_replay_composite(events)
