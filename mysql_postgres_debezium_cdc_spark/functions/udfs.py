@@ -233,3 +233,72 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "udf_cogrouped_merge",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem WHERE l_orderkey < 2000
+      GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS total,
+           COALESCE(li.n_lines, 0) AS n_lines,
+           COALESCE(li.sum_qty, 0) AS sum_qty
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 2000
+    ORDER BY o.o_orderkey
+    """,
+    tags=("udf", "pandas", "cogroup"),
+)
+def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (`groupBy().cogroup().applyInPandas`) —
+    the two-sided Arrow surface: each key's order row and its lineitem
+    rows arrive as two aligned pandas frames in ONE function call,
+    which is the shape custom per-key merges (as-of logic, model
+    scoring against per-key history, bitemporal reconciliation) need
+    when a plain join can't express the pairing.
+
+    Here the merge itself is deliberately SQL-expressible (count + sum
+    against the order header, empty-side → zeros) so the driver value-
+    checks the whole cogroup path: both sides co-shuffle on the key,
+    then Python sees each group exactly once — at scale the cost is the
+    same two keyed exchanges a sort-merge join pays, plus Arrow
+    transfer of only the touched columns.  Quantities are integral in
+    the fixture, so the pandas sum is exact as a BIGINT."""
+    import pandas as pd
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_quantity")
+    )
+
+    def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # lineitem-only key: FK guarantees none, but stay total
+            return pd.DataFrame(
+                columns=["o_orderkey", "total", "n_lines", "sum_qty"]
+            ).astype({"o_orderkey": "int64", "total": "float64", "n_lines": "int64", "sum_qty": "int64"})
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "total": [round(float(odf["o_totalprice"].iloc[0]), 2)],
+                "n_lines": [len(ldf)],
+                "sum_qty": [int(ldf["l_quantity"].sum()) if len(ldf) else 0],
+            }
+        )
+
+    out_schema = "o_orderkey long, total double, n_lines long, sum_qty long"
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(merge, out_schema)
+        .orderBy("o_orderkey")
+    )
