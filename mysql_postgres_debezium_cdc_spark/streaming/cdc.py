@@ -118,37 +118,62 @@ def apply_changes(
 
 
 class ParquetStateSink:
-    """Versioned-snapshot keyed state store over parquet.
+    """Versioned-snapshot keyed state store over parquet, with bounded
+    version RETENTION and time-travel reads.
 
     ``merge`` reads the current snapshot, applies a compacted batch and
-    writes a new snapshot directory, then atomically swaps a ``_CURRENT``
-    pointer file — a poor man's Delta transaction log sufficient for
-    single-writer streams (Structured Streaming guarantees one active
-    foreachBatch writer per query).  On a cluster, swap this class for
-    ``DeltaTable.merge`` and nothing upstream changes."""
+    writes a new snapshot directory, then atomically appends to a
+    ``_LOG`` pointer file (one committed version name per line, append +
+    rename — a poor man's Delta transaction log sufficient for
+    single-writer streams; Structured Streaming guarantees one active
+    foreachBatch writer per query).  The last ``retain`` committed
+    versions stay on disk: ``read(version=-2)`` time-travels one commit
+    back — what debugging a bad upstream batch or auditing a replica
+    actually needs — and older snapshots are vacuumed on commit.  On a
+    cluster, swap this class for ``DeltaTable.merge`` (with its own log
+    retention / VACUUM) and nothing upstream changes."""
 
-    def __init__(self, spark: SparkSession, root: str, pk_cols: Sequence[str], row_cols: Sequence[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        pk_cols: Sequence[str],
+        row_cols: Sequence[str],
+        retain: int = 2,
+    ):
         self.spark = spark
         self.root = root
         self.pk_cols = list(pk_cols)
         self.row_cols = list(row_cols)
+        self.retain = max(1, retain)
         os.makedirs(root, exist_ok=True)
 
-    def _pointer(self) -> str:
-        return os.path.join(self.root, "_CURRENT")
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_LOG")
+
+    def versions(self) -> list[str]:
+        """Committed version names, oldest → newest."""
+        try:
+            with open(self._log_path()) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
 
     def current_version_dir(self) -> str | None:
-        try:
-            with open(self._pointer()) as f:
-                name = f.read().strip()
-            return os.path.join(self.root, name) if name else None
-        except FileNotFoundError:
-            return None
+        vs = self.versions()
+        return os.path.join(self.root, vs[-1]) if vs else None
 
-    def read(self) -> DataFrame | None:
-        d = self.current_version_dir()
-        if d is None:
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Read a committed snapshot.  ``version=None`` → latest;
+        otherwise an index into ``versions()`` (``-2`` = one commit
+        back).  Raises IndexError for a vacuumed/unknown version."""
+        vs = self.versions()
+        if not vs:
             return None
+        name = vs[-1] if version is None else vs[version]
+        d = os.path.join(self.root, name)
+        if not os.path.isdir(d):
+            raise IndexError(f"version {name} has been vacuumed (retain={self.retain})")
         return self.spark.read.parquet(d)
 
     def merge(self, compacted: DataFrame) -> None:
@@ -156,14 +181,18 @@ class ParquetStateSink:
         version = f"v-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, version)
         new_state.write.mode("overwrite").parquet(out_dir)
-        # Atomic pointer swap (rename is atomic on POSIX).
+        # Atomic log swap (rename is atomic on POSIX): rewrite the full
+        # log plus the new version into a temp file, then replace.
+        vs = self.versions() + [version]
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as f:
-            f.write(version)
-        prev = self.current_version_dir()
-        os.replace(tmp, self._pointer())
-        if prev and os.path.isdir(prev):
-            shutil.rmtree(prev, ignore_errors=True)
+            f.write("\n".join(vs) + "\n")
+        os.replace(tmp, self._log_path())
+        # Vacuum snapshots beyond the retention window.
+        for stale in vs[: -self.retain]:
+            d = os.path.join(self.root, stale)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
 
 
 class CdcPipeline:

@@ -365,3 +365,43 @@ def test_schema_drift_maptype_fallback(spark):
     d2 = decode_envelope(raw, map_schema).collect()[0]
     assert d2["after"]["NEW_COL"] == "surprise"
     assert d2["after"]["id"] == "7" and set(d2["after"].keys()) >= {"id", "name", "NEW_COL"}
+
+
+def test_state_sink_time_travel_and_retention(spark, tmp_path):
+    """ParquetStateSink keeps the last `retain` snapshots: read(-2)
+    time-travels one commit back; older versions are vacuumed and raise."""
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    sink = ParquetStateSink(spark, str(tmp_path / "state"), ["id"], ["name"], retain=2)
+
+    def batch(rows):
+        raw = spark.createDataFrame(rows, "value string, offset long")
+        ev = with_change_columns(decode_envelope(raw, ROW_SCHEMA))
+        sink.merge(compact(ev, ["id"]))
+
+    def env(op, key, name, off):
+        img = {"id": key, "name": name}
+        return (
+            json.dumps(
+                {
+                    "before": img if op == "d" else None,
+                    "after": None if op == "d" else img,
+                    "source": SRC,
+                    "op": op,
+                    "ts_ms": 0,
+                }
+            ),
+            off,
+        )
+
+    batch([env("c", 1, "a", 0), env("c", 2, "b", 1)])
+    batch([env("u", 1, "a2", 2)])
+    batch([env("d", 2, "b", 3)])
+
+    assert len(sink.versions()) == 3
+    now = {r["id"]: r["name"] for r in sink.read().collect()}
+    assert now == {1: "a2"}
+    prev = {r["id"]: r["name"] for r in sink.read(version=-2).collect()}
+    assert prev == {1: "a2", 2: "b"}
+    with pytest.raises(IndexError):
+        sink.read(version=0)  # first snapshot vacuumed (retain=2)
