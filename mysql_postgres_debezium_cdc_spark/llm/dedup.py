@@ -759,6 +759,28 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch loop.  A graph needing more than the round cap raises rather
     than silently returning unconverged labels."""
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    comp_sizes = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            "component_id",
+            F.count(F.lit(1)).over(comp_sizes).alias("component_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Min-label propagation with pointer jumping over an undirected
+    pair list (doc_a, doc_b) → (node, component_id) — the loop behind
+    `dedup_connected_components`, factored out so the algorithm is
+    property-testable against a union-find oracle on arbitrary graphs
+    (tests/test_connected_components.py).
+
+    With pointer jumping the label chain halves per round, so
+    ``max_rounds=32`` covers any practical diameter; a graph that has
+    not converged raises instead of returning wrong labels."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -767,8 +789,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("component_id", F.col("node"))
     )
-    max_rounds = 32  # with pointer-jumping: handles diameter up to ~2^32
-    for round_no in range(max_rounds):
+    for _round_no in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node"))
@@ -807,12 +828,4 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"connected-components did not converge within {max_rounds} rounds"
         )
-    comp_sizes = Window.partitionBy("component_id")
-    return (
-        labels.select(
-            F.col("node").alias("doc_id"),
-            "component_id",
-            F.count(F.lit(1)).over(comp_sizes).alias("component_size"),
-        )
-        .orderBy("doc_id")
-    )
+    return labels
