@@ -10,7 +10,10 @@ broadcast-hash join with zero shuffle of the fact table; the only
 shuffles are the final aggregations, which run partial (map-side) first.
 At 100 TB, customer stops being broadcastable — the plan degrades
 gracefully to a shuffle join on o_custkey and AQE handles skew; nothing
-in the query text changes.
+in the query text changes.  That graceful degradation only works if the
+queries do NOT force it: only scale-independent frames carry an explicit
+broadcast hint (``operators/hints.py``); customer/supplier/part joins are
+unhinted and broadcast because the threshold says so, not because we do.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mysql_postgres_debezium_cdc_spark.operators.hints import maybe_broadcast
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
@@ -87,9 +91,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 (flagship): broadcast(customer) ⋈ orders ⋈ lineitem → agg → top-10.
+    """TPC-H Q3 (flagship): customer ⋈ orders ⋈ lineitem → agg → top-10.
 
-    customer filtered to one segment is tiny relative to the facts, so it is
+    customer filtered to one segment is tiny relative to the facts, so the
+    broadcast threshold plans a broadcast join for it at bench SF — unhinted,
+    so at 100× it degrades to a shuffle join instead of a forced multi-GB
     broadcast; orders⋈lineitem co-shuffles on the order key.  ORDER BY has a
     unique tie-break (l_orderkey) so LIMIT is deterministic across engines.
     """
@@ -111,7 +117,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             # date outputs go out as formatted strings: date objects
@@ -151,7 +157,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: five-way join; every dimension side broadcast."""
+    """TPC-H Q5: five-way join; nation/region hinted (fixed cardinality),
+    customer/supplier broadcast by threshold only."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = (
         load(spark, sf_dir, "orders")
@@ -170,13 +177,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            maybe_broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(maybe_broadcast(nation, bounded=True), supp.s_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(region, bounded=True), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -258,8 +265,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(nation, bounded=True), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -325,10 +332,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), supp.s_nationkey == n1.nk1)
-        .join(F.broadcast(n2), cust.c_nationkey == n2.nk2)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(n1, bounded=True), supp.s_nationkey == n1.nk1)
+        .join(maybe_broadcast(n2, bounded=True), cust.c_nationkey == n2.nk2)
         .where(pair)
         .groupBy(
             "supp_nation",
@@ -404,7 +411,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -450,11 +457,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+            # per-order aggregate: grows with SF, so no hint — AQE promotes
+            # it to a broadcast at runtime when the HAVING leaves it small
+            maybe_broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
             li.l_orderkey == F.col("big_key"),
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_custkey",
             "c_name",
@@ -515,7 +524,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
             F.round(

@@ -8,7 +8,10 @@ commit/receipt dates, so the queries that depend on them (2, 9, 11, 16,
 Join/agg/subquery shape — which is what exercises the engine — is
 preserved query-for-query.
 
-Scale notes: every dim join here broadcasts at bench SF; fact-side
+Scale notes: every dim join here broadcasts at bench SF — via the
+threshold for SF-growing tables, via an explicit hint only for
+scale-independent frames (nation/region, 1-row scalar aggregates; see
+``operators/hints.py``); fact-side
 aggregates are partial (map-side) before the shuffle; scalar subqueries
 (q11, q15, q17, q22) become Catalyst ``ScalarSubquery`` reuse nodes, not
 driver collects; the q21 exists/not-exists pair is formulated as ONE
@@ -21,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from mysql_postgres_debezium_cdc_spark.operators.hints import maybe_broadcast
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
@@ -64,9 +68,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     eligible = (
-        F.broadcast(p)
+        maybe_broadcast(p)
         .join(ps, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(maybe_broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "s_acctbal", "s_nationkey")
     )
     best = eligible.groupBy("p_partkey").agg(F.min("s_acctbal").alias("min_bal"))
@@ -75,7 +79,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             best.withColumnRenamed("p_partkey", "bp"),
             (F.col("p_partkey") == F.col("bp")) & (F.col("s_acctbal") == F.col("min_bal")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(maybe_broadcast(n, bounded=True), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
@@ -164,19 +168,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n1 = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+    n1 = n.join(maybe_broadcast(r, bounded=True), F.col("n_regionkey") == F.col("r_regionkey")).select(
         F.col("n_nationkey").alias("c_nkey")
     )
     n2 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     sales = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(n1, bounded=True), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(n2, bounded=True), F.col("s_nationkey") == F.col("s_nkey"))
         .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
     )
     share = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
@@ -216,9 +220,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(n, bounded=True), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
@@ -254,15 +258,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     s = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 6).select("s_suppkey")
     pv = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
         .persist()
     )
     threshold = pv.agg((F.sum("value") * 0.002).alias("t"))
     return (
-        pv.join(F.broadcast(threshold))
+        # 1-row scalar aggregate: bounded at any SF, hint is safe + needed
+        pv.join(maybe_broadcast(threshold, bounded=True))
         .where(F.col("value") > F.col("t"))
         .select(F.col("l_partkey").alias("p_partkey"), F.round("value", 2).alias("value"))
         .orderBy(F.desc("value"), "p_partkey")
@@ -338,9 +343,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        F.broadcast(s)
+        maybe_broadcast(s)
         .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(F.broadcast(mx))
+        .join(maybe_broadcast(mx, bounded=True))
         .where(F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -374,8 +379,8 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -407,7 +412,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(pavg, F.col("l_partkey") == F.col("ak"))
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -441,7 +446,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
     heavy = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .where(F.col("q") > 100)
@@ -508,7 +513,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_order.join(F.broadcast(s), F.col("blamed") == F.col("s_suppkey"))
+        per_order.join(maybe_broadcast(s), F.col("blamed") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -552,7 +557,8 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     return (
-        c.join(F.broadcast(avg_bal))
+        # 1-row scalar aggregate: bounded at any SF
+        c.join(maybe_broadcast(avg_bal, bounded=True))
         .where(F.col("c_acctbal") > F.col("ab"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))

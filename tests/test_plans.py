@@ -18,6 +18,47 @@ def _plan(spark, name):
     return plan_report(all_queries()[name].fn(spark, SF_DIR_SMOKE))
 
 
+def test_no_forced_broadcast_on_scale_growing_tables(spark):
+    """An explicit broadcast hint OVERRIDES autoBroadcastJoinThreshold, so a
+    hint on a frame that grows with scale factor forces a multi-GB broadcast
+    build at 100× — executor OOM.  Every ResolvedHint in the TPC-H family
+    must wrap a frame that is provably scale-independent: a bounded maxRows
+    (1-row scalar aggregates) or a subtree whose scans read only the
+    fixed-cardinality dims (nation = 25 rows, region = 5 — their columns are
+    n_*/r_*-prefixed).  customer/supplier/part/orders/lineitem-derived
+    frames must reach Catalyst UNHINTED (operators/hints.py policy)."""
+    from mysql_postgres_debezium_cdc_spark.operators.hints import BOUNDED_MAX_ROWS
+
+    checked, offenders = 0, []
+    for name, spec in all_queries().items():
+        if "tpch" not in spec.tags and "sql-api" not in spec.tags:
+            continue
+        checked += 1
+        analyzed = spec.fn(spark, SF_DIR_SMOKE)._jdf.queryExecution().analyzed()
+        stack = [analyzed]
+        while stack:
+            node = stack.pop()
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+            if node.nodeName() != "ResolvedHint":
+                continue
+            child = ch.apply(0)
+            max_rows = child.maxRows()
+            if max_rows.isDefined() and max_rows.get() <= BOUNDED_MAX_ROWS:
+                continue  # scalar aggregate / tiny limit: bounded at any SF
+            leaves = child.collectLeaves()
+            cols = []
+            for i in range(leaves.size()):
+                out = leaves.apply(i).output()
+                cols += [out.apply(j).name() for j in range(out.size())]
+            if cols and all(c.startswith(("n_", "r_")) for c in cols):
+                continue  # reads only fixed-cardinality dims
+            offenders.append((name, child.nodeName(), cols[:8]))
+    assert checked >= 20, f"tag sweep found only {checked} TPC-H queries"
+    assert not offenders, f"forced broadcast on scale-growing frames: {offenders}"
+
+
 def test_q1_is_pure_partial_agg(spark):
     r = _plan(spark, "q1_pricing_summary")
     # scan → partial agg → 1 shuffle → final agg → sort: no joins at all
