@@ -220,12 +220,21 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     to pandas aggregates — each group's rows all reach one executor —
     so at scale, keys must outnumber cores and no key may dominate;
     both hold for the flag domain here and the salting devices in
-    plans/skew.py are the mitigation when they don't.)"""
+    plans/skew.py are the mitigation when they don't.)
+
+    Both float sums run over value-sorted arrays: a group's rows arrive
+    in partition order, which changes across re-partitionings, and
+    float addition is not associative — sorting first makes the result
+    a pure function of the group's multiset, so the rounded output
+    can't flip on a half-cent tie when the cluster layout changes."""
+    import numpy as np
     import pandas as pd
 
     @F.pandas_udf(T.DoubleType())
     def wavg(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        num = np.sort((price * qty).to_numpy())
+        den = np.sort(qty.to_numpy())
+        return float(num.sum() / den.sum())
 
     li = load(spark, sf_dir, "lineitem")
     return (

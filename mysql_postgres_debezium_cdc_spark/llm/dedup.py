@@ -159,9 +159,15 @@ def _feature_id(col) -> "F.Column":
     r1 design ranked distinct shingles instead, costing a distinct
     shuffle + rank window + id join per query).  The accumulator stays
     < 2³¹ so acc·31+char never approaches int64 overflow under either
-    engine's ANSI semantics."""
+    engine's ANSI semantics.
+
+    Empty elements are filtered before the fold: Spark ≥ 3.4 drops the
+    trailing '' that split-by-empty-regex emits on older versions, and
+    folding that '' would add a silent (acc·31 + 0) step — the filter
+    makes the hash split-semantics-independent instead of relying on
+    the pinned Spark version's special case."""
     return F.aggregate(
-        F.split(col, ""),
+        F.filter(F.split(col, ""), lambda c: F.length(c) > 0),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % MH_PRIME,
     )

@@ -218,12 +218,15 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_resample_ffill_1h",
     oracle="""
     WITH hourly AS (
-      -- integer-cents math: FLOOR(value*100) and BIGINT // division are
-      -- bit-deterministic in both engines, where ROUND(AVG(double), 2)
-      -- ties at the half-cent differently per summation order
+      -- integer-cents math: FLOOR(value*100) sums exactly as BIGINT, and
+      -- FLOOR(sum/count) applies the SAME rounding in both engines even
+      -- for negative sums (Spark DIV truncates toward zero where DuckDB
+      -- // floors — they diverge by 1 cent on negative odd sums, so
+      -- neither appears here).  ROUND(AVG(double), 2) would tie at the
+      -- half-cent differently per summation order.
       SELECT event_type, DATE_TRUNC('hour', ts) AS h,
-             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
-                  // COUNT(*) AS BIGINT) AS v_cents,
+             CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS v_cents,
              COUNT(*) AS n
       FROM events GROUP BY event_type, h
     ),
@@ -266,9 +269,14 @@ def events_resample_ffill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
     hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
-        F.expr("CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) DIV COUNT(*) AS BIGINT)").alias(
-            "v_cents"
-        ),
+        # FLOOR(sum/count), not DIV: DIV truncates toward zero while the
+        # oracle-side // floors — identical only for non-negative sums.
+        F.floor(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("v_cents"),
         F.count(F.lit(1)).alias("n"),
     )
     bounds = ev.agg(

@@ -3,8 +3,10 @@
 Window functions shuffle once on PARTITION BY and sort within partitions.
 Skew note for 100 TB: a hot partition key serializes into one task — for
 running aggregates over a global order, prefer keyed partitions (as
-here); never Window with no PARTITION BY on a fact table (single-task
-sort) — the one global-order query in this file runs on a dimension.
+here); never Window with no PARTITION BY (single-task sort) — the one
+global-order requirement in this file (NTILE) is decomposed into
+range-chunked local ranks + a prefix-sum over per-chunk counts, so no
+operator ever sees the whole table in one task.
 """
 
 from __future__ import annotations
@@ -12,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mysql_postgres_debezium_cdc_spark.operators.hints import maybe_broadcast
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
@@ -151,13 +154,61 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile"),
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global NTILE on a dimension (bounded size; see module scale note)."""
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
-    ).orderBy("c_custkey")
+    """Exact global NTILE(4) with NO unpartitioned window.
+
+    ``Window.orderBy`` without PARTITION BY funnels the whole table
+    through one task (the ``WindowExec: No Partition Defined`` warning)
+    — fine on 60k rows, a serialization point at 100 TB since customer
+    grows with SF.  Scale-safe decomposition with identical semantics:
+
+    1. ``repartitionByRange`` on the NTILE order — a parallel global
+       sort; chunk i holds rows strictly before chunk i+1 (the order
+       key is total: c_custkey breaks acctbal ties).
+    2. per-chunk ``row_number`` (keyed window, parallel).
+    3. per-chunk counts (≤ n_chunks rows) cross-joined with themselves
+       to get each chunk's prefix-sum offset AND the grand total in one
+       tiny aggregation — no global window even over the counts.
+    4. global rank = local rank + chunk offset; the NTILE bucket is then
+       pure arithmetic: with n rows and k=4, the first n%4 buckets get
+       ⌈n/4⌉ rows, the rest ⌊n/4⌋ — exactly DuckDB/ANSI NTILE, so the
+       oracle stays a literal NTILE(4).
+    """
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    n_chunks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    chunked = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .repartitionByRange(n_chunks, *order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = chunked.withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*order)).cast("bigint"),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    other = counts.select(F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2"))
+    stats = (
+        counts.crossJoin(maybe_broadcast(other, bounded=True))  # ≤ n_chunks² rows
+        .groupBy("_pid")
+        .agg(
+            F.sum(
+                F.when(F.col("_pid2") < F.col("_pid"), F.col("_cnt2")).otherwise(F.lit(0))
+            ).alias("_off"),
+            F.sum("_cnt2").alias("_n"),
+        )
+    )
+    rn = F.col("_lrn") + F.col("_off")
+    q = F.floor(F.col("_n") / 4)
+    r = F.col("_n") % 4
+    big = r * (q + 1)  # rows living in the ⌈n/4⌉-sized buckets
+    bucket = F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        local.join(maybe_broadcast(stats, bounded=True), "_pid")
+        .select("c_custkey", bucket.cast("bigint").alias("bal_quartile"))
+        .orderBy("c_custkey")
+    )
 
 
 @register(

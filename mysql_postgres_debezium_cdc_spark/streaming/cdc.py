@@ -122,15 +122,21 @@ class ParquetStateSink:
     version RETENTION and time-travel reads.
 
     ``merge`` reads the current snapshot, applies a compacted batch and
-    writes a new snapshot directory, then atomically appends to a
-    ``_LOG`` pointer file (one committed version name per line, append +
-    rename — a poor man's Delta transaction log sufficient for
-    single-writer streams; Structured Streaming guarantees one active
-    foreachBatch writer per query).  The last ``retain`` committed
-    versions stay on disk: ``read(version=-2)`` time-travels one commit
-    back — what debugging a bad upstream batch or auditing a replica
-    actually needs — and older snapshots are vacuumed on commit.  On a
-    cluster, swap this class for ``DeltaTable.merge`` (with its own log
+    writes a new snapshot directory, then atomically replaces a ``_LOG``
+    pointer file (write-temp + rename, atomic on POSIX — a poor man's
+    Delta transaction log sufficient for single-writer streams;
+    Structured Streaming guarantees one active foreachBatch writer per
+    query).  Each log line is ``<seq>\\t<name>`` where ``seq`` is a
+    monotonic commit counter, and the rewritten log holds only the
+    retained TAIL — commit cost and log size stay O(retain) on a
+    stream that commits forever, instead of growing O(n_commits).  The
+    last ``retain`` committed versions stay on disk:
+    ``read(version=-2)`` time-travels one commit back (relative), and
+    ``read(version=7)`` addresses absolute commit seq 7 — what
+    debugging a bad upstream batch or auditing a replica actually
+    needs.  Older snapshots are vacuumed on commit by listing the root
+    directory (never by replaying historical names).  On a cluster,
+    swap this class for ``DeltaTable.merge`` (with its own log
     retention / VACUUM) and nothing upstream changes."""
 
     def __init__(
@@ -151,13 +157,28 @@ class ParquetStateSink:
     def _log_path(self) -> str:
         return os.path.join(self.root, "_LOG")
 
-    def versions(self) -> list[str]:
-        """Committed version names, oldest → newest."""
+    def _log_entries(self) -> list[tuple[int, str]]:
+        """Retained ``(seq, name)`` tail, oldest → newest."""
         try:
             with open(self._log_path()) as f:
-                return [ln.strip() for ln in f if ln.strip()]
+                entries = []
+                for ln in f:
+                    ln = ln.strip()
+                    if ln:
+                        seq, name = ln.split("\t", 1)
+                        entries.append((int(seq), name))
+                return entries
         except FileNotFoundError:
             return []
+
+    def versions(self) -> list[str]:
+        """Retained committed version names, oldest → newest."""
+        return [name for _, name in self._log_entries()]
+
+    def latest_seq(self) -> int:
+        """Monotonic seq of the newest commit (-1 before any commit)."""
+        entries = self._log_entries()
+        return entries[-1][0] if entries else -1
 
     def current_version_dir(self) -> str | None:
         vs = self.versions()
@@ -165,12 +186,29 @@ class ParquetStateSink:
 
     def read(self, version: int | None = None) -> DataFrame | None:
         """Read a committed snapshot.  ``version=None`` → latest;
-        otherwise an index into ``versions()`` (``-2`` = one commit
-        back).  Raises IndexError for a vacuumed/unknown version."""
-        vs = self.versions()
-        if not vs:
+        negative → relative to the latest retained commit (``-2`` = one
+        commit back); non-negative → absolute commit seq.  Raises
+        IndexError for a vacuumed/unknown version."""
+        entries = self._log_entries()
+        if not entries:
             return None
-        name = vs[-1] if version is None else vs[version]
+        if version is None:
+            name = entries[-1][1]
+        elif version < 0:
+            if -version > len(entries):
+                raise IndexError(
+                    f"relative version {version} outside the retained "
+                    f"window of {len(entries)} commits (retain={self.retain})"
+                )
+            name = entries[version][1]
+        else:
+            by_seq = dict(entries)
+            if version not in by_seq:
+                raise IndexError(
+                    f"commit seq {version} has been vacuumed or never "
+                    f"committed (retained: {sorted(by_seq)}, retain={self.retain})"
+                )
+            name = by_seq[version]
         d = os.path.join(self.root, name)
         if not os.path.isdir(d):
             raise IndexError(f"version {name} has been vacuumed (retain={self.retain})")
@@ -178,21 +216,27 @@ class ParquetStateSink:
 
     def merge(self, compacted: DataFrame) -> None:
         new_state = apply_changes(self.read(), compacted, self.pk_cols, self.row_cols)
-        version = f"v-{uuid.uuid4().hex[:12]}"
+        entries = self._log_entries()
+        seq = entries[-1][0] + 1 if entries else 0
+        version = f"v-{seq:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, version)
         new_state.write.mode("overwrite").parquet(out_dir)
-        # Atomic log swap (rename is atomic on POSIX): rewrite the full
-        # log plus the new version into a temp file, then replace.
-        vs = self.versions() + [version]
+        # Atomic log swap (rename is atomic on POSIX).  Only the retained
+        # tail is rewritten, so the log never grows with stream lifetime;
+        # the monotonic seq keeps absolute version addressing stable.
+        tail = (entries + [(seq, version)])[-self.retain :]
         fd, tmp = tempfile.mkstemp(dir=self.root)
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(vs) + "\n")
+            f.write("\n".join(f"{s}\t{n}" for s, n in tail) + "\n")
         os.replace(tmp, self._log_path())
-        # Vacuum snapshots beyond the retention window.
-        for stale in vs[: -self.retain]:
-            d = os.path.join(self.root, stale)
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
+        # Vacuum snapshots beyond the retention window by listing the
+        # root — O(live dirs), not O(historical commits).
+        keep = {name for _, name in tail}
+        for entry in os.listdir(self.root):
+            if entry.startswith("v-") and entry not in keep:
+                d = os.path.join(self.root, entry)
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
 
 
 class CdcPipeline:

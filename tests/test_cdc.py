@@ -368,8 +368,10 @@ def test_schema_drift_maptype_fallback(spark):
 
 
 def test_state_sink_time_travel_and_retention(spark, tmp_path):
-    """ParquetStateSink keeps the last `retain` snapshots: read(-2)
-    time-travels one commit back; older versions are vacuumed and raise."""
+    """ParquetStateSink keeps the last `retain` snapshots AND truncates
+    its log to the retained tail (O(retain) commit cost forever, not
+    O(n_commits)); read(-2) time-travels one commit back, non-negative
+    versions address the monotonic commit seq, vacuumed versions raise."""
     from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
 
     sink = ParquetStateSink(spark, str(tmp_path / "state"), ["id"], ["name"], retain=2)
@@ -398,10 +400,21 @@ def test_state_sink_time_travel_and_retention(spark, tmp_path):
     batch([env("u", 1, "a2", 2)])
     batch([env("d", 2, "b", 3)])
 
-    assert len(sink.versions()) == 3
+    # log holds only the retained tail; the seq counter stays monotonic
+    assert len(sink.versions()) == 2
+    assert sink.latest_seq() == 2
     now = {r["id"]: r["name"] for r in sink.read().collect()}
     assert now == {1: "a2"}
     prev = {r["id"]: r["name"] for r in sink.read(version=-2).collect()}
     assert prev == {1: "a2", 2: "b"}
+    # absolute addressing by commit seq: seq 1 is retained, seq 0 vacuumed
+    assert {r["id"]: r["name"] for r in sink.read(version=1).collect()} == prev
     with pytest.raises(IndexError):
         sink.read(version=0)  # first snapshot vacuumed (retain=2)
+    with pytest.raises(IndexError):
+        sink.read(version=-3)  # outside the retained relative window
+    # exactly `retain` snapshot dirs remain on disk
+    import os
+
+    dirs = [d for d in os.listdir(tmp_path / "state") if d.startswith("v-")]
+    assert len(dirs) == 2

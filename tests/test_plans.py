@@ -130,6 +130,16 @@ def test_topk_per_group_window_is_partitioned(spark):
     assert "Arguments: SinglePartition" not in r.text
 
 
+def test_window_ntile_has_no_single_task_stage(spark):
+    """The decomposed NTILE must contain NO unpartitioned window: no
+    Exchange SinglePartition anywhere in the plan (the only windows are
+    keyed by the range-chunk id), so no stage sees the whole table in
+    one task at any scale."""
+    r = _plan(spark, "window_ntile")
+    assert "Window" in r.ops, r.ops  # the keyed per-chunk row_number
+    assert "Arguments: SinglePartition" not in r.text, r.text[:3000]
+
+
 def test_q11_reuses_aggregation_for_threshold(spark):
     """The scalar-subquery threshold must reuse the per-part aggregate
     (persisted), not recompute the lineitem join from scratch."""
