@@ -99,8 +99,20 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> DataFrame:
+def _shingles(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Distinct word-k-gram shingles per document: (doc_id, shingle).
+
+    ``max_doc_freq`` (default off) drops shingles appearing in more than
+    that many documents — the document-frequency cut that removes
+    stopword-run shingles BEFORE they form quadratic buckets downstream.
+    It costs one extra shuffle on the shingle (a keyed window count), so
+    it is an explicit opt-in lever: at 100 TB you always want it; at
+    oracle scale it stays off so results match the uncapped SQL.
 
     Per-doc dedup happens INLINE with ``array_distinct`` before the
     explode — shingle sets are per-document, so a corpus-wide
@@ -148,7 +160,15 @@ def _shingles(spark: SparkSession, sf_dir: str, max_docs: int | None = None) -> 
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    out = t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    if max_doc_freq is not None:
+        w = Window.partitionBy("shingle")
+        out = (
+            out.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    return out
 
 
 def _feature_id(col) -> "F.Column":
@@ -184,6 +204,9 @@ def _pairs_from_bucket(
     bucketed: DataFrame,
     docs_col: str = "docs",
     fields: dict[str, tuple[str, str]] | None = None,
+    max_doc_freq: int | None = None,
+    max_bucket_width: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Expand a bucketed inverted index into candidate (doc_a, doc_b) pairs.
 
@@ -200,10 +223,49 @@ def _pairs_from_bucket(
     (no self-join): for a bucket of d docs this emits d(d-1)/2 pairs,
     exactly what a self-join on the bucket key would emit, but with ONE
     shuffle (the groupBy that built the bucket) instead of two
-    join-side shuffles.  Hot buckets are the skew lever either way — at
-    100 TB, cap bucket width (document frequency) upstream before this
-    expands."""
+    join-side shuffles.
+
+    Hot buckets are the skew lever: a degenerate bucket (stopword
+    shingle, all-zeros LSH band) expands quadratically INLINE — a
+    million-doc bucket would emit 5·10¹¹ pairs inside one task.  Two
+    production caps, both OFF by default so sf-scale oracle results are
+    exact:
+
+    - ``max_doc_freq``: DROP buckets wider than this entirely — the
+      classic stopword/document-frequency cut.  A feature shared by
+      that many documents carries no discriminative signal, so at
+      100 TB this is the right default lever.
+    - ``max_bucket_width``: TRUNCATE a bucket to its first N docs
+      (arrays are sorted ascending, so the kept prefix — and therefore
+      every emitted pair — is deterministic and identical to the
+      uncapped run's subset).  Use when dropping a hot bucket outright
+      is too lossy.
+
+    Capping only ever REMOVES pairs; surviving pairs are bit-identical
+    to the uncapped expansion (property-tested).  Pass an
+    ``Observation`` as ``observation`` to record how many buckets each
+    cap touched (``n_dropped_buckets`` / ``n_truncated_buckets``) on
+    the run — silent truncation would read as full coverage."""
     docs = F.col(docs_col)
+    if observation is not None:
+        width = F.size(docs)
+        bucketed = bucketed.observe(
+            observation,
+            F.sum(
+                (width > (max_doc_freq if max_doc_freq is not None else width)).cast("long")
+            ).alias("n_dropped_buckets"),
+            F.sum(
+                (
+                    (width <= (max_doc_freq if max_doc_freq is not None else width))
+                    & (width > (max_bucket_width if max_bucket_width is not None else width))
+                ).cast("long")
+            ).alias("n_truncated_buckets"),
+            F.max(width).alias("widest_bucket"),
+        )
+    if max_doc_freq is not None:
+        bucketed = bucketed.where(F.size(docs) <= max_doc_freq)
+    if max_bucket_width is not None:
+        docs = F.slice(docs, 1, max_bucket_width)
 
     def pair_struct(x, y):
         if fields is None:
@@ -287,7 +349,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_freq: int | None = None,
+    max_bucket_width: int | None = None,
+    observation=None,
+) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) —
     the shared edge set for `dedup_ngram_jaccard` and the clustering in
     `dedup_connected_components`.  See `dedup_ngram_jaccard` for the
@@ -313,7 +381,13 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("docs") > 1)
     )
     common = (
-        _pairs_from_bucket(buckets, fields={"n_sh": ("na", "nb")})
+        _pairs_from_bucket(
+            buckets,
+            fields={"n_sh": ("na", "nb")},
+            max_doc_freq=max_doc_freq,
+            max_bucket_width=max_bucket_width,
+            observation=observation,
+        )
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -579,6 +653,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COS_NEARDUP_THRESHOLD = 0.35
 
+# Hard input bound for the exact O(n²) baseline: past this, refuse to run
+# rather than silently launch a quadratic cross join (50k vectors already
+# mean ~1.25e9 scored pairs).  The scale path is dedup_embedding_lsh.
+EXACT_NEARDUP_MAX_ROWS = 50_000
+
 
 @register(
     "dedup_embedding_cosine",
@@ -598,17 +677,30 @@ COS_NEARDUP_THRESHOLD = 0.35
     """,
     tags=("llm", "dedup", "embedding"),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_rows: int = EXACT_NEARDUP_MAX_ROWS
+) -> DataFrame:
     """Embedding-cosine near-dup pairs — the exact all-pairs baseline.
 
     Broadcast nested-loop over the embedding table with the dot product
     in Catalyst higher-order functions (zip_with/aggregate) — JVM-side,
-    no Python.  O(n²) by definition: this is the *verification* kernel.
-    At 100 TB you never run it globally — `ann_lsh_topk`'s
-    random-hyperplane buckets (or `ann_ivf_topk`'s cells) generate the
-    candidate pairs and this exact cosine runs per bucket, which is the
-    same composition the MinHash family uses for text."""
+    no Python.  O(n²) by definition: this is the *verification* kernel,
+    and it GUARDS its own input cardinality — past ``max_rows`` it
+    raises instead of silently launching a quadratic cross join,
+    pointing at `dedup_embedding_lsh` (bucketed candidates + this same
+    exact cosine on candidates only), which is the path a 100 TB corpus
+    must take.  The count probe is parquet-metadata-cheap and runs once
+    per invocation."""
     emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact O(n²) baseline: {n:,} input "
+            f"vectors would score ~{n * (n - 1) // 2:,} pairs "
+            f"(guard: max_rows={max_rows:,}).  Use dedup_embedding_lsh — "
+            "LSH-bucketed candidates verified by the same exact cosine — "
+            "or raise max_rows explicitly if you really mean it."
+        )
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"), _norm(as_double).alias("nrm_a")

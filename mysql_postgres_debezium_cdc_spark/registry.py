@@ -137,9 +137,12 @@ def register(
 
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, *args, **kwargs) -> DataFrame:
+            # Extra args pass through for operators with tuning levers
+            # (e.g. cardinality guards); the driver always calls (spark,
+            # sf_dir) so registered defaults govern oracle comparisons.
             ensure_session_confs(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")

