@@ -37,15 +37,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        # best-of-3 on top of the warmup pass: report steady-state time
+        # best-of-n on top of the warmup pass: report steady-state time
         # (single runs on a shared box spike 2-3x from CPU contention).
+        # Short queries get double the samples: a 0.2s query's timing is
+        # dominated by scheduler noise, and r2->r3 showed sub-second
+        # "regressions" (stream_tumbling_window 0.23->0.73s) that were
+        # pure jitter — extra reps make small numbers decisive.
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()  # drop per-query persists between runs
+        for reps in (5, 3):
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()  # drop per-query persists between runs
+            if best >= 0.8:  # long queries: 5 reps already decisive
+                break
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
