@@ -27,17 +27,44 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+#: DBAPI paramstyle → placeholder text.  sqlite3 is ``qmark``;
+#: psycopg2/pg8000 (Postgres, the reference's actual sink) are
+#: ``format``.  Statement TEXT is otherwise identical across dialects —
+#: Postgres and sqlite share the ``ON CONFLICT`` grammar the reference
+#: emits (Consumer.java:210-211).
+_PLACEHOLDERS = {"qmark": "?", "format": "%s"}
+
+
+def _placeholder(paramstyle: str) -> str:
+    try:
+        return _PLACEHOLDERS[paramstyle]
+    except KeyError:
+        raise ValueError(
+            f"unsupported paramstyle {paramstyle!r}; known: {sorted(_PLACEHOLDERS)}"
+        ) from None
+
+
 def _ident(name: str) -> str:
     """Lower-cased identifier, validated against injection (the reference
-    interpolates identifiers into SQL text; we at least fence them)."""
+    interpolates identifiers into SQL text; we at least fence them).
+    Lower-casing matches Consumer.java:208-210 AND Postgres's own folding
+    of unquoted identifiers — emitting unquoted lowercase means the
+    statement hits the same table/columns whether the DDL quoted its
+    identifiers or not, on Postgres and sqlite alike."""
     low = name.lower()
     if not low.replace("_", "").isalnum():
         raise ValueError(f"unsafe identifier: {name!r}")
     return low
 
 
-def build_upsert_sql(table: str, row_cols: Sequence[str], pk_cols: Sequence[str]) -> str:
+def build_upsert_sql(
+    table: str,
+    row_cols: Sequence[str],
+    pk_cols: Sequence[str],
+    paramstyle: str = "qmark",
+) -> str:
     """``INSERT … ON CONFLICT (pk) DO UPDATE SET …`` (W1 parity)."""
+    ph = _placeholder(paramstyle)
     cols = [_ident(c) for c in row_cols]
     pks = [_ident(c) for c in pk_cols]
     missing = [c for c in pks if c not in cols]
@@ -50,15 +77,16 @@ def build_upsert_sql(table: str, row_cols: Sequence[str], pk_cols: Sequence[str]
         action = "DO NOTHING"
     return (
         f"INSERT INTO {_ident(table)} ({', '.join(cols)}) "
-        f"VALUES ({', '.join('?' for _ in cols)}) "
+        f"VALUES ({', '.join(ph for _ in cols)}) "
         f"ON CONFLICT ({', '.join(pks)}) {action}"
     )
 
 
-def build_delete_sql(table: str, pk_cols: Sequence[str]) -> str:
+def build_delete_sql(table: str, pk_cols: Sequence[str], paramstyle: str = "qmark") -> str:
     """``DELETE FROM t WHERE pk1 = ? AND pk2 = ?`` (W2 parity;
     multi-column PKs ANDed exactly as Consumer.java:242-244)."""
-    cond = " AND ".join(f"{_ident(c)} = ?" for c in pk_cols)
+    ph = _placeholder(paramstyle)
+    cond = " AND ".join(f"{_ident(c)} = {ph}" for c in pk_cols)
     return f"DELETE FROM {_ident(table)} WHERE {cond}"
 
 
@@ -69,10 +97,11 @@ class DbapiKeyedSink:
     ``connection_factory`` must be picklable (it runs inside executor
     tasks) and return a fresh DBAPI connection — e.g.
     ``functools.partial(sqlite3.connect, path)`` or a psycopg2/pg8000
-    connect wrapper.  ``n_partitions`` bounds writer concurrency (= max
-    simultaneous connections against the target database); at scale this
-    is the knob that keeps a 1000-task stage from opening 1000
-    connections.
+    connect wrapper.  ``paramstyle`` must match the driver's
+    (sqlite3 = "qmark", psycopg2/pg8000 = "format").  ``n_partitions``
+    bounds writer concurrency (= max simultaneous connections against
+    the target database); at scale this is the knob that keeps a
+    1000-task stage from opening 1000 connections.
     """
 
     def __init__(
@@ -83,6 +112,7 @@ class DbapiKeyedSink:
         row_cols: Sequence[str],
         batch_size: int = 1000,
         n_partitions: int | None = None,
+        paramstyle: str = "qmark",
     ):
         self.connection_factory = connection_factory
         self.table = table
@@ -91,8 +121,8 @@ class DbapiKeyedSink:
         self.insert_cols = self.pk_cols + self.row_cols
         self.batch_size = batch_size
         self.n_partitions = n_partitions
-        self.upsert_sql = build_upsert_sql(table, self.insert_cols, pk_cols)
-        self.delete_sql = build_delete_sql(table, pk_cols)
+        self.upsert_sql = build_upsert_sql(table, self.insert_cols, pk_cols, paramstyle)
+        self.delete_sql = build_delete_sql(table, pk_cols, paramstyle)
 
     def apply(self, compacted: DataFrame, is_delete_col: str = "_is_delete") -> None:
         """Write one compacted micro-batch in ``streaming.cdc.compact``

@@ -162,6 +162,59 @@ class CdcConfig:
         return cls(pk=pk, table_map=table_map)
 
 
+#: The schema Spark's Kafka source emits at runtime (spark-sql-kafka's
+#: fixed output columns).  Tests project a static frame with THIS schema
+#: through `project_kafka_frame` so the projection/cast plumbing is
+#: value-checked even when no broker (or connector jar) is present —
+#: the only untested piece is then the socket itself.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    subscribe_pattern: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """Reader options for the reference's S1 source, as data.
+
+    Mirrors the reference consumer's subscription: regex multi-topic
+    (topic.regex, config.properties:6), offsets from earliest
+    (auto.offset.reset, Consumer.java:111), and no fail-on-data-loss —
+    the reference's at-least-once + idempotent-sink stance tolerates
+    retention-expired offsets (Consumer.java:210-211 makes replays
+    converge)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribePattern": subscribe_pattern,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
+def project_kafka_frame(df: DataFrame) -> DataFrame:
+    """Project the raw Kafka frame to (topic, partition, offset, key,
+    value, timestamp) with key/value cast binary → string (Debezium
+    JSON envelopes are UTF-8 text), ready for ``decode_envelope``."""
+    return df.select(
+        "topic",
+        "partition",
+        "offset",
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "timestamp",
+    )
+
+
 def kafka_cdc_source(
     spark,
     bootstrap_servers: str,
@@ -171,27 +224,17 @@ def kafka_cdc_source(
     """The reference's S1 source: regex multi-topic Kafka subscription
     (topic.regex in config.properties:6) as a Structured Streaming scan.
 
-    Returns the raw Kafka frame projected to (topic, partition, offset,
-    key, value, timestamp) with key/value as strings, ready for
-    ``decode_envelope``.  Not exercised in tests (no broker in the
-    container); the decode/compact/merge path downstream is identical
-    for file- and memory-fed streams, which ARE tested.
+    Options and projection are split into `kafka_reader_options` /
+    `project_kafka_frame` so both are unit-tested without a broker
+    (tests/test_kafka_source.py); a live integration test runs when
+    ``SPARK_KAFKA_BOOTSTRAP`` is set.  The decode/compact/merge path
+    downstream is identical for file- and memory-fed streams, which are
+    tested end-to-end.
     """
-    return (
+    return project_kafka_frame(
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribePattern", subscribe_pattern)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+        .options(**kafka_reader_options(bootstrap_servers, subscribe_pattern, starting_offsets))
         .load()
-        .select(
-            "topic",
-            "partition",
-            "offset",
-            F.col("key").cast("string").alias("key"),
-            F.col("value").cast("string").alias("value"),
-            "timestamp",
-        )
     )
 
 

@@ -55,6 +55,58 @@ def test_unsafe_identifier_rejected():
         build_delete_sql("t", ["a = 1 OR"])
 
 
+@pytest.mark.parametrize(
+    "paramstyle,ph",
+    [("qmark", "?"), ("format", "%s")],  # sqlite3 | psycopg2/pg8000 (Postgres)
+)
+def test_dialect_matrix_statement_text(paramstyle, ph):
+    """Per-dialect statement text, asserted exactly without a live
+    Postgres: identifier lower-casing (Consumer.java:208-210), PK
+    exclusion from the SET list (:225), the all-PK DO NOTHING
+    degenerate (:228-230), and the driver's placeholder style.  The
+    reference's sink statement (Consumer.java:210-211) is the
+    ``format``-dialect row of this matrix."""
+    up = build_upsert_sql("Customers", ["ID", "First_Name", "email"], ["id"], paramstyle)
+    assert up == (
+        f"INSERT INTO customers (id, first_name, email) VALUES ({ph}, {ph}, {ph}) "
+        "ON CONFLICT (id) DO UPDATE SET first_name = EXCLUDED.first_name, "
+        "email = EXCLUDED.email"
+    )
+    assert build_upsert_sql("t", ["A", "B"], ["a", "b"], paramstyle) == (
+        f"INSERT INTO t (a, b) VALUES ({ph}, {ph}) ON CONFLICT (a, b) DO NOTHING"
+    )
+    assert build_delete_sql("T", ["A", "b"], paramstyle) == (
+        f"DELETE FROM t WHERE a = {ph} AND b = {ph}"
+    )
+
+
+def test_unknown_paramstyle_rejected():
+    with pytest.raises(ValueError, match="paramstyle"):
+        build_upsert_sql("t", ["a"], ["a"], paramstyle="pyformat")
+
+
+def test_format_dialect_executes_against_dbapi():
+    """The format-dialect statements must be executable by a DBAPI
+    driver that uses %s placeholders.  No Postgres in the sandbox, so a
+    minimal paramstyle-converting shim over sqlite3 stands in: it
+    translates %s -> ? at execute time (exactly what psycopg2 does in
+    reverse against the Postgres wire protocol), proving the emitted
+    text + parameter arity line up for a format-style driver."""
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE customers (id INTEGER PRIMARY KEY, first_name TEXT, email TEXT)")
+
+    def execmany(sql, rows):
+        con.executemany(sql.replace("%s", "?"), rows)
+
+    up = build_upsert_sql("customers", ["id", "first_name", "email"], ["id"], "format")
+    execmany(up, [(1, "a", "a@x"), (1, "a2", "a2@x"), (2, "b", "b@x")])
+    dele = build_delete_sql("customers", ["id"], "format")
+    execmany(dele, [(2,)])
+    rows = con.execute("SELECT id, first_name FROM customers ORDER BY id").fetchall()
+    assert rows == [(1, "a2")]
+    con.close()
+
+
 def _envelopes(spark, rows):
     """rows: list of (op, id, name, score, offset) → raw Kafka-shaped DF."""
     data = []
