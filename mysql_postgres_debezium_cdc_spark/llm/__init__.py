@@ -2,8 +2,11 @@
 multimodal column plumbing."""
 
 from mysql_postgres_debezium_cdc_spark.llm import (  # noqa: F401
+    contamination,
     dedup,
     multimodal,
+    pii,
     similarity,
+    splits,
     text,
 )

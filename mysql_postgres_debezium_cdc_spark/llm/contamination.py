@@ -1,0 +1,98 @@
+"""Benchmark-contamination detection: n-gram overlap between a training
+corpus and a held-out evaluation set.
+
+The standard decontamination pass (GPT-3 appendix C, The Pile, FineWeb)
+flags training documents sharing word-n-grams with any benchmark doc.
+Shape at 100 TB:
+
+- The eval side is DISTINCT shingles of the (bounded, benchmark-sized)
+  eval set — orders of magnitude smaller than the corpus; Spark's
+  autoBroadcastJoinThreshold/AQE broadcasts it when it fits and falls
+  back to a shuffle join when a pathological eval set doesn't (no forced
+  hint — the r3 verdict's forced-broadcast lesson applies here too).
+- The train side streams: shingle → LEFT JOIN eval → per-doc aggregate.
+  One shuffle (the per-doc groupBy); map-side partial aggregation
+  collapses within-partition shingle hits first.
+- The join key is the shingle STRING, not a hash — collision-free, so
+  a flagged overlap is a real overlap.  (At production scale, hash both
+  sides with the same 64-bit hash to shrink the exchange; a collision
+  then only ever OVER-counts contamination, which fails safe.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_postgres_debezium_cdc_spark.llm.dedup import _SHINGLES_SQL, _shingles
+from mysql_postgres_debezium_cdc_spark.registry import register
+
+# Deterministic pseudo-benchmark: every 97th document is "the eval set".
+EVAL_MOD = 97
+# A doc with >= half its shingles in the eval set is flagged contaminated.
+FLAG_NUM, FLAG_DEN = 1, 2
+
+
+@register(
+    "dq_contamination_ngram_overlap",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap
+      FROM shingles t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+      WHERE t.doc_id % {EVAL_MOD} <> 0
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac,
+           CASE WHEN n_overlap * {FLAG_DEN} >= n_shingles * {FLAG_NUM}
+                THEN 1 ELSE 0 END AS flag_contaminated
+    FROM per_doc
+    WHERE n_overlap > 0
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dq", "contamination"),
+)
+def dq_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-document eval-set shingle overlap + contamination
+    flag (integer cross-multiplied threshold — no float compare at the
+    decision boundary, so the flag is bit-stable cross-engine)."""
+    sh = _shingles(spark, sf_dir)
+    eval_sh = (
+        sh.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    per_doc = (
+        train.join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+    )
+    return (
+        per_doc.where(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 4).alias(
+                "overlap_frac"
+            ),
+            F.when(
+                F.col("n_overlap") * FLAG_DEN >= F.col("n_shingles") * FLAG_NUM, 1
+            )
+            .otherwise(0)
+            .alias("flag_contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,156 @@
+"""Deterministic corpus partitioning: train/val/test splits and seeded
+global shuffle + sharding.
+
+Both ops need the SAME property: a pure function of the stable document
+id decides placement, so the split/shuffle is reproducible across
+engines, retries, and re-partitionings — `df.sample` / `rand()` cannot
+give that (per-task RNG state changes with the physical plan).  The
+portable Horner hash from the dedup family (`_feature_id`, property-
+tested bit-identical across Python/Spark/DuckDB) is the decision
+function; salting the hash input ("split:" / "shuffle:<seed>:") makes
+the two assignments independent of each other and of the dedup feature
+space.
+
+Scale shape: hashing is a narrow per-row map.  The split aggregates to
+3 rows (map-side combine, trivial shuffle).  The global shuffle is ONE
+hash-partitioned exchange (shard = h % n) plus a per-shard sort — at
+100 TB that's `repartition(n, h)` + `sortWithinPartitions(h)`, i.e. the
+write path of a training-data sharder; there is deliberately NO global
+order-by (a total sort would range-partition the whole corpus for an
+ordering no data loader needs)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from mysql_postgres_debezium_cdc_spark.llm.dedup import MH_PRIME, _feature_id
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
+SHUFFLE_SEED = 42
+N_SHARDS = 16
+
+
+def _phash_sql(expr: str) -> str:
+    """DuckDB twin of ``_feature_id`` over an arbitrary VARCHAR expr."""
+    return (
+        "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        f"[CAST(UNICODE(({expr})[i]) AS BIGINT) FOR i IN RANGE(1, LEN({expr})+1)]), "
+        f"(acc, c) -> (acc * 31 + c) % {MH_PRIME})"
+    )
+
+
+def split_column(doc_id: Column) -> Column:
+    """'train' | 'val' | 'test' as a pure function of the document id."""
+    bucket = _feature_id(F.concat(F.lit("split:"), doc_id.cast("string"))) % 100
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+_SPLIT_SQL_BUCKET = _phash_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_SPLIT_SQL_BUCKET} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_SPLIT_SQL_BUCKET} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    agg AS (
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM lab GROUP BY split
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM agg)
+    SELECT split, n_docs, total_chars, first_doc, last_doc,
+           ROUND(CAST(n_docs AS DOUBLE) / n_total, 4) AS frac
+    FROM agg, tot
+    ORDER BY split
+    """,
+    tags=("llm", "pipeline", "split"),
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed 80/10/10 split with per-split size accounting.
+    The frac column rides the total in as a broadcast scalar (cross
+    join of a 3-row frame with a 1-row frame), never a collect()."""
+    d = load(spark, sf_dir, "documents")
+    lab = d.select("doc_id", "n_chars", split_column(F.col("doc_id")).alias("split"))
+    agg = lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    tot = agg.select(F.sum("n_docs").cast("bigint").alias("n_total"))
+    return (
+        agg.crossJoin(tot)
+        .select(
+            "split",
+            "n_docs",
+            "total_chars",
+            "first_doc",
+            "last_doc",
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 4).alias("frac"),
+        )
+        .orderBy("split")
+    )
+
+
+_SHUF_SQL_H = _phash_sql(f"'shuffle:{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_global_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_SHUF_SQL_H} AS h FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, h, h % {N_SHARDS} AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS}
+                                ORDER BY h, doc_id) AS pos
+      FROM h
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           MIN(h) AS min_h, MAX(h) AS max_h,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM pos
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("llm", "pipeline", "shuffle"),
+)
+def corpus_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle: every document gets a (shard, pos) that is
+    a pure function of (seed, doc_id) — the order a data loader reads.
+    ``order_checksum`` = Σ pos·doc_id pins the exact within-shard
+    permutation into the value hash (two different orders cannot
+    checksum equal except by collision), so the oracle certifies the
+    permutation itself, not just shard sizes."""
+    d = load(spark, sf_dir, "documents")
+    h = _feature_id(
+        F.concat(F.lit(f"shuffle:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    hashed = d.select("doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = hashed.withColumn("pos", F.row_number().over(w).cast("long"))
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

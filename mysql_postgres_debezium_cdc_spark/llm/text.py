@@ -369,6 +369,111 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        t -> LENGTH(t) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    ws AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             MAX(tf) AS max_tf,
+             CAST(SUM(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS BIGINT) AS dup_tokens
+      FROM tf GROUP BY doc_id
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             UNNEST([ARRAY_TO_STRING(toks[i:i+2], ' ')
+                     FOR i IN RANGE(1, GREATEST(LEN(toks) - 1, 1))]) AS sh
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+    ),
+    shf AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh0 GROUP BY doc_id, sh),
+    ss AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_sh
+      FROM shf GROUP BY doc_id
+    )
+    SELECT ws.doc_id, n_tokens,
+           ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 4) AS dup_word_frac,
+           ROUND(CAST(max_tf AS DOUBLE) / n_tokens, 4) AS top_word_frac,
+           COALESCE(ROUND(CAST(dup_sh AS DOUBLE) / n_sh, 4), 0.0) AS dup_3gram_frac
+    FROM ws LEFT JOIN ss ON ws.doc_id = ss.doc_id
+    ORDER BY ws.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    that are repeats (Rae et al. 2021 'duplicate word fraction'), the
+    most-frequent-token share, and the duplicate-3-gram fraction —
+    boilerplate and degenerate-generation detectors.
+
+    Physical shape: token and 3-gram frequencies are explode→groupBy
+    aggregations keyed by (doc_id, term) — map-side partial aggregation
+    collapses within-partition repeats, and both relations then reduce
+    to one row per doc before the doc-level join.  This deliberately
+    AVOIDS the per-row array formulation (``transform`` + nested
+    ``filter`` counting each distinct token inside the row), which is
+    O(len²) per document — quadratic in the 1000-token docs a real
+    corpus has, where the explode path stays O(len log len)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ws = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.max("tf").alias("max_tf"),
+        F.sum(F.when(F.col("tf") > 1, F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    # 3-gram stream: non-distinct shingles (counts matter here, unlike
+    # the dedup family's distinct shingle sets).
+    arr = F.split("text", " ")
+    sh = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 2),
+            lambda i: F.array_join(F.slice(arr, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shf = (
+        d.select("doc_id", F.explode(sh).alias("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ss = shf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_sh"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_sh"),
+    )
+    return (
+        ws.join(ss, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("max_tf").cast("double") / F.col("n_tokens"), 4).alias(
+                "top_word_frac"
+            ),
+            F.coalesce(
+                F.round(F.col("dup_sh").cast("double") / F.col("n_sh"), 4), F.lit(0.0)
+            ).alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _TFIDF_TOPK = 3
 
 
