@@ -81,8 +81,11 @@ _SPLIT_SQL_BUCKET = _phash_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
 )
 def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-bucketed 80/10/10 split with per-split size accounting.
-    The frac column rides the total in as a broadcast scalar (cross
-    join of a 3-row frame with a 1-row frame), never a collect()."""
+    The total for the frac column comes from an unpartitioned window
+    over the AGGREGATED frame — bounded at ≤3 rows regardless of SF
+    (the one place a global window is scale-safe), so the corpus is
+    scanned exactly once; a scalar re-aggregation of the source would
+    scan it twice, and a collect() would serialize the driver in."""
     d = load(spark, sf_dir, "documents")
     lab = d.select("doc_id", "n_chars", split_column(F.col("doc_id")).alias("split"))
     agg = lab.groupBy("split").agg(
@@ -91,9 +94,9 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
-    tot = agg.select(F.sum("n_docs").cast("bigint").alias("n_total"))
+    w_all = Window.partitionBy()
     return (
-        agg.crossJoin(tot)
+        agg.withColumn("n_total", F.sum("n_docs").over(w_all).cast("bigint"))
         .select(
             "split",
             "n_docs",

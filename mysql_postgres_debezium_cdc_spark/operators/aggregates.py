@@ -11,7 +11,7 @@ COUNT(DISTINCT) — exact distinct needs a full shuffle of the keys).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
@@ -326,4 +326,52 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             pcts[2].alias("p99"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rk
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM ranked WHERE rk = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent order priority per status,
+    ties broken lexicographically.
+
+    Built as count→rank rather than the built-in ``F.mode`` because
+    mode's tie choice is engine- (and partition-order-) dependent — the
+    explicit (cnt DESC, value ASC) rank is the only formulation two
+    engines can agree on bit-for-bit.  Physical shape: the groupBy
+    partially aggregates map-side, the rank window runs over
+    |statuses|×|priorities| rows (tiny), so the table is read once and
+    shuffled once on the composite key."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -167,3 +167,89 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orphan_orders.join(orphan_lineitems).join(bad_price).join(bad_disc)
+
+
+@register(
+    "dq_null_profile",
+    oracle="""
+    WITH d AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS status_closed,
+             o_orderpriority AS priority,
+             CASE WHEN o_totalprice >= 50000 THEN NULL
+                  ELSE o_totalprice END AS price_small
+      FROM orders
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN status_closed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_status,
+             CAST(COUNT(DISTINCT status_closed) AS BIGINT) AS dist_status,
+             CAST(SUM(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_priority,
+             CAST(COUNT(DISTINCT priority) AS BIGINT) AS dist_priority,
+             CAST(SUM(CASE WHEN price_small IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_price,
+             CAST(COUNT(DISTINCT price_small) AS BIGINT) AS dist_price
+      FROM d
+    )
+    SELECT u.column_name, n_rows, u.n_null, u.n_distinct,
+           ROUND(CAST(u.n_null AS DOUBLE) / n_rows, 4) AS null_frac
+    FROM s, LATERAL (
+      SELECT UNNEST(['price_small', 'priority', 'status_closed']) AS column_name,
+             UNNEST([null_price, null_priority, null_status]) AS n_null,
+             UNNEST([dist_price, dist_priority, dist_status]) AS n_distinct
+    ) u
+    ORDER BY u.column_name
+    """,
+    tags=("dq", "profile"),
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: per-column null count, exact distinct count and
+    null fraction — the data-quality report a pipeline runs before
+    trusting a new drop.  (The fixture tables ship null-free, so two
+    profiled columns derive nulls deterministically via NULLIF/CASE;
+    the profiler itself is column-agnostic.)
+
+    ONE pass over the table: all six aggregates sit in a single Agg
+    node (Catalyst plans multi-distinct via Expand — rows×3, still one
+    scan, no self-joins), and the per-column report rows come from
+    ``stack`` over the 1-row aggregate, not from unioning three
+    re-aggregations of the same scan."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_closed"),
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_totalprice") >= 50000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_small"),
+    )
+
+    def null_cnt(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        null_cnt("status_closed").alias("null_status"),
+        F.count_distinct(F.col("status_closed")).alias("dist_status"),
+        null_cnt("priority").alias("null_priority"),
+        F.count_distinct(F.col("priority")).alias("dist_priority"),
+        null_cnt("price_small").alias("null_price"),
+        F.count_distinct(F.col("price_small")).alias("dist_price"),
+    )
+    stacked = s.select(
+        "n_rows",
+        F.expr(
+            "stack(3, "
+            "'price_small', null_price, dist_price, "
+            "'priority', null_priority, dist_priority, "
+            "'status_closed', null_status, dist_status) "
+            "AS (column_name, n_null, n_distinct)"
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        F.round(F.col("n_null").cast("double") / F.col("n_rows"), 4).alias("null_frac"),
+    ).orderBy("column_name")

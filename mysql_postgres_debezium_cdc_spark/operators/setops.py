@@ -107,3 +107,69 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return cust.subtract(supp).orderBy("nationkey")
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS multiplicity
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: per key the surviving multiplicity is
+    min(left count, right count) — observable here because high-balance
+    customers and suppliers have different per-nation counts, unlike the
+    DISTINCT variant which collapses to the key set.  The trailing
+    group-count makes the multiset cardinality part of the value hash."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 8000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = _supp_nations(spark, sf_dir)
+    return (
+        cust.intersectAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS multiplicity
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: per key, max(0, left count − right count)
+    survivors — the 'subtract one occurrence per match' semantics the
+    DISTINCT variant cannot express."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 8000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = _supp_nations(spark, sf_dir)
+    return (
+        cust.exceptAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("nationkey")
+    )

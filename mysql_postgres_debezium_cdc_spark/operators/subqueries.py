@@ -160,3 +160,32 @@ def subq_not_in_with_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey
         """
     )
+
+
+_LATERAL_TOPN_STMT = """
+    SELECT n_name, t.s_name, ROUND(t.s_acctbal, 2) AS top_acctbal
+    FROM nation, LATERAL (
+      SELECT s_name, s_acctbal FROM supplier
+      WHERE s_nationkey = n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 3
+    ) t
+    ORDER BY n_name, top_acctbal DESC, t.s_name
+"""
+
+
+@register(
+    "sql_api_lateral_topn",
+    oracle=_LATERAL_TOPN_STMT,
+    tags=("sql-api", "subquery", "lateral"),
+)
+def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL spelling of top-N-per-group, IDENTICAL text on both engines
+    (Spark supports lateral correlated subqueries since 3.4).
+
+    Catalyst decorrelates this into the same window/limit-per-key plan
+    the DataFrame formulation (topk_per_group) produces — registered
+    separately because a reference user migrating SQL workloads writes
+    exactly this shape and should not have to rewrite it."""
+    _views(spark, sf_dir, "nation", "supplier")
+    return spark.sql(_LATERAL_TOPN_STMT)

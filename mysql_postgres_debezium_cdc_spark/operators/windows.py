@@ -246,3 +246,34 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    ORDER BY c_nationkey, c_custkey
+    """,
+    tags=("window", "rank"),
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position ranking: PERCENT_RANK ((rank−1)/(n−1)) and
+    CUME_DIST (rows ≤ current / n) per nation by account balance.
+
+    Both are tie-stable — equal balances get equal values in both
+    engines — so no tie-break column is needed for determinism, unlike
+    ROW_NUMBER.  Partitioned by nationkey: the window shuffles once on
+    a bounded-cardinality key and sorts within partitions; there is no
+    global window here (the r3 NTILE lesson)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    ).orderBy("c_nationkey", "c_custkey")

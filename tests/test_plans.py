@@ -362,3 +362,37 @@ def test_dedup_signature_plans_stay_narrow(spark):
         assert r.n_shuffles <= max_shuffles, (name, r.n_shuffles, r.ops)
         assert r.n_sortmerge_joins == 0, (name, r.ops)
         assert r.n_broadcast_joins == n_bcast, (name, r.ops)
+
+
+def test_null_profile_is_single_scan(spark):
+    """The profiler must compute all per-column stats in one pass —
+    one parquet Scan, multi-distinct via Expand, no unioned
+    re-aggregations of the same table."""
+    r = _plan(spark, "dq_null_profile")
+    assert sum(o == "Scan" for o in r.ops) == 1, r.ops
+    assert "Expand" in r.ops
+
+
+def test_split_total_does_not_rescan_corpus(spark):
+    """corpus_train_val_test_split: the grand total for frac comes from
+    a bounded window over the 3-row aggregate, not a second scan."""
+    r = _plan(spark, "corpus_train_val_test_split")
+    assert sum(o == "Scan" for o in r.ops) == 1, r.ops
+
+
+def test_lateral_topn_decorrelates_to_window_limit(spark):
+    """The correlated LATERAL ... ORDER BY/LIMIT subquery must reach the
+    same physical shape as the DataFrame top-k: WindowGroupLimit pruning
+    plus a join — never a per-outer-row nested loop."""
+    r = _plan(spark, "sql_api_lateral_topn")
+    assert "WindowGroupLimit" in r.ops, r.ops
+    assert "CartesianProduct" not in r.ops and "BroadcastNestedLoopJoin" not in r.ops
+
+
+def test_repetition_ratio_aggregates_not_quadratic_arrays(spark):
+    """text_repetition_ratio term counting goes explode->groupBy with
+    map-side partials (HashAggregate pairs around each exchange), not
+    per-row O(len^2) array ops."""
+    r = _plan(spark, "text_repetition_ratio")
+    assert "Generate" in r.ops  # explode reached the plan
+    assert sum(o == "HashAggregate" for o in r.ops) >= 4
