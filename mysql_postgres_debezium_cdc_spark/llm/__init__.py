@@ -4,6 +4,7 @@ multimodal column plumbing."""
 from mysql_postgres_debezium_cdc_spark.llm import (  # noqa: F401
     contamination,
     dedup,
+    embeddings,
     multimodal,
     pii,
     similarity,

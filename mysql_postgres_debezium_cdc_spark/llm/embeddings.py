@@ -1,0 +1,126 @@
+"""Embedding-column maintenance ops: int8 quantization and per-dimension
+distribution stats.
+
+A vector pipeline feeding an ANN index or a retrieval-augmented trainer
+runs exactly these two passes over every embedding drop: quantize for
+index footprint (float32 → int8 cuts the index 4×), and per-dimension
+moments for drift/whitening checks (a dimension whose mean wanders from
+0 signals a bad encoder rollout).
+
+Scale shape: quantization is a pure narrow map (higher-order array
+functions, JVM-side, no shuffle — 100 TB of vectors quantize at scan
+speed).  The dimension stats explode to (dim, value) and aggregate on a
+64-key groupBy — map-side partial aggregation reduces each partition to
+64 rows before the exchange, so the shuffle carries O(partitions × dims),
+never O(vectors).
+
+Float determinism: the vector norm is an ORDERED fold (``F.aggregate``
+left-to-right = DuckDB ``LIST_DOT_PRODUCT``) so both engines produce the
+same double bit-for-bit (the `llm/similarity.py` device); per-dimension
+means/stds accumulate in engine-specific order and are rounded to 3dp.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_postgres_debezium_cdc_spark.llm.similarity import _as_double, _norm
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+Q_SCALE = 127  # int8 full-scale
+
+
+@register(
+    "embedding_normalize_quantize",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, nrm,
+             LIST_TRANSFORM(e, x -> CAST(ROUND({Q_SCALE} * x / nrm) AS INT)) AS qv
+      FROM n
+    )
+    SELECT vec_id,
+           ROUND(nrm, 4) AS norm,
+           CAST(LIST_SUM(qv) AS BIGINT) AS q_sum,
+           CAST(LIST_MIN(qv) AS BIGINT) AS q_min,
+           CAST(LIST_MAX(qv) AS BIGINT) AS q_max
+    FROM q
+    ORDER BY vec_id
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize then symmetric int8 quantization per vector.
+
+    |eᵢ| ≤ ‖e‖ always, so qᵢ ∈ [−127, 127] by construction — no clip
+    branch needed.  The compared row carries the quantized vector's sum
+    and extrema: an off-by-one in ANY element moves q_sum, so the value
+    hash certifies the whole vector without hashing 64 ints per row.
+    Rounding parity: both engines round ties away from zero, and the
+    inputs are quotients of irrational norms — exact .5 ties do not
+    occur in float64."""
+    e = load(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    n = d.select("vec_id", "e", _norm(F.col("e")).alias("nrm"))
+    qv = F.transform(
+        F.col("e"), lambda x: F.round(Q_SCALE * x / F.col("nrm")).cast("int")
+    )
+    q = n.select("vec_id", F.col("nrm"), qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("nrm"), 4).alias("norm"),
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH vals AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, LATERAL (SELECT UNNEST(RANGE(1, LEN(embedding) + 1)) AS i)
+    )
+    SELECT dim,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(val), 3) + 0.0 AS mean_val,  -- +0.0 folds IEEE -0.0 to +0.0
+           ROUND(STDDEV_SAMP(val), 3) AS std_val,
+           ROUND(MIN(val), 4) AS min_val,
+           ROUND(MAX(val), 4) AS max_val
+    FROM vals
+    GROUP BY dim
+    ORDER BY dim
+    """,
+    tags=("llm", "embedding", "profile"),
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments across the corpus — encoder drift and
+    whitening-input check.  posexplode pins dim indices (0-based, same
+    as the oracle's i−1); min/max are exact float comparisons, mean/std
+    round to 3dp because summation order differs between engines."""
+    e = load(spark, sf_dir, "embeddings")
+    vals = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("val"))
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # +0.0 on both sides: DuckDB's ROUND yields IEEE -0.0 for tiny
+            # negative means; Spark's yields +0.0 — adding zero folds both.
+            (F.round(F.avg("val"), 3) + F.lit(0.0)).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 3).alias("std_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
