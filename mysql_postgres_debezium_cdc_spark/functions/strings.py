@@ -94,3 +94,51 @@ def fn_string_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 20).alias("head"),
         F.when(F.col("text").contains("spark"), 1).otherwise(0).alias("mentions_spark"),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             'https://shop.example.com/c/' || LOWER(c_mktsegment)
+               || '?cust=' || CAST(c_custkey AS VARCHAR)
+               || '&page=' || CAST(c_custkey % 7 AS VARCHAR) || '#top' AS url
+      FROM customer WHERE c_custkey < 200
+    )
+    SELECT c_custkey,
+           REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1)      AS url_host,
+           REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS url_path,
+           REGEXP_EXTRACT(url, '\\?([^#]*)', 1)                AS url_query,
+           REGEXP_EXTRACT(url, '[?&]cust=([^&#]*)', 1)         AS q_cust,
+           REGEXP_EXTRACT(url, '#(.*)$', 1)                    AS url_ref
+    FROM u
+    ORDER BY c_custkey
+    """,
+    tags=("function", "string", "url"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via Spark's ``parse_url`` (host/path/query/
+    named query param/fragment).  The oracle reproduces each part with
+    anchored regexes — proving parse_url's java.net semantics agree
+    with the regex spec on well-formed URLs, which is what log/
+    clickstream pipelines rely on when they mix both approaches."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    url = F.concat(
+        F.lit("https://shop.example.com/c/"),
+        F.lower("c_mktsegment"),
+        F.lit("?cust="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&page="),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit("#top"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("url_host"),
+        F.parse_url("url", F.lit("PATH")).alias("url_path"),
+        F.parse_url("url", F.lit("QUERY")).alias("url_query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("cust")).alias("q_cust"),
+        F.parse_url("url", F.lit("REF")).alias("url_ref"),
+    ).orderBy("c_custkey")

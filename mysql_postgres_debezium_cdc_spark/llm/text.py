@@ -599,3 +599,78 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_BIGRAM_TOPK = 50
+
+
+@register(
+    "corpus_bigram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM toks, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(w), 1))) AS i)
+    ),
+    counts AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM bigrams GROUP BY w1, w2
+    ),
+    continuation AS (
+      SELECT w2, COUNT(*) AS n_left_contexts FROM counts GROUP BY w2
+    ),
+    ranked AS (
+      SELECT c.w1, c.w2, c.cnt, k.n_left_contexts,
+             ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.w1, c.w2) AS rk
+      FROM counts c JOIN continuation k ON c.w2 = k.w2
+    )
+    SELECT w1, w2, cnt, n_left_contexts
+    FROM ranked WHERE rk <= {_BIGRAM_TOPK}
+    ORDER BY cnt DESC, w1, w2
+    """,
+    tags=("llm", "text", "lm"),
+)
+def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics for n-gram language modeling: raw
+    bigram counts plus each right-word's continuation count (distinct
+    left contexts — the Kneser-Ney continuation numerator).
+
+    Plan shape: bigrams explode once from the token arrays; the count
+    groupBy partially aggregates map-side (the vocabulary² keyspace is
+    far smaller than the token stream).  Continuation counts aggregate
+    the COUNTS relation, not the corpus — the same two-level device as
+    TF-IDF's document frequencies — and join back broadcast-sized
+    (|vocab| rows).  The global top-k rank runs over the aggregated
+    relation and WindowGroupLimit prunes it before the final sort."""
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    bigrams = d.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    continuation = counts.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_left_contexts")
+    )
+    ranked = counts.join(F.broadcast(continuation), "w2").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        ),
+    )
+    return (
+        ranked.where(F.col("rk") <= _BIGRAM_TOPK)
+        .select("w1", "w2", "cnt", "n_left_contexts")
+        .orderBy(F.desc("cnt"), "w1", "w2")
+    )

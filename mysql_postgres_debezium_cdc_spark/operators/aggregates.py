@@ -375,3 +375,37 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           STRING_AGG(c_name, ',' ORDER BY c_name) AS names_sorted
+    FROM customer
+    WHERE c_custkey < 60
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "listagg"),
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG WITHIN GROUP).
+    Spark's listagg/collect_list order is partition-arrival order —
+    nondeterministic under shuffles — so the portable formulation
+    sorts INSIDE the aggregated array before joining: identical output
+    on any partitioning and any engine.  The key-bounded filter keeps
+    the concatenated payload small; at scale, cap group width the same
+    way (top-k per group) before concatenating."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 60)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names_sorted"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

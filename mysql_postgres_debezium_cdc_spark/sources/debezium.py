@@ -121,6 +121,67 @@ def decode_envelope(
     )
 
 
+def encode_envelope(
+    changes: DataFrame,
+    db: str,
+    table: str,
+    pk_cols: tuple[str, ...] | list[str] = DEFAULT_PK,
+    topic_prefix: str = "dbserver1",
+    wrap: bool = False,
+) -> DataFrame:
+    """Typed change events → Kafka-producer-shaped records — the EGRESS
+    twin of :func:`decode_envelope` (outbox/re-publish: a Spark job that
+    MAINTAINS a replica can also re-emit its changelog downstream).
+
+    Input columns: ``op`` (c/r/u/d), ``before``/``after`` (row structs,
+    null per Debezium op semantics), ``ts_ms``.  Output: ``key`` (JSON
+    of the PK fields, Debezium's partitioning key — equal keys land in
+    one Kafka partition, preserving per-key order exactly as the
+    reference relies on), ``value`` (Debezium 2.x JSON envelope;
+    ``wrap=True`` adds the schemas-enabled ``{"payload": ...}`` shell),
+    ``topic`` (``<prefix>.<db>.<table>``, mysql-source.json:7 naming).
+
+    ``ignoreNullFields=false`` keeps explicit ``"before": null`` on the
+    wire like Debezium's JsonConverter; either way the decoder treats
+    absent and null identically, which the roundtrip query certifies.
+
+    Narrow, JVM-side (`to_json` only): encodes at scan speed; the only
+    future shuffle is Kafka's own key partitioning on write."""
+    key_src = F.struct(
+        *[
+            F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+            for c in pk_cols
+        ]
+    )
+    source = F.struct(
+        F.lit(db).alias("db"), F.lit(table).alias("table"), F.col("ts_ms").alias("ts_ms")
+    )
+    env = F.struct(
+        F.col("before"),
+        F.col("after"),
+        source.alias("source"),
+        F.col("op"),
+        F.col("ts_ms"),
+    )
+    body = F.struct(env.alias("payload")) if wrap else env
+    opts = {"ignoreNullFields": "false"}
+    return changes.select(
+        F.to_json(key_src, opts).alias("key"),
+        F.to_json(body, opts).alias("value"),
+        F.lit(f"{topic_prefix}.{db}.{table}").alias("topic"),
+    )
+
+
+def kafka_sink_options(bootstrap: str, checkpoint_dir: str) -> dict[str, str]:
+    """writeStream.format('kafka') options for the egress path; the
+    frame supplies per-row ``topic``/``key``/``value`` columns (the
+    Kafka sink's column contract), so no static topic option is set."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 @dataclass(frozen=True)
 class CdcConfig:
     """Routing registry mirroring the reference's config.properties.

@@ -589,3 +589,90 @@ def cdc_schema_drift_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("after", "extra_col").alias("extra_col"),
         F.size("after").cast("int").alias("n_row_cols"),
     ).orderBy("id")
+
+
+_ENCODE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("bal", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "cdc_envelope_encode_roundtrip",
+    # Same certification device as the stateful-operator key: the query
+    # runs encode→decode in one plan, null-safe-compares every decoded
+    # field (op, key JSON, before/after images, source routing, ts) to
+    # the original change event, and the oracle pins mismatches to zero.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(0 AS BIGINT) AS n_mismatches
+    FROM customer WHERE c_custkey < 2000
+    """,
+    tags=("cdc", "envelope", "egress"),
+)
+def cdc_envelope_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Egress fidelity: encode_envelope(decode-shaped changes) produces
+    wire records that decode_envelope maps back to the EXACT original
+    events — op semantics (c: no before; u: both images; d: no after),
+    PK-JSON keys, topic routing (src_table falls out of source.table),
+    and epoch-millis timestamps all survive the JSON roundtrip
+    (doubles roundtrip exactly via shortest-repr printing)."""
+    from mysql_postgres_debezium_cdc_spark.sources.debezium import encode_envelope
+
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 2000)
+    op = (
+        F.when(F.col("c_custkey") % 7 == 0, "d")
+        .when(F.col("c_custkey") % 2 == 0, "c")
+        .otherwise("u")
+    )
+    row = F.struct(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    old_row = F.struct(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.col("c_name"), F.lit("_old")).alias("name"),
+        F.round(F.col("c_acctbal") - 1, 2).alias("bal"),
+    )
+    null_row = F.lit(None).cast(_ENCODE_ROW_SCHEMA)
+    changes = c.select(
+        F.col("c_custkey").alias("id"),
+        op.alias("op"),
+        F.when(op.isin("u", "d"), old_row).otherwise(null_row).alias("before"),
+        F.when(op == "d", null_row).otherwise(row).alias("after"),
+        (F.col("c_custkey") + F.lit(1700000000000)).alias("ts_ms"),
+    )
+    enc = encode_envelope(
+        changes.select("op", "before", "after", "ts_ms"), "app", "customers", ("id",)
+    )
+    dec = decode_envelope(enc, _ENCODE_ROW_SCHEMA)
+    dec_sel = dec.select(
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        F.col("op").alias("d_op"),
+        F.col("before").alias("d_before"),
+        F.col("after").alias("d_after"),
+        F.col("src_db").alias("d_db"),
+        F.col("src_table").alias("d_table"),
+        F.col("ts_ms").alias("d_ts"),
+        F.get_json_object("key", "$.id").cast("long").alias("d_key_id"),
+        F.col("topic").alias("d_topic"),
+    )
+    joined = changes.join(dec_sel, "id", "full_outer")
+    mismatch = (
+        ~F.col("op").eqNullSafe(F.col("d_op"))
+        | ~F.col("before").eqNullSafe(F.col("d_before"))
+        | ~F.col("after").eqNullSafe(F.col("d_after"))
+        | ~F.col("ts_ms").eqNullSafe(F.col("d_ts"))
+        | ~F.col("id").eqNullSafe(F.col("d_key_id"))
+        | (F.col("d_db") != "app")
+        | (F.col("d_table") != "customers")
+        | (F.col("d_topic") != "dbserver1.app.customers")
+    )
+    return joined.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(mismatch, 1).otherwise(0)).cast("bigint").alias("n_mismatches"),
+    )

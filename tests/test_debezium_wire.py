@@ -147,3 +147,49 @@ def test_schema_wrapper_and_bare_mix_in_one_batch(spark):
     ok = decoded.where(F.col("_error").isNull() & ~F.col("_tombstone"))
     assert ok.count() == 4
     assert decoded.where(F.col("_error").isNotNull()).count() == 0
+
+
+def test_encode_envelope_wire_shape(spark):
+    """Egress records look like Debezium JsonConverter output: explicit
+    'before': null on inserts, full source block, PK-JSON key, prefixed
+    topic; wrap=True adds the schemas-enabled payload shell."""
+    from mysql_postgres_debezium_cdc_spark.sources.debezium import encode_envelope
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("c", None, (1, "alice"), 1700000000001),
+            ("d", (2, "bob"), None, 1700000000002),
+        ],
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("before", schema),
+                T.StructField("after", schema),
+                T.StructField("ts_ms", T.LongType()),
+            ]
+        ),
+    )
+    enc = {
+        json.loads(r["key"])["id"]: r
+        for r in encode_envelope(changes, "app", "customers", ("id",)).collect()
+    }
+    assert set(enc) == {1, 2}
+    insert = json.loads(enc[1]["value"])
+    assert insert["before"] is None and insert["after"] == {"id": 1, "name": "alice"}
+    assert insert["source"] == {"db": "app", "table": "customers", "ts_ms": 1700000000001}
+    assert insert["op"] == "c"
+    delete = json.loads(enc[2]["value"])
+    assert delete["after"] is None and delete["before"]["name"] == "bob"
+    assert enc[1]["topic"] == "dbserver1.app.customers"
+
+    wrapped = encode_envelope(changes, "app", "customers", ("id",), wrap=True).collect()
+    body = json.loads(wrapped[0]["value"])
+    assert set(body) == {"payload"} and body["payload"]["op"] in ("c", "d")
+    # Wrapped egress decodes through the same payload-or-root unwrap.
+    dec = decode_envelope(
+        encode_envelope(changes, "app", "customers", ("id",), wrap=True), schema
+    )
+    assert {r["op"] for r in dec.collect()} == {"c", "d"}
