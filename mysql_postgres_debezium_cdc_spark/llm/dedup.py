@@ -104,6 +104,7 @@ def _shingles(
     sf_dir: str,
     max_docs: int | None = None,
     max_doc_freq: int | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Distinct word-k-gram shingles per document: (doc_id, shingle).
 
@@ -145,6 +146,10 @@ def _shingles(
     d = load(spark, sf_dir, "documents")
     if max_docs is not None:
         d = d.where(F.col("doc_id") < max_docs)
+    if predicate is not None:
+        # Same SQL text the oracle's {filter} clause uses — keeps the
+        # composed-pipeline subsets bit-identical across engines.
+        d = d.where(F.expr(predicate))
     t = spread_small_scan(d).select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
     toks = F.col("_toks")
     k = SHINGLE_K
@@ -355,6 +360,7 @@ def _jaccard_pairs(
     max_doc_freq: int | None = None,
     max_bucket_width: int | None = None,
     observation=None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold) —
     the shared edge set for `dedup_ngram_jaccard` and the clustering in
@@ -368,7 +374,9 @@ def _jaccard_pairs(
     are functionally dependent on the ids — no extra cardinality), and
     Jaccard computes right off the aggregate: no sizes relation, no
     persist, no verification joins."""
-    sh = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("shingle").alias("sid"))
+    sh = _shingles(spark, sf_dir, predicate=predicate).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    )
     profile = sh.groupBy("doc_id").agg(
         F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("n_sh")
     )
@@ -794,8 +802,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_PAIRS_SQL = f"""
-      WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+def _cc_pairs_sql(filter: str = "") -> str:
+    """Near-dup pair CTE body, parameterized by the documents WHERE
+    clause so composed pipelines dedup a filtered subset."""
+    return f"""
+      WITH shingles AS ({_SHINGLES_SQL.format(filter=filter)}),
       sizes AS (
         SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
       ),
@@ -812,6 +823,9 @@ _CC_PAIRS_SQL = f"""
       WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
             >= {JACCARD_THRESHOLD}
 """
+
+
+_CC_PAIRS_SQL = _cc_pairs_sql()
 
 
 @register(
@@ -927,3 +941,102 @@ def connected_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
             f"connected-components did not converge within {max_rounds} rounds"
         )
     return labels
+
+
+_PIPE_FILTER = "lang IN ('en', 'de') AND n_chars >= 80"
+
+
+@register(
+    "corpus_near_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_cc_pairs_sql(f" WHERE {_PIPE_FILTER}")}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comps AS (
+      SELECT node AS doc_id, MIN(reach) AS component_id
+      FROM walk GROUP BY node
+    ),
+    docs AS (
+      SELECT doc_id, lang,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                  t -> LENGTH(t) > 0)) AS BIGINT) AS n_tokens
+      FROM documents WHERE {_PIPE_FILTER}
+    ),
+    canon AS (
+      SELECT d.doc_id, d.lang, d.n_tokens,
+             COALESCE(c.component_id, d.doc_id) AS cluster
+      FROM docs d LEFT JOIN comps c ON d.doc_id = c.doc_id
+    ),
+    kept AS (SELECT cluster, MIN(doc_id) AS keep_id FROM canon GROUP BY cluster)
+    SELECT c.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN c.doc_id = k.keep_id THEN c.n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM canon c JOIN kept k ON c.cluster = k.cluster
+    GROUP BY c.lang
+    ORDER BY c.lang
+    """,
+    tags=("llm", "pipeline", "dedup", "composition"),
+)
+def corpus_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dedup pass a training corpus actually runs:
+    language/length filter → shingle-Jaccard candidate pairs (within
+    the filtered subset only) → connected components → keep the minimum
+    doc per duplicate cluster → per-language kept-document and
+    kept-token budgets.
+
+    Composition notes at scale: the filter pushes into the parquet scan
+    (only surviving docs are ever shingled); the pair graph and the CC
+    loop operate on edges, not the corpus; the canonical join is
+    |filtered docs| ⋈ |labeled docs| on doc_id (labels exist only for
+    docs that appear in a pair — singletons coalesce to themselves,
+    costing nothing); and the final rollup is a 2-row aggregate.  The
+    oracle replays the identical pipeline with a recursive CTE for the
+    transitive closure."""
+    pairs = _jaccard_pairs(spark, sf_dir, predicate=_PIPE_FILTER).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(pairs)
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.expr(_PIPE_FILTER))
+        .select("doc_id", "lang", F.size(toks).cast("bigint").alias("n_tokens"))
+    )
+    canon = (
+        docs.join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    kept = canon.groupBy("cluster").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        canon.join(kept, "cluster")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_tokens")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
