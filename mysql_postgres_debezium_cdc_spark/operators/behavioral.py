@@ -306,3 +306,101 @@ def events_resample_ffill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_s")
     )
+
+
+@register(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, STRFTIME(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS n_new FROM first_seen GROUP BY day)
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    ORDER BY day
+    """,
+    tags=("behavioral", "retention", "window"),
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users by day — the growth curve every product
+    dashboard draws.  A windowed COUNT(DISTINCT) is unsupported (and
+    would be quadratic); the standard reformulation counts each user on
+    their FIRST day and prefix-sums the per-day news.
+
+    Scale: the corpus pass is one groupBy(user) min — partial-agg
+    frontier shuffle.  The running sum's unpartitioned window runs over
+    the per-DAY relation, bounded by the calendar, not the data (same
+    bounded-global-window argument as corpus_train_val_test_split)."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cumulative_users")
+    ).orderBy("day")
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             ROUND(SUM(value), 2) AS daily_value
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(daily_value) AS med FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.daily_value, m.med,
+             ABS(d.daily_value - m.med) AS adev
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.day, d.daily_value,
+           ROUND(CASE WHEN k.mad = 0 THEN NULL ELSE d.adev / k.mad END, 3) AS mad_score
+    FROM dev d JOIN mad k ON d.event_type = k.event_type
+    WHERE CASE WHEN k.mad = 0 THEN NULL ELSE d.adev / k.mad END >= 3
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("behavioral", "anomaly"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-anomaly report: days whose value deviates from the
+    per-type median by ≥3 median-absolute-deviations.  MAD-based
+    scoring survives the heavy-tailed metrics that break mean/stddev
+    z-scores (one spike inflates a stddev; it barely moves a MAD).
+
+    The corpus pass is the first daily aggregate; the median/MAD/score
+    stages all operate on the per-(type, day) relation — bounded by
+    |types| × calendar.  Exact medians on both engines interpolate the
+    two middle values identically, and inputs are pre-rounded to 2dp,
+    so the score threshold compares the same doubles."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("daily_value")
+    )
+    med = daily.groupBy("event_type").agg(F.median("daily_value").alias("med"))
+    dev = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("daily_value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    score = F.when(F.col("mad") != 0, F.col("adev") / F.col("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .where(score >= 3)
+        .select(
+            "event_type",
+            "day",
+            "daily_value",
+            F.round(score, 3).alias("mad_score"),
+        )
+        .orderBy("event_type", "day")
+    )
