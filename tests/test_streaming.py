@@ -126,3 +126,95 @@ def test_stream_stream_join_equals_batch(spark):
     )
     cols = ("purchase_id", "click_id", "user_id", "purchase_value")
     assert rows(stream, *cols) == rows(batch, *cols)
+
+
+def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
+    """Watermark discipline across MICRO-BATCHES: after batch 1 advances
+    the watermark, a batch-2 event older than it is filtered before the
+    stateful aggregation — it must contribute to no emitted window, and
+    the window it targets must emit with batch-1 data only."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def write_file(rows, name):
+        tmp = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.makedirs(str(tmp_path / "stream"), exist_ok=True)
+        shutil.copy(part, str(tmp_path / "stream" / f"{name}.parquet"))
+
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 3, 1, h, m)
+    # Batch 1: window 10-11 (two events) plus a 12:30 event that drives
+    # the watermark to 11:30 — PAST the 10-11 window's end, so that
+    # window's state is evicted after batch 1.
+    write_file(
+        [(1, t(10, 5), 1, "click", 1.0), (2, t(10, 40), 2, "click", 2.0), (3, t(12, 30), 1, "click", 4.0)],
+        "batch1",
+    )
+    # Batch 2 (delivered mid-stream below): on-time event at 13:00 + a
+    # LATE 10:15 event.  Watermark semantics: late data still MERGES
+    # into a live window; it is only dropped once its whole window sits
+    # below the watermark (state evicted) — which 10-11 now does.
+    raw = spark.readStream.schema(schema).parquet(str(tmp_path / "stream"))
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # Two REAL micro-batches: start with only batch1 on disk, wait until
+    # the watermark advances past the late event's time, then deliver
+    # batch2 (availableNow would fold both files into one batch).
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            wm = (p or {}).get("eventTime", {}).get("watermark", "1970")
+            if wm >= "2024-03-01T11:30":
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError(f"watermark never advanced: {q.lastProgress}")
+        write_file(
+            [(4, t(13, 0), 2, "click", 8.0), (5, t(10, 15), 3, "click", 999.0)],
+            "batch2",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["window_start_s"]: r for r in spark.table("t_late_drop").collect()}
+    ten_oclock = int(dt.datetime(2024, 3, 1, 10).timestamp())
+    # Window 10-11 emitted with ONLY batch-1 events; the late 999.0 is gone.
+    assert ten_oclock in got
+    assert got[ten_oclock]["n_events"] == 2
+    assert got[ten_oclock]["sum_value"] == 3.0
+    assert all(r["sum_value"] < 900 for r in got.values())
