@@ -77,16 +77,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    # No oracle: HLL estimates are engine-specific by construction.  The
-    # driver records a rows-only check; tests/test_aggregates.py bounds the
-    # estimate against the exact count (±5%).
+    # HLL estimates are engine-specific, so the RAW estimate can't hash-
+    # match an oracle — instead the query is self-certifying: it computes
+    # approx AND exact in one aggregation and emits the exact count plus
+    # a bound flag the oracle pins to 1 (the stateful-twin device).  A
+    # sketch regression (estimate off by >5%) flips the flag and fails
+    # the value check, not just a local test.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           1 AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL, rsd=2%) — the 100 TB COUNT(DISTINCT)
+    path — certified in-plan against the exact count."""
     li = load(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", 0.02)
+    exact = F.count_distinct(F.col("l_partkey"))
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            exact.alias("exact_parts"),
+            F.when(
+                F.abs(approx - exact).cast("double") / exact <= 0.05, 1
+            )
+            .otherwise(0)
+            .alias("approx_within_5pct"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -279,33 +301,75 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_sketch_mergeable",
-    # No oracle: Apache DataSketches HLL internals are engine-specific.
-    # tests/test_aggregates.py asserts (a) estimate within 5% of exact and
-    # (b) merge-of-group-sketches == whole-table sketch — the property
-    # that makes sketches the 100 TB path (pre-aggregate per partition /
-    # day / shard, union later, never rescan).
+    # DataSketches HLL internals are engine-specific, so the query
+    # certifies itself: the oracle pins the exact count plus two flags —
+    # merged-estimate-within-5%-of-exact, and merge-of-group-sketches
+    # agreeing with direct whole-column sketching (the associativity
+    # property that makes sketches the 100 TB path: pre-aggregate per
+    # partition / day / shard, union later, never rescan).
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_global_parts,
+           1 AS merged_within_5pct,
+           1 AS merge_agrees_direct
+    FROM lineitem
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Spark 4 DataSketches functions): per-group
     sketches unioned into a global distinct-count WITHOUT touching rows
-    again."""
+    again, with the union path checked against both exact and direct."""
     li = load(spark, sf_dir, "lineitem")
     per_group = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sketch")
     )
-    return (
-        per_group.agg(F.hll_union_agg("sketch").alias("merged"))
-        .select(F.hll_sketch_estimate("merged").alias("approx_global_parts"))
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_merged")
+    )
+    whole = li.agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_global_parts"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est_direct"),
+    )
+    j = merged.crossJoin(whole)  # two 1-row frames
+    exact = F.col("exact_global_parts")
+    return j.select(
+        exact,
+        F.when(F.abs(F.col("est_merged") - exact).cast("double") / exact <= 0.05, 1)
+        .otherwise(0)
+        .alias("merged_within_5pct"),
+        # union-of-sketches and direct sketching take different register
+        # paths; both must land within the error bound of each other
+        F.when(
+            F.abs(F.col("est_merged") - F.col("est_direct")).cast("double") / exact
+            <= 0.05,
+            1,
+        )
+        .otherwise(0)
+        .alias("merge_agrees_direct"),
     )
 
 
 @register(
     "agg_approx_percentile",
-    # No oracle: t-digest/GK-style quantile estimates are engine-specific
-    # by construction (DuckDB's approx_quantile uses a different sketch).
-    # The driver records a rows-only check; tests/test_aggregates.py
-    # bounds each estimate against the exact percentile.
+    # GK-sketch quantiles are engine-specific (DuckDB's approx_quantile
+    # is a different sketch), so the query certifies itself: the oracle
+    # pins the EXACT percentiles plus a flag saying each approximate
+    # value fell inside the exact [p−0.01, p+0.01] quantile band — 100×
+    # looser than the sketch's guaranteed 1e-4 rank error at
+    # accuracy=10000, so a pass means the sketch works and a flip means
+    # it is badly broken.
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 2) AS p50,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+             AS p90,
+           ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+             AS p99,
+           1 AS approx_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tags=("agg", "approx", "percentile"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,12 +382,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     its error is bounded by the accuracy knob (10000 ≈ 0.01%%-ile)."""
     li = load(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    bands = F.percentile(
+        F.col("l_extendedprice"),
+        F.array(*[F.lit(x) for x in (0.49, 0.51, 0.89, 0.91, 0.98, 1.0)]),
+    )
+    exact = F.percentile(F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    in_band = (
+        pcts[0].between(bands[0], bands[1])
+        & pcts[1].between(bands[2], bands[3])
+        & pcts[2].between(bands[4], bands[5])
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            pcts[0].alias("p50"),
-            pcts[1].alias("p90"),
-            pcts[2].alias("p99"),
+            F.round(exact[0], 2).alias("p50"),
+            F.round(exact[1], 2).alias("p90"),
+            F.round(exact[2], 2).alias("p99"),
+            F.when(in_band, 1).otherwise(0).alias("approx_in_band"),
         )
         .orderBy("l_returnflag")
     )
