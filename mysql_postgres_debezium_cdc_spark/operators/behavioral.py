@@ -404,3 +404,77 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_multi_granularity_rollup",
+    oracle="""
+    WITH b AS (
+      -- epoch_us // 1000000 floors to whole seconds like Spark's
+      -- unix_timestamp; epoch(ts)::BIGINT would ROUND the fractional
+      -- part and shift boundary events into the next bucket.
+      SELECT event_type, value,
+             (epoch_us(ts) // 1000000 // 900) * 900     AS b15m,
+             (epoch_us(ts) // 1000000 // 3600) * 3600   AS b1h,
+             (epoch_us(ts) // 1000000 // 86400) * 86400 AS b1d
+      FROM events
+    )
+    SELECT CASE WHEN b15m IS NOT NULL THEN '15m'
+                WHEN b1h IS NOT NULL THEN '1h'
+                ELSE '1d' END AS grain,
+           COALESCE(b15m, b1h, b1d) AS bucket_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((b15m, event_type), (b1h, event_type), (b1d, event_type))
+    ORDER BY grain, bucket_s, event_type
+    """,
+    tags=("behavioral", "timeseries", "rollup"),
+)
+def events_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: 15-minute, hourly
+    and daily buckets of the event stream in ONE pass via GROUPING SETS
+    over precomputed bucket columns (closed-form epoch arithmetic — no
+    range join, no calendar table).
+
+    Physical shape: Spark plans grouping sets as a single scan +
+    Expand(×3) + one hash aggregation — the same cost profile as the
+    finest grain alone, and the standard way a 100 TB metrics pipeline
+    maintains multiple downsample levels without re-reading the source
+    per level.  Bucket values are BIGINT epoch seconds, exact in both
+    engines; the grain label is derivable from which bucket column
+    survived the grouping set (coarser grains aggregate strictly more
+    rows, so ambiguity is impossible: a 15m bucket key is non-null only
+    in its own set)."""
+    ev = load(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    b = ev.select(
+        "event_type",
+        "value",
+        ((epoch / 900).cast("bigint") * 900).alias("b15m"),
+        ((epoch / 3600).cast("bigint") * 3600).alias("b1h"),
+        ((epoch / 86400).cast("bigint") * 86400).alias("b1d"),
+    )
+    grouped = b.groupingSets(
+        [["b15m", "event_type"], ["b1h", "event_type"], ["b1d", "event_type"]],
+        "b15m",
+        "b1h",
+        "b1d",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    grain = (
+        F.when(F.col("b15m").isNotNull(), "15m")
+        .when(F.col("b1h").isNotNull(), "1h")
+        .otherwise("1d")
+    )
+    return grouped.select(
+        grain.alias("grain"),
+        F.coalesce("b15m", "b1h", "b1d").alias("bucket_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("grain", "bucket_s", "event_type")

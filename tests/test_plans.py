@@ -396,3 +396,12 @@ def test_repetition_ratio_aggregates_not_quadratic_arrays(spark):
     r = _plan(spark, "text_repetition_ratio")
     assert "Generate" in r.ops  # explode reached the plan
     assert sum(o == "HashAggregate" for o in r.ops) >= 4
+
+
+def test_multi_granularity_rollup_is_single_scan_expand(spark):
+    """Three downsample levels must come from ONE pass: a single parquet
+    Scan feeding Expand (grouping sets), not three unioned aggregates."""
+    r = _plan(spark, "events_multi_granularity_rollup")
+    assert sum(o == "Scan" for o in r.ops) == 1, r.ops
+    assert "Expand" in r.ops
+    assert "Union" not in r.ops
