@@ -206,3 +206,58 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "source_parquet_merge_schema",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+             AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY o_orderpriority NULLS FIRST
+    """,
+    tags=("source", "parquet", "schema-evolution"),
+)
+def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a table whose files were written across a
+    schema change (one file predates the ``o_orderpriority`` column)
+    reads as ONE frame via ``mergeSchema`` — old-file rows surface the
+    added column as null, the standard parquet evolution contract a
+    long-lived 100 TB table depends on.  (mergeSchema reconciles
+    footers at planning time — an extra metadata pass, so production
+    tables pin the merged schema in a catalog; the per-file column
+    fill-in is the part this query certifies.)
+
+    The two-schema layout derives deterministically from ``orders``
+    (even keys → old schema, odd → new), so the oracle reproduces the
+    merged result from the original table without touching scratch
+    paths."""
+    def write(path: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        old = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+        new = o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        # Two subdirectories = two file generations of one logical table.
+        old.write.mode("overwrite").parquet(f"{path}/gen=0")
+        new.write.mode("overwrite").parquet(f"{path}/gen=1")
+        # top-level _SUCCESS marker for materialize_once
+        import os
+
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    root = materialize_once(sf_dir, "parquet_evolution", write)
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(root)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
