@@ -674,3 +674,59 @@ def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "cnt", "n_left_contexts")
         .orderBy(F.desc("cnt"), "w1", "w2")
     )
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        t -> LENGTH(t) > 0)) AS token
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    uni AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    scored AS (
+      SELECT t.doc_id, LN(tot.n / u.c) AS nlp
+      FROM toks t JOIN uni u USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(nlp), 4) AS unigram_xent
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per document — the perplexity-proxy quality
+    filter (CCNet ranks documents by LM perplexity; the unigram model is
+    its degenerate, SQL-expressible form and the same plumbing carries a
+    real LM's token scores).  Low score ⇒ common-word documents; high ⇒
+    rare-token noise.
+
+    Two-level shape (the TF-IDF device): unigram counts aggregate the
+    token stream once (map-side partials), the |vocab| model broadcasts
+    back onto the stream, and the corpus token total rides as a
+    broadcast scalar — the corpus is read once, the model is never
+    collected to the driver.  AVG of logs accumulates in engine order →
+    rounded to 4dp (LN itself agrees to <1 ulp on exact quotients)."""
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias(
+            "token"
+        ),
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        toks.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("n") / F.col("c")).alias("nlp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nlp"), 4).alias("unigram_xent"),
+        )
+        .orderBy("doc_id")
+    )
