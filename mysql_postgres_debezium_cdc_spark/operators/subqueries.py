@@ -189,3 +189,32 @@ def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this shape and should not have to rewrite it."""
     _views(spark, sf_dir, "nation", "supplier")
     return spark.sql(_LATERAL_TOPN_STMT)
+
+
+_AGG_FILTER_STMT = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+             AS urgent_price,
+           ROUND(AVG(o_totalprice) FILTER (WHERE o_orderpriority <> '1-URGENT'), 2)
+             AS rest_avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "sql_api_agg_filter_clause",
+    oracle=_AGG_FILTER_STMT,
+    tags=("sql-api", "agg", "filter-clause"),
+)
+def sql_api_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-SQL FILTER (WHERE …) aggregate clause, identical text on
+    both engines — conditional aggregation without CASE gymnastics.
+    Catalyst compiles each filtered aggregate to a conditional update of
+    its own buffer in the SAME Agg node: one scan, one shuffle,
+    regardless of how many filtered aggregates ride along."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_AGG_FILTER_STMT)
