@@ -484,3 +484,32 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT l_returnflag,
+           BOOL_AND(l_quantity > 0)    AS all_positive_qty,
+           BOOL_OR(l_discount > 0.09)  AS any_deep_discount,
+           BOOL_AND(l_tax <= 0.08)     AS all_low_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/some): per-group invariant checks — the
+    aggregation form of a data-quality assertion, short-circuitable and
+    partial-aggregated like any other agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.bool_and(F.col("l_tax") <= 0.08).alias("all_low_tax"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -478,3 +478,57 @@ def events_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         "n_events",
         "sum_value",
     ).orderBy("grain", "bucket_s", "event_type")
+
+
+@register(
+    "events_markov_transition",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           ROUND(CAST(p.n AS DOUBLE) / t.n_from, 4) AS p_transition
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+    tags=("behavioral", "markov"),
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: P(next event type |
+    current type), from per-user time-ordered event sequences — the
+    flow map behind funnel design and next-action models.
+
+    One window pass keyed by user (LEAD over (ts, event_id) — unique
+    tie-break, so sequences are identical cross-engine), then counts on
+    the |types|² relation; transition totals aggregate the PAIRS
+    relation, never the event stream twice."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = ordered.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 4).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
