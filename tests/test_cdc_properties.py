@@ -129,3 +129,81 @@ def test_lastwrite_replay_equivalence_composite_pk(spark, events, n_batches):
     """The multi-column-PK contract (pk.<table>=a,b grammar): compaction
     and deletes key on the FULL composite, never a prefix of it."""
     assert spark_replay_composite(spark, events, n_batches) == oracle_replay_composite(events)
+
+
+# --- egress roundtrip property -----------------------------------------
+
+roundtrip_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "r", "d"]),
+        st.integers(min_value=0, max_value=999),
+        st.one_of(
+            st.none(),
+            # Adversarial payload strings: JSON metacharacters, quotes,
+            # backslashes, newlines, unicode, the word "payload" (which
+            # the decoder's wrapped-vs-bare heuristic keys on).
+            st.text(
+                alphabet='ab"\\\n\t{}[]:,payloadé中',
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=16,
+    unique_by=lambda r: r[1],
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=roundtrip_rows, wrap=st.booleans())
+def test_encode_decode_roundtrip_property(spark, rows, wrap):
+    """encode_envelope → decode_envelope is the identity on change
+    events for ARBITRARY payload strings — JSON escaping (quotes,
+    backslashes, control chars, unicode) and the payload-or-root unwrap
+    heuristic (values containing the literal string "payload") must
+    never corrupt or drop an event."""
+    from mysql_postgres_debezium_cdc_spark.sources.debezium import encode_envelope
+
+    data = []
+    for i, (op, key, name) in enumerate(rows):
+        img = {"id": key, "name": name}
+        data.append(
+            (
+                op,
+                img if op in ("u", "d") else None,
+                None if op == "d" else img,
+                1700000000000 + i,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("before", ROW_SCHEMA),
+            T.StructField("after", ROW_SCHEMA),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    changes = spark.createDataFrame(
+        [(op, b and (b["id"], b["name"]), a and (a["id"], a["name"]), ts)
+         for op, b, a, ts in data],
+        schema,
+    )
+    enc = encode_envelope(changes, "app", "t", ("id",), wrap=wrap)
+    dec = decode_envelope(enc, ROW_SCHEMA).collect()
+    assert len(dec) == len(data)
+    got = {}
+    for r in dec:
+        assert r["_error"] is None, r
+        key = r["after"]["id"] if r["after"] is not None else r["before"]["id"]
+        got[key] = (
+            r["op"],
+            r["before"] and (r["before"]["id"], r["before"]["name"]),
+            r["after"] and (r["after"]["id"], r["after"]["name"]),
+            r["ts_ms"],
+        )
+    want = {
+        (b or a)["id"]: (op, b and (b["id"], b["name"]), a and (a["id"], a["name"]), ts)
+        for op, b, a, ts in data
+    }
+    assert got == want
