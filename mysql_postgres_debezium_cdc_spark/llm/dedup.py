@@ -1040,3 +1040,66 @@ def corpus_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_EMB_PAIRS_SQL = f"""
+      WITH {LSH_SIGS_SQL},
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+      ),
+      scored AS (
+        SELECT c.vec_a, c.vec_b,
+               LIST_DOT_PRODUCT(x.emb, y.emb) /
+                 (SQRT(LIST_DOT_PRODUCT(x.emb, x.emb)) *
+                  SQRT(LIST_DOT_PRODUCT(y.emb, y.emb))) AS cs
+        FROM cand c
+        JOIN e x ON x.vec_id = c.vec_a
+        JOIN e y ON y.vec_id = c.vec_b
+      )
+      SELECT vec_a, vec_b FROM scored WHERE cs >= {COS_NEARDUP_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_EMB_PAIRS_SQL}),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.node, e2.b FROM walk w JOIN edges e2 ON w.reach = e2.a
+    )
+    SELECT node AS vec_id, MIN(reach) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY MIN(reach)) AS cluster_size
+    FROM walk GROUP BY node
+    ORDER BY vec_id
+    """,
+    tags=("llm", "dedup", "embedding", "graph"),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding duplicate CLUSTERS — the dup-heavy-corpus answer the
+    r4 10× probe motivates (PLANS.md): a duplicate family of k vectors
+    costs k(k−1)/2 rows as pairs but only k rows as cluster labels, so
+    cluster reporting is the output-bounded form of embedding dedup.
+    LSH-bucketed pairs (the scale path) feed the same pointer-jumping
+    connected-components loop as the text family; output is
+    (vec_id, canonical cluster id, cluster size) for every vector that
+    has at least one near-duplicate."""
+    pairs = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("vec_id"),
+            F.col("component_id").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .orderBy("vec_id")
+    )
