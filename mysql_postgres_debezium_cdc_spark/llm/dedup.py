@@ -759,7 +759,12 @@ from mysql_postgres_debezium_cdc_spark.llm.similarity import (  # noqa: E402
     """,
     tags=("llm", "dedup", "embedding", "lsh"),
 )
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_freq: int | None = None,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the SCALE path that
     replaces `dedup_embedding_cosine`'s O(n²) cross join.
 
@@ -771,7 +776,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation regardless of corpus size, candidate volume governed by
     the bucket-collision s-curve.  Recall < 1 by construction (that is
     the dial); the oracle computes the identical bucketed pipeline, so
-    the check is exact."""
+    the check is exact.
+
+    ``max_doc_freq`` / ``max_bucket_width`` (default off, so the oracle
+    comparison stays uncapped) are the dup-heavy-corpus levers the r4
+    10× probe quantifies (PLANS.md): a corpus where everything
+    near-duplicates everything makes ANY pair-reporting dedup
+    Ω(true pairs); dropping/truncating degenerate buckets bounds the
+    expansion, and `dedup_embedding_clusters` bounds the OUTPUT."""
     emb = load(spark, sf_dir, "embeddings")
     sigs = lsh_signatures(emb)
     buckets = (
@@ -780,7 +792,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("docs") > 1)
     )
     cand = (
-        _pairs_from_bucket(buckets)
+        _pairs_from_bucket(
+            buckets, max_doc_freq=max_doc_freq, max_bucket_width=max_bucket_width
+        )
         .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
         .distinct()
     )
