@@ -142,3 +142,54 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("cust")).alias("q_cust"),
         F.parse_url("url", F.lit("REF")).alias("url_ref"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_xml_parse",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS xml_name,
+           ROUND(c_acctbal, 2) AS xml_bal,
+           c_custkey AS xml_attr_id,
+           c_name AS xpath_name
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    tags=("function", "string", "xml"),
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML decode surface (Spark 4 ``from_xml`` + the legacy ``xpath_*``
+    family): documents built from each row's own columns are parsed
+    back with an explicit schema — element text, typed element (double),
+    and attribute (``_id``) extraction — and the oracle recomputes the
+    expected values from the source columns, certifying the
+    construct→parse round-trip (the PII/URL fixture device)."""
+    from pyspark.sql import types as T
+
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    xml = F.concat(
+        F.lit('<cust id="'),
+        F.col("c_custkey").cast("string"),
+        F.lit('"><name>'),
+        F.col("c_name"),
+        F.lit("</name><bal>"),
+        F.round("c_acctbal", 2).cast("string"),
+        F.lit("</bal></cust>"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    d = c.select("c_custkey", xml.alias("x"))
+    parsed = F.from_xml("x", schema)
+    return d.select(
+        "c_custkey",
+        parsed.getField("name").alias("xml_name"),
+        F.round(parsed.getField("bal"), 2).alias("xml_bal"),
+        parsed.getField("_id").alias("xml_attr_id"),
+        F.xpath_string("x", F.lit("/cust/name")).alias("xpath_name"),
+    ).orderBy("c_custkey")

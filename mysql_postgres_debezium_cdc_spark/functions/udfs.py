@@ -311,3 +311,51 @@ def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, out_schema)
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice * 100, 0) AS price_cents,
+           LENGTH(o_orderpriority) AS prio_len
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: per-partition transformation over raw Arrow
+    RecordBatches — the zero-copy tier below mapInPandas (no pandas
+    conversion at all), the right surface when the Python side is
+    itself Arrow-native (polars, duckdb, custom C extensions).  The
+    batch math here is deliberately exact-integer so the oracle can
+    replay it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_batch(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("o_orderkey"),
+                    pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                    pc.utf8_length(b.column("o_orderpriority")),
+                ],
+                names=["o_orderkey", "price_cents", "prio_len"],
+            )
+
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    out_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price_cents", T.DoubleType()),
+            T.StructField("prio_len", T.IntegerType()),
+        ]
+    )
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .mapInArrow(per_batch, out_schema)
+        .orderBy("o_orderkey")
+    )
