@@ -157,3 +157,59 @@ def corpus_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# Per-source acceptance rates (per-mille) for the mixture sampler.
+MIXTURE_WEIGHTS = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
+MIXTURE_DEFAULT = 50  # unknown sources: heavy downsample, never silent drop
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"CASE {whens} ELSE {MIXTURE_DEFAULT} END"
+
+
+@register(
+    "corpus_mixture_weighted_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT source, n_chars
+      FROM documents
+      WHERE {_phash_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
+            < {_mix_case_sql()}
+    )
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "pipeline", "mixture"),
+)
+def corpus_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling — the domain-reweighting pass every
+    pretraining recipe runs (upweight curated sources, downsample the
+    crawl): accept a document iff portable_hash(doc) mod 1000 falls
+    under its source's per-mille rate.  Deterministic like the split —
+    reproducible across engines, retries and epochs, and the predicate
+    pushes into the scan so rejected documents never leave the reader.
+    Unknown sources fall to a conservative default rate rather than
+    silently vanishing."""
+    d = load(spark, sf_dir, "documents")
+    h = _feature_id(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000
+    expr = None
+    for s, w in MIXTURE_WEIGHTS.items():
+        cond = F.col("source") == s
+        expr = F.when(cond, w) if expr is None else expr.when(cond, w)
+    rate = expr.otherwise(MIXTURE_DEFAULT)
+    return (
+        d.where(h < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

@@ -730,3 +730,59 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BPE_TOPK = 30
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, STRING_SPLIT(REPLACE(text, ' ', '_'), '') AS cs
+      FROM documents
+    ),
+    pairs AS (
+      SELECT cs[i] || cs[i + 1] AS pair
+      FROM chars, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(cs), 1))) AS i)
+    ),
+    counts AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair),
+    ranked AS (
+      SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM counts
+    )
+    SELECT pair, cnt FROM ranked WHERE rk <= {_BPE_TOPK}
+    ORDER BY cnt DESC, pair
+    """,
+    tags=("llm", "text", "bpe"),
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE vocabulary training at corpus scale:
+    adjacent symbol-pair frequencies (spaces folded to '_' so word
+    boundaries count like any symbol, the GPT-2 convention), ranked to
+    find the first merge.  A full BPE trainer loops merge→recount;
+    each round is exactly this job over the re-tokenized corpus, so
+    this IS the distributed kernel.
+
+    Plan: chars explode once; the pair groupBy partially aggregates
+    map-side (the symbol-pair keyspace is tiny vs the character
+    stream); the global top-k ranks the aggregated relation only."""
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    cs = F.split(F.replace(F.col("text"), F.lit(" "), F.lit("_")), "")
+    cs = F.filter(cs, lambda c: F.length(c) > 0)
+    pair_arr = F.when(
+        F.size(cs) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(cs) - 1),
+            lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = d.select(F.explode(pair_arr).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _BPE_TOPK)
+        .select("pair", "cnt")
+        .orderBy(F.desc("cnt"), "pair")
+    )

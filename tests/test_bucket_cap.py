@@ -147,3 +147,24 @@ def test_shingle_doc_freq_cap(spark):
     }
     assert got == expect
     assert max(Counter(s for _, s in got).values()) <= cap
+
+
+def test_embedding_lsh_cap_only_removes_pairs(spark):
+    """The r4 cap passthrough on dedup_embedding_lsh: capped output is a
+    strict subset of uncapped output with identical surviving values."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import dedup_embedding_lsh
+    from tests.conftest import SF_DIR_SMOKE
+
+    full = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_embedding_lsh(spark, SF_DIR_SMOKE).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_embedding_lsh(
+            spark, SF_DIR_SMOKE, max_bucket_width=2
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k]
