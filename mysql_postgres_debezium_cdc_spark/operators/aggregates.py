@@ -513,3 +513,90 @@ def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: distributed Misra-Gries candidates + exact verification.
+# ---------------------------------------------------------------------------
+
+_MG_K = 50  # heavy-hitter threshold: count * K > N  (i.e. freq > N/K)
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary (mergeable-summaries form,
+    Agarwal et al. 2012): accumulate vectorized value_counts per Arrow
+    batch; when more than K counters are live, subtract the (K+1)-th
+    largest weight from all and drop non-positive ones.  Total
+    underestimate per partition is <= N_p/(K+1), so every token with
+    partition count > N_p/(K+1) keeps positive weight — and any GLOBAL
+    heavy hitter (count > N/K > N/(K+1)) must beat that bound in at
+    least one partition (else summing the per-partition bounds
+    contradicts the global count).  The emitted candidate set therefore
+    provably contains all true heavy hitters, in <= K rows per
+    partition, regardless of data size.
+    """
+    import pandas as pd
+
+    agg = None
+    for pdf in batches:
+        vc = pdf["token"].value_counts()
+        agg = vc if agg is None else agg.add(vc, fill_value=0)
+        if len(agg) > _MG_K:
+            agg = agg.sort_values(ascending=False)
+            agg = (agg - agg.iloc[_MG_K]).iloc[:_MG_K]
+            agg = agg[agg > 0]
+    yield pd.DataFrame({"token": [] if agg is None else agg.index.astype(str)})
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    t AS (SELECT token FROM toks WHERE token <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT token, COUNT(*) AS cnt
+    FROM t CROSS JOIN tot
+    GROUP BY token, n
+    HAVING COUNT(*) * {_MG_K} > n
+    ORDER BY token
+    """,
+    tags=("agg", "sketch", "llm"),
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (count > N/{K}) via the two-phase shape that is
+    the 100 TB answer to heavy hitters: (1) one streaming pass builds a
+    constant-memory Misra-Gries summary per partition — at most K
+    candidate rows leave each partition, so the shuffle is O(K x
+    partitions) no matter how many tokens exist; (2) an exact count of
+    the candidates only (broadcast semi-join — the candidate relation is
+    tiny by construction).  Because MG guarantees the candidate set is a
+    superset of the true heavy hitters, phase 2's exact counts make the
+    final answer EXACT and deterministic, which is why a plain SQL
+    oracle can value-check a sketch-based plan.  The full-data pass
+    crosses into Python via Arrow (vectorized value_counts per batch,
+    batch-level decrements) — the sketch pass is the single pass over
+    the data, everything after is candidate-sized.
+
+    Reference parity: the reference has no sketch surface (SURVEY.md
+    §2.2 aggregation gap); this pairs with agg_approx_count_distinct /
+    agg_hll_sketch_mergeable as the mergeable-summary family.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda c: F.length(c) > 0)
+        ).alias("token")
+    )
+    candidates = toks.mapInPandas(_mg_candidates, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * _MG_K > F.col("n"))
+        .select("token", "cnt")
+        .orderBy("token")
+    )

@@ -2,6 +2,7 @@
 JSON-lines/CSV text formats."""
 
 from mysql_postgres_debezium_cdc_spark.sources import (  # noqa: F401  (registers queries)
+    binary_files,
     parquet,
     text_formats,
 )
