@@ -595,3 +595,77 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_API_STMT)
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_STMT = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+|> AGGREGATE COUNT(*) AS n_lines,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_api_pipe_syntax",
+    oracle=_PIPE_ORACLE,
+    tags=("sql-api", "agg"),
+)
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0+): the query is written as a linear
+    ``FROM |> WHERE |> AGGREGATE |> ORDER BY`` dataflow instead of the
+    inside-out SELECT nesting.  Pipe operators are pure parser surface —
+    Catalyst receives the identical logical plan (filter pushed to the
+    scan, partial+final hash agg), so the DuckDB oracle is simply the
+    classic formulation of the same query.  Included because a user
+    migrating pipelines to this engine gets the modern front-end too,
+    not just ANSI SQL."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_STMT)
+
+
+@register(
+    "sql_api_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 200000.0
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql-api", "agg"),
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter ``spark.sql`` (Spark 3.4+): values bind as literal
+    expressions server-side (`:lo`/`:hi`/`:status` markers), which is the
+    injection-safe way a service layer templates queries — no string
+    interpolation, and Catalyst constant-folds the bound literals so the
+    plan is byte-identical to the inlined query the oracle runs."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"lo": 50000.0, "hi": 200000.0, "status": "F"},
+    )
