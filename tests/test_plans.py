@@ -405,3 +405,17 @@ def test_multi_granularity_rollup_is_single_scan_expand(spark):
     assert sum(o == "Scan" for o in r.ops) == 1, r.ops
     assert "Expand" in r.ops
     assert "Union" not in r.ops
+
+
+def test_heavy_hitters_plan_is_candidate_sized(spark):
+    """agg_heavy_hitters_mg's scale contract: the MG candidate relation is
+    the BROADCAST build side of the verification join (never sort-merge),
+    the only Python crossing is the single MapInPandas sketch pass, and
+    every documents scan is pruned to the text column — so the only
+    full-data costs are column-pruned scans plus one Arrow pass, and every
+    shuffle is candidate-sized (<= K rows per partition by construction)."""
+    r = _plan(spark, "agg_heavy_hitters_mg")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins >= 1, r.ops
+    assert sum(o == "MapInPandas" for o in r.ops) == 1, r.ops
+    assert "ReadSchema: struct<text:string>" in r.text
