@@ -1117,3 +1117,100 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup: cross-document repeated k-gram spans.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # span length in tokens; Lee et al. use 50 BPE tokens at corpus scale
+SUBSTR_RATIO = 0.2  # flag docs whose duplicated-gram ratio reaches this
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST([ARRAY_TO_STRING(toks[i:i+{SUBSTR_K - 1}], ' ')
+                       FOR i IN RANGE(1, GREATEST(LEN(toks) - {SUBSTR_K - 2}, 1))]) AS gram
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+      )
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM dup)) AS n_dup_grams
+      FROM g GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 4) AS dup_ratio
+    FROM per_doc
+    WHERE CAST(n_dup_grams AS DOUBLE) / n_grams >= {SUBSTR_RATIO}
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): flag documents a large share of
+    whose token k-grams ALSO occur verbatim in some other document —
+    catching boilerplate, templated spam, and copy-paste spans that
+    document-level MinHash misses because the rest of the document
+    differs.  This is a different axis from dedup_ngram_jaccard
+    (pairwise whole-doc similarity) and text_repetition (within-doc
+    repetition): the unit here is the SPAN, cross-document.
+
+    Scale shape: every doc emits its k-gram stream once (narrow
+    generate, no self-join); one shuffle groups grams for the
+    distinct-doc count (partial agg collapses within-partition
+    repeats); the duplicated-gram relation then semi-joins back against
+    the same stream and a per-doc aggregate finishes — two gram-keyed
+    shuffles total, both linear in corpus size, never quadratic in
+    documents.  The suffix-array formulation of the paper is a
+    single-machine construction; the k-gram relaxation is the standard
+    distributed equivalent (FineWeb / Dolma pipelines).  At production
+    scale key the shuffles by xxhash64(gram) instead of the gram string
+    (a collision only ever OVER-flags, which fails safe); the oracle
+    runs collision-free strings so values match exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = SUBSTR_K
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ).alias("gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_per_doc = (
+        grams.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .na.fill({"n_dup_grams": 0})
+        .where(F.col("n_dup_grams") / F.col("n_grams") >= SUBSTR_RATIO)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 4).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
