@@ -579,6 +579,13 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-level decrements) — the sketch pass is the single pass over
     the data, everything after is candidate-sized.
 
+    The plan reads documents three times (sketch pass, candidate count,
+    total-N count), each scan pruned to the text column — deliberate: at
+    100 TB, re-scanning one projected column twice more is cheaper than
+    caching the exploded token stream, and the N-pass is a pure count
+    that parquet metadata + codegen make near-free relative to the Arrow
+    sketch pass.
+
     Reference parity: the reference has no sketch surface (SURVEY.md
     §2.2 aggregation gap); this pairs with agg_approx_count_distinct /
     agg_hll_sketch_mergeable as the mergeable-summary family.
