@@ -786,3 +786,88 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", "cnt")
         .orderBy(F.desc("cnt"), "pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size overlapping token windows.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # chunk width in tokens
+CHUNK_STRIDE = 48  # step between chunk starts (16-token overlap)
+
+
+@register(
+    "corpus_chunk_documents",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks, LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             UNNEST(RANGE(0, CAST(CEIL(GREATEST(n - {CHUNK_TOKENS}, 0) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)) AS chunk_id
+      FROM d
+    )
+    SELECT c.doc_id, c.chunk_id,
+           CAST(1 + c.chunk_id * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(LEAST({CHUNK_TOKENS}, c.n - c.chunk_id * {CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens,
+           md5(ARRAY_TO_STRING(d.toks[(1 + c.chunk_id * {CHUNK_STRIDE}):(c.chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' ')) AS chunk_md5
+    FROM c JOIN d ON c.doc_id = d.doc_id
+    ORDER BY c.doc_id, c.chunk_id
+    """,
+    tags=("llm", "text", "chunk"),
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping token chunks per document — the splitter
+    side of the packing/chunking pair (`corpus_pack_sequences` packs
+    short docs UP to a budget; this cuts long docs DOWN to one), the
+    standard pre-step for context-window-bounded training and RAG
+    indexing.  Chunk starts step by STRIDE (< WIDTH, so consecutive
+    chunks overlap and no span falls on a boundary unseen); the final
+    chunk is allowed to run short rather than re-anchoring to the tail,
+    so chunk boundaries are a pure function of (doc length, constants) —
+    deterministic across engines and re-runs.
+
+    Scale shape: a single narrow generate per document (sequence →
+    explode), no shuffle at all until the output sort — chunking is
+    embarrassingly parallel and stays inside whole-stage codegen; the
+    chunk text is emitted as MD5 so the certified fact is the exact
+    byte content of every chunk without shipping the corpus twice.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / F.lit(float(CHUNK_STRIDE)))
+        + 1
+    )
+    d = docs.select("doc_id", toks.alias("toks"), n.alias("n"), n_chunks.alias("nc"))
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE).cast("bigint").alias("chunk_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_id") * CHUNK_STRIDE
+            )
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE,
+                        F.lit(CHUNK_TOKENS),
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
