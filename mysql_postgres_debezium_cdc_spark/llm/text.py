@@ -834,40 +834,44 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk text is emitted as MD5 so the certified fact is the exact
     byte content of every chunk without shipping the corpus twice.
     """
-    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, width: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, text) -> one row per (doc_id, chunk).  Boundary contract
+    (property-tested in tests/test_chunking.py against a python oracle):
+    starts at 1, 1+stride, …; n_chunks = ceil(max(n-width,0)/stride)+1;
+    the final chunk runs short instead of re-anchoring, so every token
+    is covered, chunk k covers tokens [1+k*stride, min(1+k*stride+width-1, n)],
+    and boundaries depend only on (n, width, stride)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    n_chunks = (
-        F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / F.lit(float(CHUNK_STRIDE)))
-        + 1
-    )
+    n_chunks = F.ceil(F.greatest(n - width, F.lit(0)) / F.lit(float(stride))) + 1
     d = docs.select("doc_id", toks.alias("toks"), n.alias("n"), n_chunks.alias("nc"))
-    return (
-        d.select(
-            "doc_id",
-            "toks",
-            "n",
-            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_id").cast("bigint").alias("chunk_id"),
-            (F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE).cast("bigint").alias("chunk_start"),
-            F.least(
-                F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_id") * CHUNK_STRIDE
-            )
-            .cast("bigint")
-            .alias("n_chunk_tokens"),
-            F.md5(
-                F.array_join(
-                    F.slice(
-                        F.col("toks"),
-                        F.lit(1) + F.col("chunk_id") * CHUNK_STRIDE,
-                        F.lit(CHUNK_TOKENS),
-                    ),
-                    " ",
-                ).cast("binary")
-            ).alias("chunk_md5"),
-        )
-        .orderBy("doc_id", "chunk_id")
+    return d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (F.lit(1) + F.col("chunk_id") * stride).cast("bigint").alias("chunk_start"),
+        F.least(F.lit(width), F.col("n") - F.col("chunk_id") * stride)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.lit(1) + F.col("chunk_id") * stride,
+                    F.lit(width),
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_md5"),
     )
