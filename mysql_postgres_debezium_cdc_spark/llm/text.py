@@ -875,3 +875,226 @@ def chunk_documents(
             ).cast("binary")
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining: collocation scores over word bigrams.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # ignore bigrams rarer than this (PMI is noise at low n)
+PMI_TOPK = 50
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0) AS ts
+      FROM documents
+    ),
+    uni AS (
+      SELECT u.t AS tok, COUNT(*) AS n
+      FROM toks, UNNEST(ts) AS u(t)
+      GROUP BY u.t
+    ),
+    bi AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2, COUNT(*) AS n_xy
+      FROM toks, UNNEST(RANGE(1, GREATEST(LEN(ts), 1))) AS r(i)
+      GROUP BY ts[i], ts[i+1]
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM uni) AS n_uni,
+             (SELECT SUM(n_xy) FROM bi) AS n_bi
+    )
+    SELECT w1, w2, n_xy,
+           ROUND(LN(CAST(n_xy * n_uni * n_uni AS DOUBLE)
+                    / CAST(u1.n * u2.n * n_bi AS DOUBLE)), 4) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.tok = bi.w1
+    JOIN uni u2 ON u2.tok = bi.w2
+    CROSS JOIN tot
+    WHERE n_xy >= {PMI_MIN_COUNT}
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY CAST(n_xy * n_uni * n_uni AS DOUBLE)
+               / CAST(u1.n * u2.n * n_bi AS DOUBLE) DESC, w1, w2) <= {PMI_TOPK}
+    ORDER BY pmi DESC, w1, w2
+    """,
+    tags=("llm", "text", "pmi"),
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the classic phrase
+    miner (Mikolov et al.'s word2vec phrases, quality-filter "glued
+    words" detection).  PMI = ln(p(xy) / (p(x)·p(y))) over word bigrams,
+    min-count-filtered, global top-k.
+
+    Plan shape at scale: bigrams explode once from the token arrays and
+    collapse in a map-side partial groupBy (the bigram keyspace ≪ the
+    token stream); unigrams aggregate the same way; the two unigram
+    joins attach to the AGGREGATED bigram relation (vocabulary-sized,
+    not corpus-sized), and both are AQE-broadcast-eligible since a
+    unigram table is tiny next to the corpus.  The totals ride as a
+    broadcast 1-row relation — no collect.  Top-k ranks the filtered
+    collocation table only.
+
+    Determinism: the PMI argument is one exact-integer ratio evaluated
+    in a single IEEE division (products stay < 2^63: n_xy·N_uni² at
+    web scale needs the LN applied to the factored form instead — at
+    fixture scale the direct product is exact and portable); ordering
+    uses the unrounded ratio with a (w1, w2) tie-break, the reported
+    score rounds LN to 4dp — same device text_tfidf_topk certifies."""
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0).alias("ts"),
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_arr = F.when(
+        F.size(F.col("ts")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("ts")) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("ts"), i).alias("w1"),
+                F.element_at(F.col("ts"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        toks.select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= PMI_MIN_COUNT)
+    )
+    tot = uni.agg(F.sum("n").alias("n_uni")).crossJoin(
+        toks.select(
+            F.greatest(F.size("ts") - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    ratio = (F.col("n_xy") * F.col("n_uni") * F.col("n_uni")).cast("double") / (
+        F.col("n1") * F.col("n2") * F.col("n_bi")
+    ).cast("double")
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_xy", ratio.alias("_ratio"))
+    )
+    w = Window.orderBy(F.desc("_ratio"), "w1", "w2")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= PMI_TOPK)
+        .select("w1", "w2", "n_xy", F.round(F.log("_ratio"), 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed training batches: padding-efficiency planning.
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = 8  # docs per training batch within a length bucket
+
+
+@register(
+    "corpus_length_bucketed_batches",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 16 THEN 16
+                  WHEN n_tokens <= 32 THEN 32
+                  WHEN n_tokens <= 64 THEN 64
+                  WHEN n_tokens <= 128 THEN 128
+                  WHEN n_tokens <= 256 THEN 256
+                  WHEN n_tokens <= 512 THEN 512
+                  ELSE 1024 END AS bucket
+      FROM lens
+    ),
+    batches AS (
+      SELECT bucket,
+             CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                  AS BIGINT) // {BATCH_SIZE} AS batch_id,
+             n_tokens
+      FROM bucketed
+    )
+    SELECT bucket, batch_id,
+           COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * bucket - SUM(n_tokens) AS BIGINT) AS padding_waste
+    FROM batches
+    GROUP BY bucket, batch_id
+    ORDER BY bucket, batch_id
+    """,
+    tags=("llm", "corpus", "batching"),
+)
+def corpus_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: group documents into power-of-two
+    token-length buckets, then fixed-size batches within each bucket,
+    and report the padding waste per batch — the planning pass behind
+    bucketed batching in every trainer (pad-to-bucket wastes far less
+    compute than pad-to-global-max, and this query quantifies exactly
+    how much).
+
+    Plan shape at scale: token counts are a narrow map (no shuffle);
+    the batch assignment is ONE window keyed by bucket — 7 fixed
+    buckets at any corpus size, so each bucket's row_number runs
+    partition-parallel after a 7-key hash exchange, and the per-batch
+    aggregate collapses map-side.  With 10¹⁰ documents a 7-key window
+    would skew; the production variant adds a shard prefix to the
+    window key (doc_id % n_shards, batches numbered per shard) —
+    same output contract, same plan shape, documented here because the
+    fixture's bucket cardinality doesn't need it.
+
+    Determinism: row_number ties are impossible (doc_id is unique per
+    bucket partition), batch_id = (rn-1) div BATCH_SIZE is non-negative
+    so truncating and flooring division agree, and all outputs are
+    exact integers."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0))
+    lens = d.select("doc_id", n_tokens.cast("bigint").alias("n_tokens"))
+    bucket = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .when(F.col("n_tokens") <= 256, 256)
+        .when(F.col("n_tokens") <= 512, 512)
+        .otherwise(1024)
+    )
+    bucketed = lens.select("doc_id", "n_tokens", bucket.cast("bigint").alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    batches = bucketed.select(
+        "bucket",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("bigint").alias("batch_id"),
+    )
+    return (
+        batches.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket", "batch_id")
+    )

@@ -676,3 +676,100 @@ def cdc_envelope_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.when(mismatch, 1).otherwise(0)).cast("bigint").alias("n_mismatches"),
     )
+
+
+@register(
+    "cdc_gdpr_scrub",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    cust AS (
+      SELECT COUNT(*) AS before_n,
+             COUNT(*) FILTER (WHERE c_custkey NOT IN (SELECT c_custkey FROM forget))
+               AS after_n
+      FROM customer
+    ),
+    ord AS (
+      SELECT COUNT(*) AS before_n,
+             COUNT(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM forget))
+               AS after_n
+      FROM orders
+    ),
+    li AS (
+      SELECT COUNT(*) AS before_n,
+             COUNT(*) FILTER (WHERE l_orderkey NOT IN (
+               SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM forget)))
+               AS after_n
+      FROM lineitem
+    )
+    SELECT table_name, rows_before, rows_after,
+           rows_before - rows_after AS rows_scrubbed
+    FROM (
+      SELECT 'customer' AS table_name, before_n AS rows_before, after_n AS rows_after FROM cust
+      UNION ALL
+      SELECT 'orders', before_n, after_n FROM ord
+      UNION ALL
+      SELECT 'lineitem', before_n, after_n FROM li
+    )
+    ORDER BY table_name
+    """,
+    tags=("cdc", "governance"),
+)
+def cdc_gdpr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation through a keyed lake: given a
+    set of subjects to forget (here ``c_custkey % 97 = 0`` — a stand-in
+    for the deletion-request table a privacy service maintains), cascade
+    the erasure through every table that references them, directly
+    (orders.o_custkey) or transitively (lineitem via its order), and
+    report per-table before/after/scrubbed counts — the audit artifact a
+    GDPR Article 17 run has to produce.
+
+    This is the batch face of the CDC deletion path: in the streaming
+    engine the same forget-set arrives as op='d' events and the keyed
+    MERGE (streaming/cdc.py:94) applies them; here the cascade is
+    expressed as anti-joins so a backfill over an entire lake runs as
+    ordinary co-partitioned joins.
+
+    Scale shape: the forget-set is a projection of one key column
+    (thousands-to-millions of rows at 100 TB — far under the fact
+    tables), so each anti-join is an AQE-eligible broadcast or a keyed
+    co-shuffle of the FACT side only; the transitive hop materializes
+    scrubbed order keys (bounded by the forget-set's order fan-out),
+    never the surviving majority.  Counts aggregate map-side; the final
+    3-row union is constant-size.  On Delta/Iceberg the same anti-join
+    feeds a MERGE ... WHEN MATCHED THEN DELETE (deletion vectors make
+    it cheap); this query is the dry-run audit of that statement."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    forget = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+
+    cust_after = cust.join(forget, "c_custkey", "left_anti")
+    ord_after = orders.join(
+        forget, orders.o_custkey == forget.c_custkey, "left_anti"
+    )
+    scrubbed_orders = orders.join(
+        forget, orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_after = li.join(
+        scrubbed_orders, li.l_orderkey == scrubbed_orders.o_orderkey, "left_anti"
+    )
+
+    def _stat(name: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        b = before.agg(F.count(F.lit(1)).alias("rows_before"))
+        a = after.agg(F.count(F.lit(1)).alias("rows_after"))
+        return b.crossJoin(a).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_scrubbed"),
+        )
+
+    return (
+        _stat("customer", cust, cust_after)
+        .unionByName(_stat("orders", orders, ord_after))
+        .unionByName(_stat("lineitem", li, li_after))
+        .orderBy("table_name")
+    )
