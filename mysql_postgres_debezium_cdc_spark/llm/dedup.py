@@ -1214,3 +1214,123 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-style incremental dedup: probabilistic pre-filter + exact verify.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # filter width in bits
+# Full-text Horner hash (same fold _feature_id uses for shingles), as
+# DuckDB SQL over a `text` column:
+_TEXT_HASH_SQL = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+    "[CAST(UNICODE(text[i]) AS BIGINT) FOR i IN RANGE(1, LENGTH(text)+1)]), "
+    f"(acc, c) -> (acc * 31 + c) % {MH_PRIME})"
+)
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, text, {_TEXT_HASH_SQL} AS h,
+             doc_id % 10 < 8 AS is_seen
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, text, is_seen,
+             h % {BLOOM_M} AS p1,
+             (h * 31 + 7) % {MH_PRIME} % {BLOOM_M} AS p2
+      FROM hashed
+    ),
+    bits AS (
+      SELECT DISTINCT p FROM (
+        SELECT p1 AS p FROM pos WHERE is_seen
+        UNION ALL SELECT p2 FROM pos WHERE is_seen
+      )
+    ),
+    fresh AS (SELECT * FROM pos WHERE NOT is_seen),
+    cand AS (
+      SELECT * FROM fresh
+      WHERE p1 IN (SELECT p FROM bits) AND p2 IN (SELECT p FROM bits)
+    ),
+    dup AS (
+      SELECT n.doc_id FROM fresh n
+      WHERE n.text IN (SELECT text FROM pos WHERE is_seen)
+    )
+    SELECT (SELECT COUNT(*) FROM fresh) AS n_new,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM dup) AS n_true_dup,
+           (SELECT COUNT(*) FROM cand WHERE doc_id IN (SELECT doc_id FROM dup))
+             AS n_caught,
+           (SELECT COUNT(*) FROM dup WHERE doc_id NOT IN (SELECT doc_id FROM cand))
+             AS n_missed
+    """,
+    tags=("llm", "dedup", "bloom"),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: the arriving-batch-vs-corpus
+    pattern (continuous crawl ingestion).  A k=2, m=4096-bit bloom
+    filter built over the SEEN corpus's text hashes pre-filters the NEW
+    batch; only bloom-positive docs pay the exact verification join.
+    The output certifies the filter's contract in one row: n_missed — a
+    true duplicate the bloom missed — is structurally 0 (no false
+    negatives), while n_candidates - n_caught counts the false
+    positives the exact join then rejects.
+
+    Scale shape: the filter is built by aggregation over the seen
+    corpus (here a distinct-positions relation, ≤ m rows, broadcast to
+    the membership probe; the production form is Spark's native
+    bloom_filter_agg → might_contain pair — one binary blob instead of
+    a relation, same two hash probes — already exercised as a runtime
+    join-pruning filter in tests/test_plans.py).  The exact-verify join
+    touches only bloom-positive rows: at a 1% false-positive rate the
+    expensive text-equality shuffle carries 1% of the batch plus the
+    true duplicates, not the whole batch — that's the entire point of
+    the pre-filter at 100 TB.
+
+    Determinism: the Horner text hash is the engine-portable integer
+    fold (llm/dedup.py:_feature_id), positions are pure modular
+    arithmetic (h·31+7 < 2^36, no overflow), and every output is an
+    exact count."""
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    h = _feature_id(F.col("text"))
+    pos = d.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 10 < 8).alias("is_seen"),
+        (h % BLOOM_M).alias("p1"),
+        ((h * 31 + 7) % MH_PRIME % BLOOM_M).alias("p2"),
+    )
+    seen = pos.where("is_seen")
+    new = pos.where("NOT is_seen")
+    bits = (
+        seen.select(F.col("p1").alias("p"))
+        .unionAll(seen.select(F.col("p2").alias("p")))
+        .distinct()
+    )
+    probes = new.select("doc_id", F.explode(F.array("p1", "p2")).alias("p"))
+    cand = (
+        probes.join(bits, "p", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == 2)
+        .select("doc_id")
+    )
+    dup = new.join(
+        seen.select("text").distinct(), "text", "left_semi"
+    ).select("doc_id")
+    caught = dup.join(cand, "doc_id", "left_semi")
+    missed = dup.join(cand, "doc_id", "left_anti")
+
+    def _n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        _n(new, "n_new")
+        .crossJoin(_n(cand, "n_candidates"))
+        .crossJoin(_n(dup, "n_true_dup"))
+        .crossJoin(_n(caught, "n_caught"))
+        .crossJoin(_n(missed, "n_missed"))
+    )

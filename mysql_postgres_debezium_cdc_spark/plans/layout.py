@@ -92,3 +92,99 @@ def compact_small_files(
     n = total_rows if total_rows is not None else df.count()
     n_files = max(1, -(-n // target_rows_per_file))  # ceil
     df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-dimensional data-skipping layout.
+# ---------------------------------------------------------------------------
+
+Z_BITS = 16  # bits kept per dimension before interleaving
+Z_CELL_SHIFT = 24  # morton key >> this = cell id (top 8 bits, 256 cells)
+
+
+def _morton_spark(x, y):
+    """Interleave the low Z_BITS of two non-negative ints: bit i of x
+    lands at 2i, bit i of y at 2i+1 — the Morton/Z-order curve key.
+    Pure column bit-arithmetic (16 shift-mask-or terms, constant-folded
+    into one codegen expression; no UDF)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(Z_BITS):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "layout_zorder_cells",
+    oracle=f"""
+    WITH dims AS (
+      SELECT o_orderkey,
+             o_custkey & 65535 AS xd,
+             DATE_DIFF('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) & 65535
+               AS yd
+      FROM orders
+    ),
+    keyed AS (
+      SELECT o_orderkey, xd, yd, ({_morton_sql('xd', 'yd')}) AS zkey
+      FROM dims
+    )
+    SELECT CAST(zkey >> {Z_CELL_SHIFT} AS BIGINT) AS cell,
+           COUNT(*) AS n_rows,
+           MIN(xd) AS min_cust, MAX(xd) AS max_cust,
+           MIN(yd) AS min_day, MAX(yd) AS max_day
+    FROM keyed
+    GROUP BY 1
+    ORDER BY cell
+    """,
+    tags=("layout", "zorder"),
+)
+def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: Morton-interleave (customer, order-day)
+    into a space-filling-curve key and report per-cell extent stats —
+    the layout pass behind Delta OPTIMIZE ZORDER BY / Iceberg sort
+    orders.  Writing files in zkey order bounds EVERY cell's min/max
+    rectangle in BOTH dimensions at once, so file-level min/max stats
+    prune scans filtered on either column (a single-column sort only
+    bounds its own column; the interleave is what buys two-dimensional
+    skipping).  The per-cell (min,max) pairs this query emits are
+    exactly the skipping index a writer would persist.
+
+    Plan shape at scale: the key is 32 shift-mask-or terms fused into
+    one whole-stage-codegen projection (no UDF, no shuffle); the cell
+    rollup is a map-side-combining groupBy on a 256-key space.  The
+    production writer inserts a repartitionByRange(zkey) before writing
+    so files tile the curve; the audit aggregate here is
+    layout-independent (same cells whatever the partitioning), which is
+    what makes it oracle-checkable."""
+    o = load(spark, sf_dir, "orders")
+    dims = o.select(
+        F.col("o_custkey").bitwiseAND(F.lit(65535)).alias("xd"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1997-01-01").cast("date"))
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535))
+        .alias("yd"),
+    )
+    keyed = dims.select("xd", "yd", _morton_spark(F.col("xd"), F.col("yd")).alias("zkey"))
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zkey"), Z_CELL_SHIFT).cast("bigint").alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xd").alias("min_cust"),
+            F.max("xd").alias("max_cust"),
+            F.min("yd").alias("min_day"),
+            F.max("yd").alias("max_day"),
+        )
+        .orderBy("cell")
+    )
