@@ -98,14 +98,17 @@ def compact_small_files(
 # Z-order (Morton) clustering: multi-dimensional data-skipping layout.
 # ---------------------------------------------------------------------------
 
-Z_BITS = 16  # bits kept per dimension before interleaving
-Z_CELL_SHIFT = 24  # morton key >> this = cell id (top 8 bits, 256 cells)
+Z_BITS = 8  # bits per dimension after scaling into [0, 255]
+Z_CELL_SHIFT = 8  # morton key >> this = cell id (top 4 bits of each dim)
+Z_CUST_DIV = 64  # custkey units per grid step
+Z_DAY_DIV = 8  # days per grid step
+Z_EPOCH = "1995-01-01"  # precedes every fixture order date
 
 
 def _morton_spark(x, y):
     """Interleave the low Z_BITS of two non-negative ints: bit i of x
     lands at 2i, bit i of y at 2i+1 — the Morton/Z-order curve key.
-    Pure column bit-arithmetic (16 shift-mask-or terms, constant-folded
+    Pure column bit-arithmetic (shift-mask-or terms, constant-folded
     into one codegen expression; no UDF)."""
     z = F.lit(0).cast("bigint")
     for i in range(Z_BITS):
@@ -128,20 +131,22 @@ def _morton_sql(x: str, y: str) -> str:
     "layout_zorder_cells",
     oracle=f"""
     WITH dims AS (
-      SELECT o_orderkey,
-             o_custkey & 65535 AS xd,
-             DATE_DIFF('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) & 65535
-               AS yd
+      SELECT o_custkey,
+             DATE_DIFF('day', DATE '{Z_EPOCH}', CAST(o_orderdate AS DATE)) AS day_n,
+             LEAST(o_custkey // {Z_CUST_DIV}, 255) AS xd,
+             LEAST(GREATEST(DATE_DIFF('day', DATE '{Z_EPOCH}',
+                                       CAST(o_orderdate AS DATE)), 0)
+                   // {Z_DAY_DIV}, 255) AS yd
       FROM orders
     ),
     keyed AS (
-      SELECT o_orderkey, xd, yd, ({_morton_sql('xd', 'yd')}) AS zkey
+      SELECT o_custkey, day_n, ({_morton_sql('xd', 'yd')}) AS zkey
       FROM dims
     )
     SELECT CAST(zkey >> {Z_CELL_SHIFT} AS BIGINT) AS cell,
            COUNT(*) AS n_rows,
-           MIN(xd) AS min_cust, MAX(xd) AS max_cust,
-           MIN(yd) AS min_day, MAX(yd) AS max_day
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(day_n) AS min_day, MAX(day_n) AS max_day
     FROM keyed
     GROUP BY 1
     ORDER BY cell
@@ -149,42 +154,57 @@ def _morton_sql(x: str, y: str) -> str:
     tags=("layout", "zorder"),
 )
 def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order clustering audit: Morton-interleave (customer, order-day)
-    into a space-filling-curve key and report per-cell extent stats —
-    the layout pass behind Delta OPTIMIZE ZORDER BY / Iceberg sort
-    orders.  Writing files in zkey order bounds EVERY cell's min/max
-    rectangle in BOTH dimensions at once, so file-level min/max stats
-    prune scans filtered on either column (a single-column sort only
-    bounds its own column; the interleave is what buys two-dimensional
-    skipping).  The per-cell (min,max) pairs this query emits are
-    exactly the skipping index a writer would persist.
+    """Z-order clustering audit: scale (customer, order-day) onto a
+    256x256 grid, Morton-interleave the grid coordinates, and report
+    per-cell extent stats — the layout pass behind Delta OPTIMIZE
+    ZORDER BY / Iceberg sort orders.  Writing files in zkey order
+    bounds EVERY cell's (min,max) rectangle in BOTH dimensions at once,
+    so file-level min/max stats prune scans filtered on either column
+    (a single-column sort only bounds its own column; the interleave is
+    what buys two-dimensional skipping).  The per-cell (min,max) pairs
+    this query emits are exactly the skipping index a writer persists.
 
-    Plan shape at scale: the key is 32 shift-mask-or terms fused into
-    one whole-stage-codegen projection (no UDF, no shuffle); the cell
-    rollup is a map-side-combining groupBy on a 256-key space.  The
-    production writer inserts a repartitionByRange(zkey) before writing
+    The grid scaling (fixed units per step, clamped at 255) keeps the
+    morton key monotone in each raw dimension, so cells are contiguous
+    rectangles in RAW coordinate space — that is the property min/max
+    skipping needs, and it holds at any scale factor (larger corpora
+    saturate more of the grid; the production writer picks divisors
+    from column stats the same way OPTIMIZE does).
+
+    Plan shape at scale: the key is shift-mask-or terms fused into one
+    whole-stage-codegen projection (no UDF, no shuffle); the cell
+    rollup is a map-side-combining groupBy on a <=65536-key space.  The
+    production writer inserts repartitionByRange(zkey) before writing
     so files tile the curve; the audit aggregate here is
     layout-independent (same cells whatever the partitioning), which is
     what makes it oracle-checkable."""
     o = load(spark, sf_dir, "orders")
+    day_n = F.datediff(F.to_date("o_orderdate"), F.lit(Z_EPOCH).cast("date")).cast(
+        "bigint"
+    )
     dims = o.select(
-        F.col("o_custkey").bitwiseAND(F.lit(65535)).alias("xd"),
-        F.datediff(F.to_date("o_orderdate"), F.lit("1997-01-01").cast("date"))
+        "o_custkey",
+        day_n.alias("day_n"),
+        F.least(F.expr(f"o_custkey DIV {Z_CUST_DIV}"), F.lit(255)).alias("xd"),
+        F.least(
+            F.greatest(day_n, F.lit(0)) / Z_DAY_DIV, F.lit(255.0)
+        )
         .cast("bigint")
-        .bitwiseAND(F.lit(65535))
         .alias("yd"),
     )
-    keyed = dims.select("xd", "yd", _morton_spark(F.col("xd"), F.col("yd")).alias("zkey"))
+    keyed = dims.select(
+        "o_custkey", "day_n", _morton_spark(F.col("xd"), F.col("yd")).alias("zkey")
+    )
     return (
         keyed.groupBy(
             F.shiftright(F.col("zkey"), Z_CELL_SHIFT).cast("bigint").alias("cell")
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.min("xd").alias("min_cust"),
-            F.max("xd").alias("max_cust"),
-            F.min("yd").alias("min_day"),
-            F.max("yd").alias("max_day"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day_n").alias("min_day"),
+            F.max("day_n").alias("max_day"),
         )
         .orderBy("cell")
     )
