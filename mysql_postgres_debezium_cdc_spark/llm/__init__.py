@@ -2,6 +2,7 @@
 multimodal column plumbing."""
 
 from mysql_postgres_debezium_cdc_spark.llm import (  # noqa: F401
+    clustering,
     contamination,
     dedup,
     embeddings,
