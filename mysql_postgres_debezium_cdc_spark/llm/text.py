@@ -1098,3 +1098,127 @@ def corpus_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket", "batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding: apply a fixed merge table, count resulting tokens.
+# ---------------------------------------------------------------------------
+
+# Rank-ordered merge table (the artifact BPE *training* produces — see
+# corpus_bpe_pair_counts for the training kernel; these ranks were mined
+# from the fixture corpus and include a 3-level cascade t+a → ta+b →
+# tab+le so the chain exercises merges-of-merges, not just char pairs).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("o", "w"),
+    ("s", "t"),
+    ("i", "n"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("l", "e"),
+    ("tab", "le"),
+)
+
+
+def _bpe_replace_chain_sql(expr: str) -> str:
+    """Wrap `expr` (a double-space symbol string) in the merge chain."""
+    for x, y in BPE_MERGES:
+        expr = f"REPLACE({expr}, ' {x}  {y} ', ' {x}{y} ')"
+    return expr
+
+
+_BPE_WORD_SQL = _bpe_replace_chain_sql(
+    "'  ' || REGEXP_REPLACE(w, '(.)', '\\1  ', 'g')"
+)
+
+
+@register(
+    "corpus_bpe_encode",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, ' '), w -> LENGTH(w) > 0) AS words
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id,
+             LEN(words) AS n_words,
+             CAST(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))) AS BIGINT)
+               AS n_chars,
+             CAST(LIST_SUM(LIST_TRANSFORM(words, w ->
+               LEN(LIST_FILTER(STRING_SPLIT({_BPE_WORD_SQL}, '  '),
+                               t -> LENGTH(t) > 0)))) AS BIGINT) AS n_tokens
+      FROM docs
+    )
+    SELECT doc_id, n_words, n_chars, n_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+    FROM enc
+    ORDER BY doc_id
+    """,
+    tags=("llm", "corpus", "bpe"),
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (the APPLY half; corpus_bpe_pair_counts is the
+    TRAIN half): encode every document against a fixed rank-ordered
+    merge table and report exact per-document token counts — the number
+    every data pipeline needs per document (packing budgets, length
+    bucketing, billing) computed by the real merge-table algorithm, not
+    a whitespace proxy.
+
+    Algorithm device: a word is expanded to double-space-separated
+    symbols ("  t  a  b  l  e  ") and each merge (x,y) of the ranked
+    table is applied as one string REPLACE of " x  y " with " xy ".
+    The double-space invariant makes the patterns boundary-safe (a
+    symbol can never match inside a neighbor because each match
+    requires a flanking space from BOTH adjacent separators and each
+    replacement restores them), and left-to-right non-overlapping
+    REPLACE is exactly BPE's leftmost-greedy application of one rank.
+    Merges of merged symbols chain naturally (t+a, ta+b, tab+le turns
+    'table' into one token).  Both engines implement REPLACE with
+    identical scan semantics, which is what makes real tokenization
+    DuckDB-value-checkable.
+
+    Scale shape: pure narrow projection — no shuffle, no UDF, the whole
+    merge chain fuses into one whole-stage-codegen expression over each
+    partition; 100 TB of text tokenizes embarrassingly parallel.  (A
+    50k-merge production vocabulary compiles the same way — the chain
+    is just deeper; at that depth a mapInPandas tokenizer with a
+    trie-based encoder wins on constant factors, but the per-partition,
+    shuffle-free shape is identical.)"""
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+
+    def encode(w):
+        cur = F.concat(F.lit("  "), F.regexp_replace(w, "(.)", "$1  "))
+        for x, y in BPE_MERGES:
+            cur = F.replace(cur, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
+        return cur
+
+    def count_tokens(w):
+        return F.size(
+            F.filter(F.split(encode(w), "  "), lambda t: F.length(t) > 0)
+        ).cast("bigint")
+
+    enc = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("n_chars"),
+        F.aggregate(
+            F.transform(words, count_tokens),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("n_tokens"),
+    )
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("doc_id")
