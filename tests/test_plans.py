@@ -419,3 +419,49 @@ def test_heavy_hitters_plan_is_candidate_sized(spark):
     assert r.n_broadcast_joins >= 1, r.ops
     assert sum(o == "MapInPandas" for o in r.ops) == 1, r.ops
     assert "ReadSchema: struct<text:string>" in r.text
+
+
+def test_zorder_is_shuffle_free_until_cell_rollup(spark):
+    """layout_zorder_cells' scale contract: the morton key is pure
+    projection arithmetic (no UDF, no join), so the ONLY exchanges are
+    the 256-key cell rollup and the final cell ordering — input size
+    never changes the shuffle count, and the orders scan is pruned to
+    the two dimension columns."""
+    r = _plan(spark, "layout_zorder_cells")
+    assert r.n_exchanges <= 2, r.ops
+    assert not any("Python" in o or "MapInPandas" in o for o in r.ops), r.ops
+    assert "o_custkey" in r.text and "o_orderdate" in r.text
+    assert "o_totalprice" not in r.text  # column pruning reached the scan
+
+
+def test_kmeans_centroids_broadcast_corpus_never_shuffles_whole(spark):
+    """cluster_kmeans_embeddings' scale contract: every assignment pass
+    joins the corpus against BROADCAST centroids (k is a constant, the
+    one always-safe hint in the engine) — the full vector relation must
+    never be the build side and never sort-merge-joins."""
+    r = _plan(spark, "cluster_kmeans_embeddings")
+    assert r.n_sortmerge_joins == 0, r.ops
+    # crossJoin(broadcast(centroids)) compiles to BroadcastNestedLoopJoin
+    # (no equi-key), one per assignment pass — the corpus side streams.
+    assert sum(o == "BroadcastNestedLoopJoin" for o in r.ops) >= 2, r.ops
+    assert sum(o == "BroadcastExchange" for o in r.ops) >= 2, r.ops
+
+
+def test_bpe_encode_is_pure_codegen_map(spark):
+    """corpus_bpe_encode must stay a narrow, shuffle-free, JVM-side
+    projection: the merge chain compiles into whole-stage codegen, no
+    Python crossing, and the scan reads only (doc_id, text).  The two
+    exchanges allowed: spread_small_scan's fixture repartition and the
+    final doc_id ordering — neither scales with input size."""
+    r = _plan(spark, "corpus_bpe_encode")
+    assert not any("Python" in o or "MapInPandas" in o for o in r.ops), r.ops
+    assert r.n_exchanges <= 2, r.ops
+    assert "lang" not in r.text  # pruned
+
+
+def test_bloom_dedup_exact_join_is_candidate_sized(spark):
+    """dedup_bloom_incremental's point is that the expensive text-equality
+    join happens AFTER the bloom pre-filter: the distinct-positions
+    relation (<= m rows, constant) must broadcast, never sort-merge."""
+    r = _plan(spark, "dedup_bloom_incremental")
+    assert r.n_sortmerge_joins == 0, r.ops
