@@ -458,3 +458,191 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed RAG retrieval: chunk -> hashing-trick embed -> top-k retrieve.
+# ---------------------------------------------------------------------------
+
+RAG_DIMS = 16  # hashing-trick vector width
+RAG_TOPK = 3
+RAG_QUERY_MOD = 100  # doc_id % RAG_QUERY_MOD == RAG_QUERY_REM selects queries
+RAG_QUERY_REM = 7
+_RAG_CHUNK_W = 64
+_RAG_CHUNK_S = 48
+_RAG_PRIME = 2147483647
+
+
+def _horner_sql(var: str) -> str:
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        f"[CAST(UNICODE({var}[i]) AS BIGINT) FOR i IN RANGE(1, LEN({var})+1)]), "
+        f"(acc, c) -> (acc * 31 + c) % {_RAG_PRIME})"
+    )
+
+
+@register(
+    "corpus_rag_retrieval",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             toks[(1 + chunk_id * {_RAG_CHUNK_S}):(chunk_id * {_RAG_CHUNK_S} + {_RAG_CHUNK_W})] AS ctoks
+      FROM (
+        SELECT doc_id, toks,
+               UNNEST(RANGE(0, CAST(CEIL(GREATEST(n - {_RAG_CHUNK_W}, 0)
+                 / CAST({_RAG_CHUNK_S} AS DOUBLE)) AS BIGINT) + 1)) AS chunk_id
+        FROM d
+      )
+    ),
+    cdims AS (
+      SELECT doc_id, chunk_id, {_horner_sql('tok')} % {RAG_DIMS} AS dim,
+             COUNT(*) AS cnt
+      FROM chunks, UNNEST(ctoks) AS u(tok)
+      GROUP BY 1, 2, 3
+    ),
+    cnorm AS (
+      SELECT doc_id, chunk_id, CAST(SUM(cnt * cnt) AS BIGINT) AS n2
+      FROM cdims GROUP BY 1, 2
+    ),
+    qdims AS (
+      SELECT doc_id AS q_doc, {_horner_sql('tok')} % {RAG_DIMS} AS dim,
+             COUNT(*) AS cnt
+      FROM d, UNNEST(toks) AS u(tok)
+      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM}
+      GROUP BY 1, 2
+    ),
+    qnorm AS (
+      SELECT q_doc, CAST(SUM(cnt * cnt) AS BIGINT) AS n2
+      FROM qdims GROUP BY 1
+    ),
+    dots AS (
+      SELECT q.q_doc, c.doc_id, c.chunk_id,
+             CAST(SUM(q.cnt * c.cnt) AS BIGINT) AS dot
+      FROM qdims q JOIN cdims c ON c.dim = q.dim AND c.doc_id <> q.q_doc
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.q_doc, d.doc_id, d.chunk_id,
+             CAST(d.dot AS DOUBLE)
+               / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE))) AS c
+      FROM dots d
+      JOIN qnorm qn ON qn.q_doc = d.q_doc
+      JOIN cnorm cn ON cn.doc_id = d.doc_id AND cn.chunk_id = d.chunk_id
+    )
+    SELECT q_doc, rk, doc_id AS hit_doc, chunk_id AS hit_chunk,
+           ROUND(c, 6) AS cos
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_doc ORDER BY c DESC, doc_id, chunk_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {RAG_TOPK}
+    ORDER BY q_doc, rk
+    """,
+    tags=("llm", "similarity", "rag"),
+)
+def corpus_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG indexing + retrieval, composed from the engine's
+    own pieces: documents are cut into overlapping chunks (same
+    boundary contract as corpus_chunk_documents), each chunk is
+    embedded by the hashing trick (token → Horner hash → one of
+    RAG_DIMS count buckets — the portable stand-in for a neural
+    encoder; the Spark-side plumbing is identical either way), and a
+    deterministic query cohort (doc_id % 100 == 7) retrieves its top-3
+    chunks by cosine, self-hits excluded.  This is the whole
+    chunk→embed→index→query pipeline a retrieval corpus build runs,
+    value-checked end to end — a boundary bug in chunking, a hash bug
+    in embedding, or a ranking bug in retrieval all move the output.
+
+    Scale shape: chunking and embedding are narrow generates + one
+    map-side-combining groupBy each (the per-chunk sparse vector
+    relation is bounded by RAG_DIMS rows per chunk).  Retrieval joins
+    the TINY query-vector relation (|queries|·dims rows — broadcast at
+    any corpus scale, since the query cohort is a fixed fraction of a
+    batch, not the corpus) against the chunk vectors on dim: the
+    corpus side streams, dot products partially aggregate map-side,
+    and the per-query top-k is WindowGroupLimit-pruned.  Swapping the
+    hashing embed for real vectors turns this into exactly
+    ann_ivf_topk's problem — the IVF path is the scale continuation."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+
+    nc = F.ceil(
+        F.greatest(F.col("n") - _RAG_CHUNK_W, F.lit(0)) / F.lit(float(_RAG_CHUNK_S))
+    ) + 1
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.slice(
+            F.col("toks"), F.lit(1) + F.col("chunk_id") * _RAG_CHUNK_S, F.lit(_RAG_CHUNK_W)
+        ).alias("ctoks"),
+    )
+
+    def horner(tok):
+        return F.aggregate(
+            F.filter(F.split(tok, ""), lambda c: F.length(c) > 0),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % _RAG_PRIME,
+        )
+
+    cdims = (
+        chunks.select("doc_id", "chunk_id", F.explode("ctoks").alias("tok"))
+        .select("doc_id", "chunk_id", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .groupBy("doc_id", "chunk_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cnorm = cdims.groupBy("doc_id", "chunk_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
+    )
+    qd = base.where(F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM)
+    qdims = (
+        qd.select(F.col("doc_id").alias("q_doc"), F.explode("toks").alias("tok"))
+        .select("q_doc", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .groupBy("q_doc", "dim")
+        .agg(F.count(F.lit(1)).alias("qcnt"))
+    )
+    qnorm = qdims.groupBy("q_doc").agg(
+        F.sum(F.col("qcnt") * F.col("qcnt")).cast("bigint").alias("qn2")
+    )
+    dots = (
+        cdims.join(F.broadcast(qdims), "dim")
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", "doc_id", "chunk_id")
+        .agg(F.sum(F.col("qcnt") * F.col("cnt")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm), "q_doc")
+        .join(cnorm, ["doc_id", "chunk_id"])
+        .select(
+            "q_doc",
+            "doc_id",
+            "chunk_id",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.desc("c"), "doc_id", "chunk_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RAG_TOPK)
+        .select(
+            "q_doc",
+            "rk",
+            F.col("doc_id").alias("hit_doc"),
+            F.col("chunk_id").alias("hit_chunk"),
+            F.round("c", 6).alias("cos"),
+        )
+        .orderBy("q_doc", "rk")
+    )
