@@ -148,7 +148,13 @@ def _update(assigned: DataFrame) -> DataFrame:
 def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run KM_ITERS Lloyd passes; returns (vec_id, qv, cid, dist)."""
     e = spread_small_scan(load(spark, sf_dir, "embeddings"))
-    q = _quantize(e)
+    # Persist the quantized working set: every iteration's assign pass and
+    # the update pass all branch from `q`, and Catalyst does not dedupe
+    # common subtrees across branches — without this the embeddings scan
+    # + quantize reruns once per branch (the iterate-over-cached-working-
+    # set shape every distributed k-means uses; at 100 TB this is a
+    # serialized MEMORY_AND_DISK persist or a checkpoint per N rounds).
+    q = _quantize(e).persist()
     init = (
         q.orderBy("vec_id")
         .limit(KM_K)
@@ -247,7 +253,9 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda a, v: a + v,
     )
-    members = assigned.select("vec_id", "cid", "qv", nrm2.alias("nrm2"))
+    # Persisted because both sides of the within-cluster self-join branch
+    # from it — without this the whole k-means lineage runs twice.
+    members = assigned.select("vec_id", "cid", "qv", nrm2.alias("nrm2")).persist()
     x = members.select(
         F.col("cid").alias("cluster"),
         F.col("vec_id").alias("a_id"),

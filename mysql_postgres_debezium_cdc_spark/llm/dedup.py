@@ -1316,21 +1316,33 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .where(F.col("n_hit") == 2)
-        .select("doc_id")
+        .select("doc_id", F.lit(True).alias("is_cand"))
     )
-    dup = new.join(
-        seen.select("text").distinct(), "text", "left_semi"
-    ).select("doc_id")
-    caught = dup.join(cand, "doc_id", "left_semi")
-    missed = dup.join(cand, "doc_id", "left_anti")
-
-    def _n(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias(name))
-
-    return (
-        _n(new, "n_new")
-        .crossJoin(_n(cand, "n_candidates"))
-        .crossJoin(_n(dup, "n_true_dup"))
-        .crossJoin(_n(caught, "n_caught"))
-        .crossJoin(_n(missed, "n_missed"))
+    dup = (
+        new.join(seen.select("text").distinct(), "text", "left_semi")
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    # Single flag-join + one aggregate: five facts from one pass over the
+    # new batch, instead of five separately-derived count relations (each
+    # of which would re-run the hash lineage — Catalyst does not dedupe
+    # common subtrees across crossJoin branches).
+    flags = (
+        new.select("doc_id")
+        .join(cand, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_true_dup"),
+        F.sum(F.when(F.col("is_cand") & F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_caught"),
+        F.sum(F.when(F.col("is_dup") & ~F.col("is_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
     )
