@@ -1222,3 +1222,92 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier apply (fasttext-style filter, fixed weights).
+# ---------------------------------------------------------------------------
+
+# Trained-offline stand-in weights (a production quality filter ships a
+# frozen linear/fasttext model exactly like this; the engine's job is the
+# APPLY pass).  Chosen so the fixture corpus splits near-evenly.
+QC_W_TTR = 3.0
+QC_W_STOP = 10.0
+QC_W_NTOK = 0.01
+QC_BIAS = -2.5
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)) AS n_tok,
+             CAST(LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> LENGTH(t) > 0))) AS DOUBLE)
+               / LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)) AS ttr,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  t -> LIST_CONTAINS(['the','and','of','to','a'], t))) AS DOUBLE)
+               / LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0))
+               AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tok, ROUND(ttr, 4) AS ttr, ROUND(stop_ratio, 4) AS stop_ratio,
+           ROUND({QC_W_TTR} * ttr + {QC_W_STOP} * stop_ratio
+                 + {QC_W_NTOK} * n_tok + {QC_BIAS}, 6) AS logit,
+           CASE WHEN {QC_W_TTR} * ttr + {QC_W_STOP} * stop_ratio
+                     + {QC_W_NTOK} * n_tok + {QC_BIAS} >= 0
+                THEN 1 ELSE 0 END AS keep
+    FROM f
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "classifier"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen linear quality-classifier APPLY — the inference half of a
+    fasttext/logistic quality filter (CCNet, Llama's wikipedia-ref
+    filter): per-document features (type-token ratio, stopword ratio,
+    length) dotted with shipped weights; documents keep when the logit
+    clears the threshold.  The engine reports the logit, not a sigmoid
+    probability: the decision is the SIGN, sigmoid is monotone, and
+    exp() is the one place two engines' libm could disagree — skipping
+    it keeps the score value-checkable with zero tolerance.
+
+    Scale shape: a pure narrow projection (features and dot product
+    fuse into one codegen stage over the text column — no shuffle, no
+    UDF); 100 TB filters embarrassingly parallel.  A real fasttext
+    model adds a hashed-bigram embedding lookup — the hashing-trick
+    featurizer in corpus_rag_retrieval is exactly that plumbing.
+
+    Determinism: each feature is one exact-operand IEEE division; the
+    weighted sum evaluates in identical left-to-right order in both
+    engines; both round the identical double."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+        / n_tok
+    )
+    f = d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tok"),
+        ttr.alias("_ttr"),
+        stop_ratio.alias("_stop"),
+    )
+    logit = (
+        F.lit(QC_W_TTR) * F.col("_ttr")
+        + F.lit(QC_W_STOP) * F.col("_stop")
+        + F.lit(QC_W_NTOK) * F.col("n_tok")
+        + F.lit(QC_BIAS)
+    )
+    return f.select(
+        "doc_id",
+        "n_tok",
+        F.round("_ttr", 4).alias("ttr"),
+        F.round("_stop", 4).alias("stop_ratio"),
+        F.round(logit, 6).alias("logit"),
+        F.when(logit >= 0, 1).otherwise(0).alias("keep"),
+    ).orderBy("doc_id")

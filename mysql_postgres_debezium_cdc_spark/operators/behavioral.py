@@ -532,3 +532,94 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+EWMA_ALPHA = 0.5  # power-of-two smoothing factor: every fold step is exact
+# binary-float arithmetic (x*0.5 has no rounding), which together with the
+# fixed fold ORDER makes the whole recursion bit-identical across engines.
+
+
+@register(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+      FROM events GROUP BY 1, 2
+    ),
+    serieswide AS (
+      SELECT event_type,
+             LIST(CAST(EPOCH(h) AS BIGINT) ORDER BY h) AS hs,
+             LIST(CAST(v_cents AS DOUBLE) ORDER BY h) AS vs
+      FROM hourly GROUP BY event_type
+    ),
+    stepped AS (
+      SELECT event_type, hs[i] AS hour_s, CAST(vs[i] AS BIGINT) AS v_cents,
+             LIST_REDUCE(vs[1:i],
+                         (acc, x) -> x * {EWMA_ALPHA} + acc * (1 - {EWMA_ALPHA}))
+               AS ewma
+      FROM serieswide, LATERAL (SELECT UNNEST(RANGE(1, LEN(vs) + 1)) AS i)
+    )
+    SELECT event_type, hour_s, v_cents, ewma
+    FROM stepped
+    ORDER BY event_type, hour_s
+    """,
+    tags=("behavioral", "timeseries", "pandas"),
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each event type's
+    hourly totals — the smoothing pass behind every monitoring/
+    forecasting baseline (trend lines, anomaly thresholds, rate
+    limiting), and a RECURSION (sₖ = α·xₖ + (1−α)·sₖ₋₁) that window
+    frames cannot express: prefix aggregates compose associatively,
+    EWMA does not.
+
+    The engine runs it as the canonical stateful-timeseries shape: one
+    shuffle keys the stream by event_type, then applyInPandas folds
+    each key's hour-ordered series sequentially in Arrow batches —
+    per-key state is one double, work is linear, and 10⁶ keys
+    parallelize across executors (same shape as sessionization; a
+    per-key series too long for one batch moves to
+    applyInPandasWithState, streaming/jobs.py).
+
+    Cross-engine determinism is engineered, not lucky: α = 0.5 makes
+    every fold step exact in binary floating point, the hourly inputs
+    are exact integer cents, and the oracle's LIST_REDUCE applies the
+    IDENTICAL operation order — so the unrounded doubles agree
+    bit-for-bit and are emitted raw.  (Rounding would actually BREAK
+    parity here: the exact binary fold produces exact .xxx5 ties, where
+    Python's round-half-even and SQL ROUND's half-away disagree.)"""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("v_cents")
+    ).select(
+        "event_type", F.unix_timestamp("h").alias("hour_s"), "v_cents"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_s", ignore_index=True)
+        s = None
+        out = []
+        for x in pdf["v_cents"].astype(float):
+            s = x if s is None else x * EWMA_ALPHA + s * (1 - EWMA_ALPHA)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hour_s": pdf["hour_s"],
+                "v_cents": pdf["v_cents"],
+                "ewma": out,
+            }
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(
+            ewma, "event_type string, hour_s bigint, v_cents bigint, ewma double"
+        )
+        .orderBy("event_type", "hour_s")
+    )
