@@ -213,3 +213,66 @@ def corpus_mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# Per-group reservoir size for the deterministic k-sample.
+RESERVOIR_K = 25
+
+
+@register(
+    "corpus_reservoir_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             {_phash_sql("'reservoir:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM h
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n_in_group FROM documents GROUP BY lang)
+    SELECT r.lang, r.doc_id, r.n_chars, CAST(r.rk AS BIGINT) AS rk,
+           s.n_in_group
+    FROM ranked r JOIN sizes s USING (lang)
+    WHERE r.rk <= {RESERVOIR_K}
+    ORDER BY r.lang, r.rk
+    """,
+    tags=("llm", "pipeline", "sample"),
+)
+def corpus_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sample (the eval-set / inspection-set pass):
+    exactly ``RESERVOIR_K`` documents per language, chosen uniformly by
+    ranking on a portable hash of the document id and keeping the top k.
+
+    This is the DETERMINISTIC analogue of distributed reservoir
+    sampling, and it compiles to the same bounded-state plan: the
+    ``row_number <= k`` filter becomes a ``WindowGroupLimit`` node
+    (plan-asserted in tests/test_plans.py), so every map task keeps at
+    most k rows per group BEFORE the exchange — the shuffle carries
+    O(k * n_partitions * n_groups) rows no matter how large the corpus
+    is, exactly the merge step of per-partition reservoirs.  Unlike
+    ``df.sample``/``rand()`` the choice is a pure function of the
+    stable id: reproducible across engines, retries, and re-partitions
+    (same property as [[corpus_train_val_test_split]]'s hash bucketing).
+
+    Group sizes ride in from a separate one-pass aggregate whose
+    cardinality is the language domain (fixed, not SF-growing); the
+    join is left to AQE, which sees a kilobyte-sized build side and
+    broadcasts it — no hint needed, per the maybe_broadcast policy.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = _feature_id(F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = (
+        d.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= RESERVOIR_K)
+    )
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in_group"))
+    return (
+        ranked.join(sizes, "lang")
+        .select("lang", "doc_id", "n_chars", "rk", "n_in_group")
+        .orderBy("lang", "rk")
+    )

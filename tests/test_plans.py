@@ -465,3 +465,18 @@ def test_bloom_dedup_exact_join_is_candidate_sized(spark):
     relation (<= m rows, constant) must broadcast, never sort-merge."""
     r = _plan(spark, "dedup_bloom_incremental")
     assert r.n_sortmerge_joins == 0, r.ops
+
+
+def test_reservoir_sample_keeps_partial_group_limit_before_shuffle(spark):
+    """corpus_reservoir_per_group is the deterministic distributed
+    reservoir: the rank<=k filter must push down to a PARTIAL
+    WindowGroupLimit below the lang exchange (map tasks keep <= k rows
+    per group, the shuffle carries O(k * parts * groups) rows), the
+    group-size side must broadcast, and only (doc_id, lang, n_chars)
+    may leave the scan."""
+    r = _plan(spark, "corpus_reservoir_per_group")
+    assert "WindowGroupLimit" in r.ops, r.ops
+    assert "Partial" in r.text and "row_number()" in r.text
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins == 1, r.ops
+    assert "text" not in r.text.split("ReadSchema")[1][:200]
