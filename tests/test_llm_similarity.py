@@ -40,8 +40,21 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert r >= 0.05, f"IVF recall collapsed: {r:.3f}"
 
 
+def test_ivfpq_recall_vs_bruteforce_and_vs_ivf(spark):
+    """IVF-PQ probes the same cells as plain IVF, so its recall ceiling
+    is IVF's; quantization + the ADC shortlist may only cost a bounded
+    slice of that.  Both gates catch collapse (broken codes / ADC), not
+    tuning drift."""
+    exact = _topk_sets(all_queries()["ann_bruteforce_topk"].fn(spark, SF_DIR_ORACLE))
+    ivf = _topk_sets(all_queries()["ann_ivf_topk"].fn(spark, SF_DIR_ORACLE))
+    pq = _topk_sets(all_queries()["ann_ivfpq_topk"].fn(spark, SF_DIR_ORACLE))
+    r_pq, r_ivf = _recall(pq, exact), _recall(ivf, exact)
+    assert r_pq >= 0.05, f"IVF-PQ recall collapsed: {r_pq:.3f}"
+    assert r_pq >= 0.6 * r_ivf, f"quantization lost too much: {r_pq:.3f} vs IVF {r_ivf:.3f}"
+
+
 def test_rankings_are_sorted_and_bounded(spark):
-    for name in ("ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk"):
+    for name in ("ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_ivfpq_topk"):
         rows = all_queries()[name].fn(spark, SF_DIR_ORACLE).collect()
         by_q = {}
         for r in rows:

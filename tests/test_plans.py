@@ -480,3 +480,16 @@ def test_reservoir_sample_keeps_partial_group_limit_before_shuffle(spark):
     assert r.n_sortmerge_joins == 0, r.ops
     assert r.n_broadcast_joins == 1, r.ops
     assert "text" not in r.text.split("ReadSchema")[1][:200]
+
+
+def test_ivfpq_encode_is_literal_codebook_map(spark):
+    """ann_ivfpq_topk's scale contract: PQ encoding must be a pure
+    projection against LITERAL codebooks (no explode, no codebook join,
+    no Python crossing — faiss ships the KB-sized codebook to every
+    worker), the probe side must broadcast, and nothing may sort-merge
+    join: every join in the pipeline has a broadcast-sized build side
+    (codebook/probes/queries) by construction."""
+    r = _plan(spark, "ann_ivfpq_topk")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert not any("Python" in o or "MapInPandas" in o for o in r.ops), r.ops
+    assert "Generate" not in r.ops, r.ops  # no explode in the encode path
