@@ -659,6 +659,9 @@ PQ_K = 8  # codewords per subvector
 PQ_BASE = 200  # vec_id range [PQ_BASE, PQ_BASE + PQ_K) donates the codebooks
 PQ_RERANK = 32  # ADC shortlist depth fed to exact re-ranking
 
+# sf_dir -> {j: 64-dim double list}: frozen codebook donors per corpus.
+_PQ_CODEBOOK_CACHE: dict[str, dict[int, list]] = {}
+
 _FOLD_ADD = "(acc, x) -> acc + x"
 
 
@@ -814,14 +817,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- codebook: collect PQ_K donor vectors, slice into M×K subvectors.
-    donors = {
-        int(r["vec_id"]) - PQ_BASE: list(r["emb"])
-        for r in e.where(
-            (F.col("vec_id") >= PQ_BASE) & (F.col("vec_id") < PQ_BASE + PQ_K)
-        )
-        .select("vec_id", "emb")
-        .collect()
-    }
+    # Cached per corpus: a PQ codebook is trained/frozen once and shipped
+    # with the index — re-collecting it on every plan build would add a
+    # Spark job per query for a constant 512-double artifact.
+    donors = _PQ_CODEBOOK_CACHE.get(sf_dir)
+    if donors is None:
+        donors = {
+            int(r["vec_id"]) - PQ_BASE: list(r["emb"])
+            for r in e.where(
+                (F.col("vec_id") >= PQ_BASE) & (F.col("vec_id") < PQ_BASE + PQ_K)
+            )
+            .select("vec_id", "emb")
+            .collect()
+        }
+        _PQ_CODEBOOK_CACHE[sf_dir] = donors
     # cw[m][j] = 8-dim codeword; selfdot via the same left fold both
     # engines run (ordered IEEE double adds from 0.0).
     cw = [[donors[j][m * PQ_D : (m + 1) * PQ_D] for j in range(PQ_K)] for m in range(PQ_M)]

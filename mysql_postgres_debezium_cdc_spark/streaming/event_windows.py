@@ -316,3 +316,50 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    ORDER BY mktsegment, event_type
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: every event joined to the customer
+    dimension, then aggregated per (market segment, event type) — the
+    batch formulation of the most common streaming topology there is
+    (enrich a fact stream against a slowly-changing dim, aggregate).
+    Live twin: jobs.enrichment_agg, equality-tested in
+    tests/test_streaming.py.
+
+    Streaming physics: a stream-static join keeps NO join state — each
+    micro-batch joins against the static relation as of that batch, so
+    the only state is the downstream aggregation's (O(groups), here
+    segments × types).  The dim side is joined UNHINTED: at this SF
+    Catalyst broadcasts it from size stats; at 100 TB of customers the
+    planner shuffles instead of OOMing an executor — same
+    maybe_broadcast policy as the TPC-H family.  Value sums ride as
+    integer cents so both engines (and the stream twin's incremental
+    accumulation order) agree bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    return (
+        ev.select("user_id", "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .join(cust, "user_id")
+        .groupBy("mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("mktsegment", "event_type")
+    )

@@ -221,3 +221,32 @@ def attribution_join(events: DataFrame, watermark: str = "2 hours") -> DataFrame
         "user_id",
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+def enrichment_agg(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment (live twin of
+    event_windows.stream_static_enrichment): the event stream joins the
+    STATIC customer dimension, then aggregates per (segment, type).
+
+    A stream-static join holds no join state — every micro-batch joins
+    against the dim as of that batch (which is also why it picks up dim
+    updates between batches); only the aggregation keeps state,
+    O(segments × types) rows.  Sums accumulate as integer cents so
+    incremental micro-batch accumulation is order-independent and lands
+    bit-identical to the batch twin."""
+    cust = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .join(cust, "user_id")
+        .groupBy("mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -218,3 +218,23 @@ def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     assert got[ten_oclock]["n_events"] == 2
     assert got[ten_oclock]["sum_value"] == 3.0
     assert all(r["sum_value"] < 900 for r in got.values())
+
+
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static enrichment: the live readStream twin (join against
+    a static dim inside a streaming query, complete-mode agg) must land
+    bit-identical to the batch formulation — integer-cents sums make the
+    micro-batch accumulation order irrelevant."""
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    batch = all_queries()["stream_static_enrichment"].fn(spark, SF_DIR_SMOKE)
+    stream = jobs.run_to_memory(
+        spark,
+        jobs.enrichment_agg(
+            jobs.stream_events(spark, SF_DIR_SMOKE), load(spark, SF_DIR_SMOKE, "customer")
+        ),
+        "t_enrich",
+        output_mode="complete",
+    )
+    cols = ("mktsegment", "event_type", "n_events", "sum_cents")
+    assert rows(stream, *cols) == rows(batch, *cols)
