@@ -1346,3 +1346,52 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missed"),
     )
+
+
+@register(
+    "dedup_cross_source_leak",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' ')[1:8]), ' ') AS fp
+      FROM documents
+    )
+    SELECT fp,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT source)), ',') AS sources
+    FROM keyed
+    GROUP BY fp
+    HAVING COUNT(DISTINCT source) >= 2
+    ORDER BY fp
+    """,
+    tags=("llm", "dedup", "governance"),
+)
+def dedup_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate leakage: fingerprint families (same
+    normalized sorted-8-token prefix as [[dedup_fingerprint]]) that
+    appear in TWO OR MORE distinct sources — the "same page crawled by
+    two pipelines / eval set leaked into a crawl dump" audit that runs
+    before mixing sources into one training corpus.  Per family it
+    reports how many sources and documents collide and the sorted
+    source list.
+
+    Scale shape: one groupBy on the fixed-width fingerprint (tiny,
+    skew-resistant key), count-distinct + collect_set over `source`
+    whose domain is the source registry (dozens), so every aggregation
+    buffer is O(sources), map-side combinable, one shuffle total."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.array_join(F.array_sort(F.slice(F.split(F.col("text"), " "), 1, 8)), " ")
+    return (
+        d.select("doc_id", "source", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        )
+        .where(F.col("n_sources") >= 2)
+        .orderBy("fp")
+    )

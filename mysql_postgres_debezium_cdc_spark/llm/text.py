@@ -1311,3 +1311,109 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(logit, 6).alias("logit"),
         F.when(logit >= 0, 1).otherwise(0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# Coverage thresholds for the vocabulary head-coverage curve.
+VOCAB_COVERAGE_THRESHOLDS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "text_vocab_head_coverage",
+    oracle="""
+    WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    ordered AS (
+      SELECT tok, cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+      FROM tf
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+    thr AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS threshold)
+    SELECT threshold,
+           CAST(MIN(rk) AS BIGINT) AS vocab_size,
+           ROUND(CAST(MIN_BY(cum, rk) AS DOUBLE) / ANY_VALUE(total), 6) AS coverage
+    FROM ordered, tot, thr
+    WHERE cum >= threshold * total
+    GROUP BY threshold
+    ORDER BY threshold
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_vocab_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head coverage — the tokenizer-sizing diagnostic: the
+    smallest vocabulary (most-frequent-first) covering 50 / 90 / 99 % of
+    all token occurrences.
+
+    The oracle states it as a GLOBAL ordered prefix sum over the term
+    frequencies; a literal translation would be an unpartitioned window
+    over the whole vocabulary — the `window_ntile` single-partition-sort
+    hazard, since vocabulary grows (sub-linearly) with the corpus.  The
+    plan here is the scalable two-phase prefix sum:
+
+    1. band each term by ``length(bin(cnt))`` = ⌊log₂ cnt⌋ + 1 —
+       integer-exact, and bands partition the frequency axis into
+       DISJOINT ranges, so (band DESC, cnt DESC, tok) equals the global
+       (cnt DESC, tok) order by construction;
+    2. within-band cumulative sums/ranks run under
+       ``partitionBy(band)`` — distributed, ≤ 64 partitions of work;
+    3. cross-band offsets come from an unpartitioned window over the
+       ≤ 64-row BAND SUMMARY (the one place a global window is bounded
+       at any corpus size — same argument as
+       [[corpus_train_val_test_split]]), broadcast back by AQE.
+
+    Global position = within-band position + band offset.  The corpus
+    is scanned once (term counting); everything after operates on the
+    vocabulary relation, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Persist the VOCABULARY relation: both the within-band pass and the
+    # band summary consume it, and without the cache each branch would
+    # re-run the corpus scan + explode + count (the one corpus-sized
+    # cost) — same justified-persist call as dedup_minhash_lsh's
+    # signature profile.  The cached relation is heads-law small.
+    banded = tf.withColumn("band", F.length(F.bin(F.col("cnt")))).persist()
+    wb = Window.partitionBy("band").orderBy(F.desc("cnt"), F.asc("tok"))
+    within = banded.withColumn(
+        "wcum",
+        F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn("wrk", F.row_number().over(wb))
+    bands = banded.groupBy("band").agg(
+        F.sum("cnt").alias("bcnt"), F.count(F.lit(1)).alias("bn")
+    )
+    wband = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    off = bands.select(
+        "band",
+        F.coalesce(F.sum("bcnt").over(wband), F.lit(0)).alias("cnt_off"),
+        F.coalesce(F.sum("bn").over(wband), F.lit(0)).alias("rk_off"),
+        F.sum("bcnt").over(w_all).cast("bigint").alias("total"),
+    )
+    cum = within.join(off, "band").select(
+        (F.col("wcum") + F.col("cnt_off")).alias("cum"),
+        (F.col("wrk") + F.col("rk_off")).alias("rk"),
+        "total",
+    )
+    thr = spark.createDataFrame(
+        [(float(t),) for t in VOCAB_COVERAGE_THRESHOLDS], "threshold double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(thr))
+        .where(F.col("cum") >= F.col("threshold") * F.col("total"))
+        .groupBy("threshold")
+        .agg(
+            F.min("rk").cast("bigint").alias("vocab_size"),
+            F.min_by("cum", "rk").alias("cum_at"),
+            F.any_value("total").alias("total_any"),
+        )
+        .select(
+            "threshold",
+            "vocab_size",
+            F.round(F.col("cum_at").cast("double") / F.col("total_any"), 6).alias("coverage"),
+        )
+        .orderBy("threshold")
+    )

@@ -493,3 +493,18 @@ def test_ivfpq_encode_is_literal_codebook_map(spark):
     assert r.n_sortmerge_joins == 0, r.ops
     assert not any("Python" in o or "MapInPandas" in o for o in r.ops), r.ops
     assert "Generate" not in r.ops, r.ops  # no explode in the encode path
+
+
+def test_vocab_coverage_prefix_sum_is_two_phase(spark):
+    """text_vocab_head_coverage must run its cumulative sums as the
+    two-phase prefix sum: the vocabulary-sized window is PARTITIONED by
+    the frequency band (an exchange hash-partitioned on band), and the
+    corpus is scanned exactly once (one parquet scan of documents)."""
+    r = _plan(spark, "text_vocab_head_coverage")
+    assert "hashpartitioning(band" in r.text, "within-band window not partitioned"
+    # Both prefix-sum branches (within-band pass + band summary) must
+    # read the persisted vocabulary relation, so the corpus-sized
+    # scan+explode+count runs once at cache fill, not once per branch.
+    assert r.ops.count("InMemoryTableScan") >= 2, r.ops
+    # Column pruning: only `text` leaves the corpus scan.
+    assert "struct<text:string>" in r.text
