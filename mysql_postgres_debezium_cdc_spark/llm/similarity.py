@@ -962,3 +962,114 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label evaluation: the embedding-quality metric a training pipeline
+# tracks across checkpoint exports (kNN-probe accuracy).
+# ---------------------------------------------------------------------------
+
+KNN_EVAL_N = 50  # vec_id < KNN_EVAL_N form the fixed evaluation slice
+KNN_K = 5
+
+
+@register(
+    "ann_knn_label_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS true_label
+          FROM e WHERE vec_id < {KNN_EVAL_N}),
+    scored AS (
+      SELECT q.q_id, q.true_label, c.label AS c_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY LIST_DOT_PRODUCT(q.q_emb, c.emb) /
+                        (SQRT(LIST_DOT_PRODUCT(q.q_emb, q.q_emb)) *
+                         SQRT(LIST_DOT_PRODUCT(c.emb, c.emb))) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN e c ON c.vec_id <> q.q_id
+    ),
+    votes AS (
+      SELECT q_id, true_label, c_label, COUNT(*) AS n
+      FROM scored WHERE rk <= {KNN_K}
+      GROUP BY q_id, true_label, c_label
+    ),
+    pred AS (
+      SELECT q_id, true_label,
+             MAX_BY(c_label, n * 1000 - c_label) AS pred_label
+      FROM votes GROUP BY q_id, true_label
+    )
+    SELECT true_label AS label,
+           COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS accuracy
+    FROM pred
+    GROUP BY true_label
+    ORDER BY label
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def ann_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-probe evaluation: per-class accuracy of a k=5 cosine nearest-
+    neighbor classifier over a FIXED eval slice (vec_id < KNN_EVAL_N) —
+    the standard embedding-quality metric tracked across model
+    checkpoints (does a new encoder still cluster labels?).
+
+    Scale shape is the brute-force ANN's: the eval slice is fixed-size
+    by construction (never grows with SF — the slice, not a fraction,
+    so the broadcast side stays bounded; cf. the forced-broadcast rule),
+    candidates stream once, scoring is JVM-side ordered dots, and
+    per-query state after the scan is k rows via the window top-k.
+    Majority vote resolves ties to the SMALLEST label (max_by over the
+    single integer key count*1000 - label, since DuckDB's MAX_BY takes
+    no composite keys) — deterministic in both engines, same device as
+    [[agg_mode_deterministic]].  On the synthetic fixture labels are
+    independent of the embeddings, so accuracy sits at chance (~0.1) —
+    the harness certifies the metric pipeline, not the embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("emb"),
+        _norm(_as_double("embedding")).alias("nrm"),
+    )
+    q = e.where(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cs = cosine_from_norms(_dot(F.col("q_emb"), F.col("emb")), F.col("q_nrm"), F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    neighbors = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "true_label", F.col("label").alias("c_label"), cs.alias("cos"), "vec_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_K)
+    )
+    pred = (
+        neighbors.groupBy("q_id", "true_label", "c_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("q_id", "true_label")
+        .agg(F.max_by("c_label", F.col("n") * 1000 - F.col("c_label")).alias("pred_label"))
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.round(F.col("n_correct").cast("double") / F.col("n_eval"), 4).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
