@@ -1417,3 +1417,84 @@ def text_vocab_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle="""
+    WITH agg AS (
+      SELECT COALESCE(source, 'ALL') AS source,
+             COALESCE(lang, 'ALL') AS lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents
+      GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    ),
+    tot AS (SELECT n_docs AS all_docs FROM agg WHERE source = 'ALL' AND lang = 'ALL')
+    SELECT source, lang, n_docs, total_chars, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 2) AS avg_tokens,
+           ROUND(CAST(n_docs AS DOUBLE) / all_docs, 4) AS doc_share
+    FROM agg, tot
+    ORDER BY source, lang
+    """,
+    tags=("llm", "pipeline", "governance"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card / datasheet table: corpus composition by source,
+    by language, by (source × language), and overall — document counts,
+    character and token volumes, average document length, and each
+    cell's share of the corpus.  This is the first table every
+    training-data release publishes and the input to mixture-weight
+    decisions ([[corpus_mixture_weighted_sample]]).
+
+    One corpus scan: GROUPING SETS expands each row into its four
+    grouping combinations BEFORE the partial aggregation, so all four
+    granularities ride one Expand + one shuffle (same device as
+    [[events_multi_granularity_rollup]]); margin labels are 'ALL'
+    (source/lang never collide with it in the fixture domain).  The
+    corpus-share denominator is read off the grand-total row with a
+    window over the aggregated frame — bounded by the label domains,
+    and crucially NOT a filtered self-join, which would recompute the
+    aggregation and scan the corpus twice."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang", "n_chars", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    agg = (
+        base.groupingSets([["source", "lang"], ["source"], ["lang"], []], "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+        )
+    )
+    # Grand-total denominator via an unpartitioned window over the
+    # AGGREGATED frame (≤ (sources+1)×(langs+1) rows — the bounded-
+    # global-window device of corpus_train_val_test_split): a
+    # re-derivation through a filtered self-join would recompute the
+    # whole aggregation subtree and scan the corpus twice.
+    w_all = Window.partitionBy()
+    all_docs = F.max(
+        F.when((F.col("source") == "ALL") & (F.col("lang") == "ALL"), F.col("n_docs"))
+    ).over(w_all)
+    return (
+        agg.withColumn("all_docs", all_docs)
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 2).alias("avg_tokens"),
+            F.round(F.col("n_docs").cast("double") / F.col("all_docs"), 4).alias("doc_share"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -508,3 +508,13 @@ def test_vocab_coverage_prefix_sum_is_two_phase(spark):
     assert r.ops.count("InMemoryTableScan") >= 2, r.ops
     # Column pruning: only `text` leaves the corpus scan.
     assert "struct<text:string>" in r.text
+
+
+def test_dataset_card_is_single_scan_expand(spark):
+    """corpus_dataset_card computes all four granularities from ONE
+    corpus scan via Expand (grouping sets), and reads the grand-total
+    denominator off the aggregated frame — a filtered self-join
+    formulation would scan the corpus twice."""
+    r = _plan(spark, "corpus_dataset_card")
+    assert sum(1 for op in r.ops if op == "Scan") == 1, r.ops
+    assert "Expand" in r.ops, r.ops
