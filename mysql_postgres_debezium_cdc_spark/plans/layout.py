@@ -208,3 +208,64 @@ def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "layout_dpp_join_pruned_scan",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 'conversion' ELSE 'engagement' END AS type_class
+      FROM events
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events e
+    JOIN dim d ON d.event_type = e.event_type
+    WHERE d.type_class = 'conversion'
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("layout", "pruning", "dpp"),
+)
+def layout_dpp_join_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact scan's partition filter is
+    discovered AT RUNTIME from the dim side of a join — the mechanism
+    that makes star-schema queries over partitioned 100 TB fact tables
+    feasible when the pruning predicate lives in a dimension attribute
+    (here: type_class), not on the partition column itself.
+
+    The dim is derived from data (a distinct scan + CASE), so Catalyst
+    CANNOT constant-fold the filter into a static IN-list; instead the
+    optimizer inserts a ``dynamicpruningexpression`` into the fact
+    scan's PartitionFilters, reusing the broadcast dim as the filter —
+    the fact side opens only the directories whose keys survived the
+    dim filter.  Asserted in
+    tests/test_plans.py::test_dpp_injects_runtime_partition_filter.
+
+    Value sums ride as integer cents (per-group doubles here span
+    thousands of rows, where cross-engine float ordering could flip a
+    2-decimal rounding)."""
+    ev = read_partitioned_events(spark, sf_dir)
+    dim = (
+        read_partitioned_events(spark, sf_dir)
+        .select(PARTITION_COL)
+        .distinct()
+        .withColumn(
+            "type_class",
+            F.when(F.col(PARTITION_COL).isin("purchase", "signup"), "conversion").otherwise(
+                "engagement"
+            ),
+        )
+    )
+    return (
+        ev.select(PARTITION_COL, F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .join(dim.where(F.col("type_class") == "conversion"), PARTITION_COL)
+        .groupBy(PARTITION_COL)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy(PARTITION_COL)
+    )

@@ -518,3 +518,14 @@ def test_dataset_card_is_single_scan_expand(spark):
     r = _plan(spark, "corpus_dataset_card")
     assert sum(1 for op in r.ops if op == "Scan") == 1, r.ops
     assert "Expand" in r.ops, r.ops
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """layout_dpp_join_pruned_scan's fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the runtime
+    partition filter derived from the broadcast dim side.  Without DPP
+    the fact side would scan all five event_type directories for a
+    predicate that lives on the dim's type_class attribute."""
+    r = _plan(spark, "layout_dpp_join_pruned_scan")
+    assert "dynamicpruning" in r.text.lower(), "no dynamic partition pruning in plan"
+    assert r.n_broadcast_joins >= 1, r.ops
