@@ -23,7 +23,7 @@ means/stds accumulate in engine-specific order and are rounded to 3dp.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.llm.similarity import _as_double, _norm
 from mysql_postgres_debezium_cdc_spark.registry import register
@@ -123,4 +123,106 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("val"), 4).alias("max_val"),
         )
         .orderBy("dim")
+    )
+
+
+CORR_TOP_N = 20
+_EMB_DIM = 64
+
+
+@register(
+    "embedding_dimension_correlation",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, LATERAL (SELECT UNNEST(RANGE(1, LEN(embedding) + 1)) AS i)
+    ),
+    pairs AS (
+      SELECT a.dim AS i, b.dim AS j,
+             COUNT(*) AS n,
+             SUM(a.val) AS sx, SUM(b.val) AS sy,
+             SUM(a.val * a.val) AS sxx, SUM(b.val * b.val) AS syy,
+             SUM(a.val * b.val) AS sxy
+      FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY a.dim, b.dim
+    ),
+    corr AS (
+      SELECT i, j,
+             ROUND((n * sxy - sx * sy) /
+                   (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 3) + 0.0
+               AS corr
+      FROM pairs
+    )
+    SELECT i, j, corr,
+           ROW_NUMBER() OVER (ORDER BY ABS(corr) DESC, i, j) AS rk
+    FROM corr
+    QUALIFY rk <= {CORR_TOP_N}
+    ORDER BY rk
+    """,
+    tags=("llm", "embedding", "profile"),
+)
+def embedding_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-correlated embedding dimension pairs — the redundancy /
+    whitening diagnostic next to [[embedding_dimension_stats]]: highly
+    correlated dims mean the encoder wastes capacity (and PCA/whitening
+    would help, cf. the int8 path in [[embedding_normalize_quantize]]).
+
+    Scale shape: the corpus contributes via ONE pass — each row expands
+    to its D·(D−1)/2 = 2016 ordered pair products IN-ROW (nested
+    transform over index sequences, no self-join: joining the exploded
+    (vec, dim) relation to itself would shuffle the corpus twice and
+    blow up to the same row count anyway), and the partial aggregation
+    combines map-side, so the shuffle carries O(2016 × partitions)
+    sufficient-statistic rows no matter the corpus size.  All five
+    sums per pair ride the same pass; Pearson r assembles from the
+    sufficient statistics afterward.  The top-N ranking runs on the
+    FIXED 2016-row pair relation (bounded global sort).  Correlations
+    round to 3dp — cross-engine float summation order, same precedent
+    as [[embedding_dimension_stats]]."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_EMB_DIM - 2)),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.lit(_EMB_DIM - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.get(emb, i).alias("x"),
+                    F.get(emb, j).alias("y"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        e.select(F.explode(pair_arr).alias("p"))
+        .select("p.i", "p.j", "p.x", "p.y")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    corr = (
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            3,
+        )
+        + F.lit(0.0)
+    )
+    w = Window.orderBy(F.abs(F.col("corr")).desc(), F.asc("i"), F.asc("j"))
+    return (
+        pairs.select(F.col("i").cast("bigint").alias("i"), F.col("j").cast("bigint").alias("j"), corr.alias("corr"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= CORR_TOP_N)
+        .orderBy("rk")
     )
