@@ -773,3 +773,78 @@ def cdc_gdpr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stat("lineitem", li, li_after))
         .orderBy("table_name")
     )
+
+
+@register(
+    "cdc_scd2_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id AS id,
+             value AS v,
+             event_type,
+             event_id AS valid_from,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to
+      FROM events
+    ),
+    hist AS (
+      SELECT id, ROUND(v, 2) AS v, valid_from, valid_to
+      FROM ordered WHERE event_type <> 'error'
+    ),
+    probes AS (
+      SELECT user_id, event_id AS as_of
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.as_of, h.v AS prev_v, h.valid_from AS prev_valid_from
+    FROM probes p
+    JOIN hist h
+      ON h.id = p.user_id
+     AND h.valid_from < p.as_of
+     AND (h.valid_to IS NULL OR h.valid_to >= p.as_of)
+    ORDER BY p.user_id, p.as_of
+    """,
+    tags=("cdc", "scd2", "temporal-join"),
+)
+def cdc_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 history: for every
+    purchase, the user's state AS OF just before that event — the
+    "what did the dimension look like when the fact happened?" query
+    that motivates keeping SCD2 at all, and the batch analogue of a
+    FOR SYSTEM_TIME AS OF temporal join.
+
+    Composes [[cdc_scd2_history]]'s versioned output (validity
+    intervals over the changelog offset axis) with an interval
+    predicate: ``valid_from < as_of <= coalesce(valid_to, ∞)`` matches
+    each probe to EXACTLY the predecessor version, because a key's
+    intervals tile its offset axis disjointly.
+
+    Scale shape: the join is EQUI on the user key with the interval as
+    a residual — hash-joinable, so the planner picks broadcast while a
+    side is small (AQE does here) and a co-partitioned sort-merge join
+    once both sides grow (each key's versions and probes meet sorted
+    in one task); never a nested-loop cross product, which is what a
+    purely range-predicate formulation would force.  Probing "current state
+    only" would instead filter ``is_current`` and equi-join — this
+    query exists precisely for the as-of-then case."""
+    hist = cdc_scd2_history(spark, sf_dir).select(
+        "id", "v", "valid_from", "valid_to"
+    )
+    ev = load(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("as_of")
+    )
+    return (
+        probes.join(
+            hist,
+            (F.col("id") == F.col("user_id"))
+            & (F.col("valid_from") < F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") >= F.col("as_of"))),
+        )
+        .select(
+            "user_id",
+            "as_of",
+            F.col("v").alias("prev_v"),
+            F.col("valid_from").alias("prev_valid_from"),
+        )
+        .orderBy("user_id", "as_of")
+    )
