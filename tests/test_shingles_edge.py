@@ -49,3 +49,40 @@ def test_short_documents_match_duckdb_oracle_shingles(spark, tmp_path):
     )
     got_duck = sorted(con.execute(_SHINGLES_SQL.format(filter="")).fetchall())
     assert got_spark == got_duck
+
+
+def test_vocab_coverage_band_boundaries(spark, tmp_path):
+    """Adversarial fixture for the two-phase prefix sum in
+    text_vocab_head_coverage: token counts sitting EXACTLY at power-of-2
+    band boundaries (1, 2, 4, 8...), a run of equal counts (ties broken
+    by token within one band), and a dominant head token.  The banded
+    decomposition must equal DuckDB's single global window on the same
+    file."""
+    import duckdb
+
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.parity import compare
+
+    # Build documents whose token multiset is exact by construction:
+    # token t_k appears exactly k times for k in {1,2,3,4,7,8,9,16,16,16}.
+    counts = {"a": 1, "b": 2, "c": 3, "d": 4, "e": 7, "f": 8, "g": 9,
+              "h": 16, "i": 16, "j": 16, "head": 100}
+    words = [t for t, n in counts.items() for _ in range(n)]
+    # spread across 3 docs deterministically
+    docs = [
+        (0, " ".join(words[0::3]), "en", "src0", 1),
+        (1, " ".join(words[1::3]), "en", "src0", 1),
+        (2, " ".join(words[2::3]), "en", "src0", 1),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    spec = all_queries()["text_vocab_head_coverage"]
+    out = spec.fn(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    errors = compare(out, con.sql(spec.oracle).df())
+    assert not errors, errors

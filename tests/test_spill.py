@@ -73,3 +73,45 @@ def test_aggregate_completes_with_forced_sort_fallback(spark):
         assert rows[3] == (100, 3)
     finally:
         _restore(spark, saved)
+
+
+def test_ivfpq_completes_with_forced_spill(spark):
+    """ann_ivfpq_topk under forced window-buffer and hash-agg
+    fallbacks: the shortlist/re-rank windows and the ADC join must
+    survive the external-spill paths with identical results."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.conftest import SF_DIR_SMOKE
+
+    fn = all_queries()["ann_ivfpq_topk"].fn
+    baseline = [tuple(r) for r in fn(spark, SF_DIR_SMOKE).collect()]
+    confs = {
+        "spark.sql.windowExecBufferSpillThreshold": "8",
+        "spark.sql.windowExecBufferInMemoryThreshold": "8",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "2",
+    }
+    saved = _with_confs(spark, confs)
+    try:
+        spilled = [tuple(r) for r in fn(spark, SF_DIR_SMOKE).collect()]
+        assert spilled == baseline
+    finally:
+        _restore(spark, saved)
+
+
+def test_vocab_coverage_completes_with_forced_spill(spark):
+    """text_vocab_head_coverage's banded windows and the term-count
+    aggregation under the same forced-spill thresholds."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.conftest import SF_DIR_SMOKE
+
+    fn = all_queries()["text_vocab_head_coverage"].fn
+    baseline = [tuple(r) for r in fn(spark, SF_DIR_SMOKE).collect()]
+    confs = {
+        "spark.sql.windowExecBufferSpillThreshold": "8",
+        "spark.sql.windowExecBufferInMemoryThreshold": "8",
+    }
+    saved = _with_confs(spark, confs)
+    try:
+        spilled = [tuple(r) for r in fn(spark, SF_DIR_SMOKE).collect()]
+        assert spilled == baseline
+    finally:
+        _restore(spark, saved)
