@@ -1395,3 +1395,83 @@ def dedup_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_sources") >= 2)
         .orderBy("fp")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 4)
+             AS containment,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT: |A∩B|
+    over the SMALLER set's size, the measure that catches subset
+    relations symmetric Jaccard structurally misses — a quote, excerpt,
+    or boilerplate block fully contained in a much longer page scores
+    containment 1.0 but Jaccard |A|/|B| ≈ 0 (Broder's original resem-
+    blance-vs-containment distinction; the axis Lee et al.'s doc-level
+    MinHash also misses, cf. [[dedup_exact_substring_spans]]).
+
+    Identical physical plan to [[dedup_ngram_jaccard]] — inverted
+    index, join-free in-bucket pair expansion with both set sizes
+    carried inline, one corpus pass — only the final scoring expression
+    differs, so every scale property (bucket-bounded candidates,
+    `max_doc_freq`/`max_bucket_width` levers) transfers unchanged.
+    Jaccard rides along per pair: the two measures together separate
+    "same document" (both high) from "one inside the other"
+    (containment high, Jaccard low)."""
+    sh = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("shingle").alias("sid"))
+    profile = sh.groupBy("doc_id").agg(
+        F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("n_sh")
+    )
+    exploded = profile.select(
+        F.struct("doc_id", "n_sh").alias("dn"), F.explode("sids").alias("sid")
+    )
+    buckets = (
+        exploded.groupBy("sid")
+        .agg(F.sort_array(F.collect_list("dn")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    common = (
+        _pairs_from_bucket(buckets, fields={"n_sh": ("na", "nb")})
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.least(F.col("na"), F.col("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.where(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
