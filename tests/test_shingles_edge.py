@@ -86,3 +86,68 @@ def test_vocab_coverage_band_boundaries(spark, tmp_path):
     )
     errors = compare(out, con.sql(spec.oracle).df())
     assert not errors, errors
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _py_shingles(toks):
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy)
+def test_containment_matches_set_oracle(spark, tmp_path_factory, docs):
+    """For ANY corpus, dedup_ngram_containment must report exactly the
+    pairs a set-based oracle finds — in particular, a document whose
+    token stream extends another's must surface with containment 1.0
+    (the subset case symmetric Jaccard misses)."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import (
+        CONTAINMENT_THRESHOLD,
+    )
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    # Force at least one true-containment pair: doc n = doc 0 + suffix.
+    docs = docs + [docs[0] + ["beta", "alpha", "gamma", "delta"]]
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    base = tmp_path_factory.mktemp("contain")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in all_queries()["dedup_ngram_containment"].fn(spark, str(base)).collect()
+    }
+
+    expected = {}
+    sh = {i: _py_shingles(toks) for i, toks in enumerate(docs)}
+    for a in sh:
+        for b in sh:
+            if a >= b or not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            cont = inter / min(len(sh[a]), len(sh[b]))
+            if cont >= CONTAINMENT_THRESHOLD:
+                jac = inter / len(sh[a] | sh[b])
+                expected[(a, b)] = (round(cont, 4), round(jac, 4))
+
+    assert got == expected
+    # the planted extension pair must be present with containment 1.0
+    # whenever doc 0 produced shingles at all
+    if sh[0]:
+        assert got[(0, len(docs) - 1)][0] == 1.0
