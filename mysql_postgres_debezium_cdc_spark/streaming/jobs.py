@@ -82,6 +82,27 @@ def tumbling_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour window sliding every 30 min (streaming form of
+    event_windows.stream_sliding_window): each event contributes to two
+    overlapping windows; the watermark evicts windows whose end falls
+    behind the event-time horizon, so state is O(active windows), with
+    twice the window count of the tumbling job for the same horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """30-minute-gap session windows per user (streaming form of
     event_windows.stream_session_window)."""

@@ -238,3 +238,15 @@ def test_stream_static_join_equals_batch(spark):
     )
     cols = ("mktsegment", "event_type", "n_events", "sum_cents")
     assert rows(stream, *cols) == rows(batch, *cols)
+
+
+def test_sliding_stream_equals_batch(spark):
+    """Sliding-window live twin: the overlapping-window streaming agg
+    must land identical to the batch formulation (which the DuckDB
+    oracle pins via the closed-form two-starts expansion)."""
+    batch = all_queries()["stream_sliding_window"].fn(spark, SF_DIR_SMOKE)
+    stream = jobs.run_to_memory(
+        spark, jobs.sliding_agg(jobs.stream_events(spark, SF_DIR_SMOKE)), "t_sliding"
+    )
+    cols = ("window_start_s", "n_events", "sum_value")
+    assert rows(stream, *cols) == rows(batch, *cols)
