@@ -4,4 +4,5 @@ from mysql_postgres_debezium_cdc_spark.sinks.dbapi import (  # noqa: F401
     DbapiKeyedSink,
     build_delete_sql,
     build_upsert_sql,
+    duckdb_connection_factory,
 )

@@ -173,3 +173,17 @@ class DbapiKeyedSink:
                 conn.close()
 
         df.foreachPartition(write_partition)
+
+
+def duckdb_connection_factory(path: str):
+    """Picklable DuckDB connection factory for ``DbapiKeyedSink``
+    (``duckdb.connect`` itself wraps a PyCapsule and cannot ship to
+    executors; this importable wrapper can — use
+    ``functools.partial(duckdb_connection_factory, path)``).  DuckDB
+    speaks the same Postgres-flavored ``ON CONFLICT … EXCLUDED``
+    grammar the reference's sink emits, with paramstyle "qmark".
+    DuckDB database files are single-writer: run the sink with
+    ``n_partitions=1``."""
+    import duckdb
+
+    return duckdb.connect(path)

@@ -16,6 +16,7 @@ from mysql_postgres_debezium_cdc_spark.sinks import (
     DbapiKeyedSink,
     build_delete_sql,
     build_upsert_sql,
+    duckdb_connection_factory,
 )
 from mysql_postgres_debezium_cdc_spark.sources.debezium import decode_envelope
 from mysql_postgres_debezium_cdc_spark.streaming.cdc import compact, with_change_columns
@@ -246,3 +247,53 @@ def test_streaming_foreachbatch_into_dbapi_sink(spark, tmp_path):
     for key, name, score in state:
         last_i = max(i for i in range(30) if i % 10 == key)
         assert name == f"n{last_i}" and score == float(last_i)
+
+
+def test_end_to_end_against_duckdb_postgres_grammar(spark, tmp_path):
+    """Second REAL engine for the sink e2e: DuckDB speaks the
+    Postgres-flavored ``INSERT … ON CONFLICT (pk) DO UPDATE SET c =
+    EXCLUDED.c`` grammar the reference emits (Consumer.java:210-230) —
+    unlike sqlite, whose ON CONFLICT support is its own dialect that
+    happens to overlap.  Running the identical decode→compact→sink
+    pipeline into DuckDB exercises EXCLUDED resolution, identifier
+    folding, and executemany batching against a Postgres-grammar
+    engine, which is as close to the reference's actual Postgres sink
+    as this container gets."""
+    import duckdb
+
+    # duckdb.connect itself is unpicklable (PyCapsule); ship a wrapper
+    # whose body imports on the executor instead.
+    db = str(tmp_path / "sink.duckdb")
+    with duckdb.connect(db) as conn:
+        conn.execute("CREATE TABLE people (id INTEGER PRIMARY KEY, name TEXT, score DOUBLE)")
+
+    def apply(rows):
+        raw = _envelopes(spark, rows)
+        events = with_change_columns(decode_envelope(raw, ROW_SCHEMA))
+        batch = compact(events, ["id"])
+        sink = DbapiKeyedSink(
+            functools.partial(duckdb_connection_factory, db),
+            "people",
+            pk_cols=["id"],
+            row_cols=["id", "name", "score"],
+            n_partitions=1,  # one writer: duckdb files are single-writer
+        )
+        sink.apply(batch)
+
+    def state():
+        with duckdb.connect(db) as conn:
+            return sorted(conn.execute("SELECT id, name, score FROM people").fetchall())
+
+    batch1 = [
+        ("c", 1, "ann", 1.0, 10),
+        ("c", 2, "bob", 2.0, 11),
+        ("u", 1, "ann2", 1.5, 12),
+        ("c", 3, "cat", 3.0, 13),
+        ("d", 3, "cat", 3.0, 14),
+    ]
+    apply(batch1)
+    assert state() == [(1, "ann2", 1.5), (2, "bob", 2.0)]
+    apply(batch1)  # replay converges (idempotent merge)
+    assert state() == [(1, "ann2", 1.5), (2, "bob", 2.0)]
+    apply([("u", 2, "bob2", 2.5, 20), ("d", 1, "ann2", 1.5, 21), ("r", 4, "dee", 4.0, 22)])
+    assert state() == [(2, "bob2", 2.5), (4, "dee", 4.0)]
