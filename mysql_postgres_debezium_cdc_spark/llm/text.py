@@ -1423,8 +1423,8 @@ def text_vocab_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_dataset_card",
     oracle="""
     WITH agg AS (
-      SELECT COALESCE(source, 'ALL') AS source,
-             COALESCE(lang, 'ALL') AS lang,
+      SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+             CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
              COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
@@ -1467,10 +1467,16 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            # GROUPING() must ride the grouping-sets aggregate itself
+            F.grouping("source").alias("g_src"),
+            F.grouping("lang").alias("g_lang"),
         )
         .select(
-            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
-            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            # GROUPING(), not COALESCE: a margin row and a genuine NULL
+            # group are different things — the fixture has no NULL
+            # sources, but the contract shouldn't depend on that.
+            F.when(F.col("g_src") == 1, "ALL").otherwise(F.col("source")).alias("source"),
+            F.when(F.col("g_lang") == 1, "ALL").otherwise(F.col("lang")).alias("lang"),
             "n_docs",
             "total_chars",
             "total_tokens",
