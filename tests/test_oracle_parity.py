@@ -36,3 +36,27 @@ def test_rows_only_runs(spark, name):
     df = spec.fn(spark, SF_DIR_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_parity_harness_detects_mismatch(spark):
+    """Canary for the comparison harness itself: a deliberately
+    perturbed result must FAIL the compare — otherwise every green
+    parity row above is meaningless."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.parity import compare, duck_connection
+
+    spec = all_queries()["dedup_fingerprint"]
+    con = duck_connection(SF_DIR_ORACLE)
+    oracle = con.sql(spec.oracle).df()
+    good = spec.fn(spark, SF_DIR_ORACLE)
+    assert not compare(good, oracle)
+    # value perturbation → caught
+    assert compare(good.withColumn("n_docs", F.col("n_docs") + 1), oracle)
+    # row-drop perturbation → caught
+    assert compare(good.limit(1), oracle)
+    # schema perturbation → caught
+    assert compare(good.withColumnRenamed("n_docs", "n"), oracle)
+    con.close()

@@ -25,6 +25,12 @@ HEAVY_SLICE = [
     "cdc_lastwrite_materialize",
     "dedup_fingerprint",
     "ann_bruteforce_topk",
+    # late-r4 additions with scale-sensitive shapes
+    "ann_ivfpq_topk",
+    "text_vocab_head_coverage",
+    "dedup_ngram_containment",
+    "cdc_scd2_point_in_time_join",
+    "corpus_reservoir_per_group",
 ]
 
 
