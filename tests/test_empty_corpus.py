@@ -1,0 +1,78 @@
+"""Zero-row robustness: every operator meets empty partitions at scale
+(a pruned scan, a filter that matches nothing, a new tenant).  A
+representative cross-category slice must agree with the DuckDB oracle
+on a fixture with the right SCHEMAS and zero rows — no exceptions, no
+engine-specific phantom rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_postgres_debezium_cdc_spark.registry import all_queries
+from mysql_postgres_debezium_cdc_spark.sources.parquet import TABLES
+from tests.conftest import SF_DIR_ORACLE
+from tests.parity import compare, duck_connection
+
+EMPTY_SLICE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "scan_project",
+    "filter_in_between_like",
+    "agg_group_basic",
+    "agg_stats",
+    "window_running_sum",
+    "setop_union_all",
+    "join_broadcast_dim",
+    "subq_scalar_avg",
+    "dedup_exact_text",
+    "dedup_fingerprint",
+    "dedup_cross_source_leak",
+    "dedup_ngram_containment",
+    "text_stats",
+    "text_vocab_head_coverage",
+    "corpus_train_val_test_split",
+    "corpus_reservoir_per_group",
+    "stream_tumbling_window",
+    "events_sessionize_gap",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR_ORACLE}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_dataset_card_empty_corpus_known_divergence(spark, empty_dir):
+    """DOCUMENTED cross-engine edge: per the SQL standard (DuckDB
+    follows it), GROUPING SETS containing the empty set () emit one
+    grand-total row even over ZERO input rows — like a global
+    COUNT(*).  Spark's Expand-based groupingSets emits no rows on
+    empty input, so corpus_dataset_card returns 0 rows where the
+    oracle returns the degenerate all-zeros 'ALL/ALL' row.  Real
+    corpora are never empty, and every non-empty case value-matches
+    (oracle parity + the sweep above); this test pins the divergence
+    so it is a recorded property, not a surprise."""
+    spec = all_queries()["corpus_dataset_card"]
+    con = duck_connection(empty_dir)
+    try:
+        assert spec.fn(spark, empty_dir).count() == 0  # Spark: no groups
+        assert len(con.sql(spec.oracle).df()) == 1  # standard: () row
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_SLICE)
+def test_empty_corpus_parity(spark, empty_dir, name):
+    spec = all_queries()[name]
+    con = duck_connection(empty_dir)
+    try:
+        errors = compare(spec.fn(spark, empty_dir), con.sql(spec.oracle).df())
+    finally:
+        con.close()
+    assert not errors, errors
