@@ -830,6 +830,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "emb")
             .collect()
         }
+        if len(donors) != PQ_K:
+            raise ValueError(
+                f"PQ codebook donors missing: need vec_ids "
+                f"[{PQ_BASE}, {PQ_BASE + PQ_K}) in {sf_dir}/embeddings, "
+                f"found {sorted(donors)} — a real deployment loads a "
+                f"TRAINED codebook artifact here instead"
+            )
         _PQ_CODEBOOK_CACHE[sf_dir] = donors
     # cw[m][j] = 8-dim codeword; selfdot via the same left fold both
     # engines run (ordered IEEE double adds from 0.0).

@@ -79,3 +79,21 @@ def test_exact_neardup_guard_refuses_quadratic_input(spark):
         dedup_embedding_cosine(spark, SF_DIR_SMOKE, max_rows=5)
     # under the bound it runs normally
     assert dedup_embedding_cosine(spark, SF_DIR_SMOKE).count() >= 0
+
+
+def test_ivfpq_missing_codebook_raises_clearly(spark, tmp_path):
+    """An embeddings table without the codebook donor ids must fail with
+    an actionable error, not a KeyError from deep inside codebook
+    slicing."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    schema = pq.read_schema(f"{SF_DIR_ORACLE}/embeddings.parquet")
+    base = tmp_path / "nodonors"
+    base.mkdir()
+    pq.write_table(schema.empty_table(), str(base / "embeddings.parquet"))
+    from mysql_postgres_debezium_cdc_spark.llm import similarity
+
+    similarity._PQ_CODEBOOK_CACHE.clear()
+    with pytest.raises(ValueError, match="codebook donors missing"):
+        all_queries()["ann_ivfpq_topk"].fn(spark, str(base))
