@@ -363,3 +363,65 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment", "event_type")
     )
+
+
+@register(
+    "stream_stream_join_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, click_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer"),
+)
+def stream_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER click→purchase attribution: every purchase appears,
+    with NULL click_id when no same-user click preceded it within 30
+    minutes — the "unattributed conversions" report the inner join
+    ([[stream_stream_join_attribution]]) structurally cannot produce.
+
+    Streaming physics beyond the inner join's: an outer stream-stream
+    join can only emit a null-padded row once the WATERMARK has passed
+    the point where a matching click could still arrive — the unmatched
+    results trail the data by the watermark delay, and a stopped stream
+    does NOT flush unmatched state whose horizon never arrived (the
+    live twin's equality test advances the watermark with a sentinel
+    event for exactly this reason; see jobs.attribution_join_outer and
+    tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE")),
+            "left_outer",
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

@@ -271,3 +271,48 @@ def enrichment_agg(events: DataFrame, customers: DataFrame) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+def attribution_join_outer(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join (live twin of
+    event_windows.stream_stream_join_left_outer).
+
+    Semantics the batch twin cannot show: a null-padded (unattributed)
+    purchase is emitted only once the CLICK side's watermark passes
+    `p_ts`, i.e. once no in-horizon click can still arrive.  Corollary:
+    when a stream STOPS, unmatched purchases younger than the horizon
+    are never emitted — correct (a matching click might still have
+    come), but it means an availableNow equality test must advance the
+    watermark past the fixture's tail (a sentinel event) before
+    comparing against the batch twin."""
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+    )

@@ -250,3 +250,52 @@ def test_sliding_stream_equals_batch(spark):
     )
     cols = ("window_start_s", "n_events", "sum_value")
     assert rows(stream, *cols) == rows(batch, *cols)
+
+
+def test_stream_stream_left_outer_equals_batch_after_watermark_flush(spark, tmp_path):
+    """Outer stream-stream equality REQUIRES advancing the watermark
+    past the fixture tail: unmatched purchases sit in state until no
+    in-horizon click can still arrive.  A far-future sentinel event
+    (filtered from the comparison) flushes them; without it the live
+    result would be missing the tail's unattributed purchases — that
+    gap is asserted too, because it is the documented semantic."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    batch = all_queries()["stream_stream_join_left_outer"].fn(spark, SF_DIR_SMOKE)
+
+    # Stage: fixture events + one sentinel purchase far past the tail.
+    ev = load(spark, SF_DIR_SMOKE, "events")
+    stage = tmp_path / "events_staged"
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    # BOTH sides need a sentinel: the stateful operator's flush point is
+    # the GLOBAL watermark = min over all input watermarks, so a
+    # purchase-only sentinel leaves the click side (and therefore the
+    # minimum) at the fixture tail and the last unmatched purchases
+    # would stay in state.
+    sentinel_ts = ev.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [
+            (999_999_999, sentinel_ts, -1, "purchase", 0.0, "{}"),
+            (999_999_998, sentinel_ts, -1, "click", 0.0, "{}"),
+        ],
+        ev.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 999 HOURS")).coalesce(
+        1
+    ).write.mode("append").parquet(str(stage))
+
+    stream_src = (
+        spark.readStream.schema(spark.read.parquet(str(stage)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    out = jobs.run_to_memory(
+        spark,
+        jobs.attribution_join_outer(stream_src),
+        "t_ssjoin_outer",
+        output_mode="append",
+    )
+    cols = ("purchase_id", "click_id", "user_id", "purchase_value")
+    got = [r for r in rows(out, *cols) if r[0] != 999_999_999]
+    assert got == rows(batch, *cols)
