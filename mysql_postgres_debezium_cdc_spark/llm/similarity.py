@@ -675,9 +675,7 @@ def _fold_add_sql(listexpr: str) -> str:
     return f"LIST_REDUCE(LIST_PREPEND(0.0, {listexpr}), {_FOLD_ADD})"
 
 
-@register(
-    "ann_ivfpq_topk",
-    oracle=f"""
+_IVFPQ_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     ms AS (SELECT UNNEST(RANGE(0, {PQ_M})) AS m),
     cwn AS (
@@ -773,11 +771,21 @@ def _fold_add_sql(listexpr: str) -> str:
     )
     SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {TOP_K}
     ORDER BY q_id, rk
-    """,
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
     tags=("llm", "similarity", "ivf", "pq"),
     bench=True,
 )
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    index_df: DataFrame | None = None,
+    _return_index: bool = False,
+) -> DataFrame:
     """IVF-PQ ANN: coarse cells bound WHICH vectors are scored, product
     quantization bounds WHAT is read to score them, exact cosine re-ranks
     only the shortlist — the three-tier faiss IndexIVFPQ layout expressed
@@ -903,12 +911,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crk", F.row_number().over(cw_win))
     )
     # Index side: cell assignment + PQ codes, never the full vector again.
-    assign = with_codes(
-        scored_cells.where(F.col("crk") == 1).select(
-            F.col("vec_id").alias("c_id"), "cid", "emb"
-        ),
-        "emb",
-    ).select("c_id", "cid", "codes", "pq_nrm")
+    # ``index_df`` substitutes a PERSISTED index relation (see
+    # ann_ivfpq_persisted_index); ``_return_index`` exposes the relation
+    # for that variant's one-time build.
+    if index_df is not None:
+        assign = index_df
+    else:
+        assign = with_codes(
+            scored_cells.where(F.col("crk") == 1).select(
+                F.col("vec_id").alias("c_id"), "cid", "emb"
+            ),
+            "emb",
+        ).select("c_id", "cid", "codes", "pq_nrm")
+    if _return_index:
+        return assign
 
     # Probe side: queries carry their ADC table qtab[m][j] = dot(qsub_m, cw[m][j]).
     def _qtab_per_m(m):
@@ -969,6 +985,38 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
     )
+
+
+@register(
+    "ann_ivfpq_persisted_index",
+    oracle=_IVFPQ_ORACLE,
+    tags=("llm", "similarity", "ivf", "pq", "index"),
+)
+def ann_ivfpq_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a PERSISTED index — the steady-state serving path:
+    the (cell, codes, norm) relation is built ONCE per corpus version
+    (materialize_once: staged write + atomic rename, keyed by fixture
+    fingerprint) and every subsequent query reads the index parquet,
+    never re-encoding the corpus.  The index entry is ~12 bytes per
+    vector vs 256 for the raw floats; raw vectors are touched only by
+    the ≤ PQ_RERANK re-rank join (plan-asserted: the main candidate
+    scan reads codes, not embeddings).
+
+    Identical math to [[ann_ivfpq_topk]] (same oracle TEXT certifies
+    both): codes and norms round-trip parquet exactly (int32/float64),
+    so the persisted path is bit-identical to the inline path — that
+    equality is what licenses swapping one for the other in a serving
+    tier."""
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    path = materialize_once(
+        sf_dir,
+        "ivfpq_index",
+        lambda p: ann_ivfpq_topk(spark, sf_dir, _return_index=True)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return ann_ivfpq_topk(spark, sf_dir, index_df=spark.read.parquet(path))
 
 
 # ---------------------------------------------------------------------------

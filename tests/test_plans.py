@@ -529,3 +529,17 @@ def test_dpp_injects_runtime_partition_filter(spark):
     r = _plan(spark, "layout_dpp_join_pruned_scan")
     assert "dynamicpruning" in r.text.lower(), "no dynamic partition pruning in plan"
     assert r.n_broadcast_joins >= 1, r.ops
+
+
+def test_ivfpq_persisted_index_scan_reads_codes_not_vectors(spark):
+    """The persisted-index path's candidate relation must come from the
+    index parquet (codes + pq_nrm in its ReadSchema) — raw embedding
+    arrays may appear only in the probe/re-rank scans."""
+    r = _plan(spark, "ann_ivfpq_persisted_index")
+    idx_scans = [
+        seg for seg in r.text.split("Location:") if "ivfpq_index" in seg.split("\n")[0]
+    ]
+    assert idx_scans, "no scan over the persisted index"
+    assert any("codes" in seg and "pq_nrm" in seg for seg in idx_scans)
+    assert all("embedding" not in seg.split("ReadSchema:")[-1][:200] for seg in idx_scans)
+    assert r.n_sortmerge_joins == 0, r.ops
