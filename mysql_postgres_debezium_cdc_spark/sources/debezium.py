@@ -106,7 +106,15 @@ def decode_envelope(
         F.col("_env.ts_ms").alias("ts_ms"),
     )
     # Tombstones (null/blank value, Consumer.java:133-136) are not errors;
-    # anything else that yields no op is a poison record.
+    # anything else that yields no op is a poison record.  A PARSEABLE
+    # envelope with an op outside {c,r,u,d} (Debezium also emits 't' for
+    # TRUNCATE and 'm' for logical messages on some connectors) is ALSO
+    # dead-lettered: with_change_columns filters to the supported ops,
+    # and an op that neither materializes nor surfaces anywhere would be
+    # silent data loss — the poison-record channel is exactly where an
+    # operator should see "this stream contains operations I don't
+    # apply" (the reference's switch has no default case and drops them
+    # silently, Consumer.java:168-183; we keep the stronger contract).
     is_tombstone = F.col(value_col).isNull() | (F.trim(F.col(value_col)) == "")
     return (
         out.withColumn("_tombstone", is_tombstone)
@@ -115,6 +123,9 @@ def decode_envelope(
             F.when(
                 ~is_tombstone & F.col("op").isNull(),
                 F.concat(F.lit("unparseable envelope: "), F.substring(value_col, 1, 120)),
+            ).when(
+                ~is_tombstone & ~F.col("op").isin("c", "r", "u", "d"),
+                F.concat(F.lit("unsupported op: "), F.col("op")),
             ),
         )
         .drop("_env")

@@ -101,7 +101,16 @@ def test_tombstones_and_malformed_are_skipped(spark):
     ]
     assert state_dict(run_batch(spark, records)) == {1: "ok"}
     decoded = decode_envelope(raw_df(spark, records), ROW_SCHEMA)
-    assert decoded.where(F.col("_error").isNotNull()).count() == 1
+    # TWO dead letters: the poison record AND the unknown op — a
+    # parseable envelope with an op we don't apply must surface in the
+    # error channel, never vanish silently (cf.
+    # test_unsupported_op_is_dead_lettered_not_dropped).
+    errs = sorted(
+        r["_error"] for r in decoded.where(F.col("_error").isNotNull()).collect()
+    )
+    assert len(errs) == 2
+    assert errs[0].startswith("unparseable envelope")
+    assert errs[1] == "unsupported op: zzz"
     assert decoded.where(F.col("_tombstone")).count() == 2
 
 
@@ -418,3 +427,35 @@ def test_state_sink_time_travel_and_retention(spark, tmp_path):
 
     dirs = [d for d in os.listdir(tmp_path / "state") if d.startswith("v-")]
     assert len(dirs) == 2
+
+
+def test_unsupported_op_is_dead_lettered_not_dropped(spark):
+    """A parseable envelope with op='t' (Debezium TRUNCATE) must land in
+    the dead-letter channel — neither applied (with_change_columns
+    filters to c/r/u/d) nor silently vanished (the reference's switch
+    drops unknown ops with no trace, Consumer.java:168-183; we keep the
+    stronger contract)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.sources.debezium import decode_envelope
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import with_change_columns
+
+    rows = [
+        (json.dumps({"before": None, "after": {"id": 1, "v": 1.0},
+                     "source": {"db": "app", "table": "t1", "ts_ms": 0},
+                     "op": "c", "ts_ms": 0}), 1),
+        (json.dumps({"before": None, "after": None,
+                     "source": {"db": "app", "table": "t1", "ts_ms": 0},
+                     "op": "t", "ts_ms": 0}), 2),
+    ]
+    raw = spark.createDataFrame(rows, "value string, offset long")
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())])
+    decoded = decode_envelope(raw, schema)
+    dead = decoded.where(F.col("_error").isNotNull()).collect()
+    assert len(dead) == 1 and dead[0]["_error"] == "unsupported op: t"
+    applied = with_change_columns(decoded.where(F.col("_error").isNull()))
+    assert applied.count() == 1  # only the insert
