@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mysql_postgres_debezium_cdc_spark.llm.dedup import _SHINGLES_SQL, _shingles
 from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
 # Deterministic pseudo-benchmark: every 97th document is "the eval set".
 EVAL_MOD = 97
@@ -95,4 +96,93 @@ def dq_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("flag_contaminated"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "dq_decontaminate_corpus",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap
+      FROM shingles t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+      WHERE t.doc_id % {EVAL_MOD} <> 0
+      GROUP BY t.doc_id
+    ),
+    verdicts AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             CASE WHEN d.doc_id % {EVAL_MOD} = 0 THEN 'eval'
+                  WHEN p.n_overlap * {FLAG_DEN} >= p.n_shingles * {FLAG_NUM}
+                    THEN 'removed'
+                  ELSE 'kept' END AS verdict
+      FROM documents d
+      LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    )
+    SELECT source, verdict, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM verdicts
+    GROUP BY source, verdict
+    ORDER BY source, verdict
+    """,
+    tags=("llm", "dq", "contamination"),
+)
+def dq_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT half of decontamination: apply
+    [[dq_contamination_ngram_overlap]]'s verdicts to the corpus and
+    account for what happened — per (source, verdict ∈ {kept, removed,
+    eval}) document counts and character volume, the removal report a
+    training-data release publishes next to its dataset card
+    ([[corpus_dataset_card]]).
+
+    Shape: the detector's per-doc relation LEFT-joins back onto the
+    corpus by doc_id (docs with zero eval overlap — the overwhelming
+    majority — carry a NULL and default to 'kept', so the flagged
+    relation stays small and the join cheap), then one grouped
+    aggregate.  The same integer cross-multiplied threshold as the
+    detector keeps the keep/remove boundary bit-stable cross-engine.
+    In production the 'removed'/'eval' partitions become anti-join
+    predicates on the training write path — same plan, different
+    sink."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(spark, sf_dir)
+    eval_sh = (
+        sh.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        sh.where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+    )
+    verdict = (
+        F.when(F.col("doc_id") % EVAL_MOD == 0, "eval")
+        .when(
+            F.col("n_overlap") * FLAG_DEN >= F.col("n_shingles") * FLAG_NUM, "removed"
+        )
+        .otherwise("kept")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", "source", "n_chars", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "verdict")
     )
