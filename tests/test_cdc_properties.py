@@ -207,3 +207,59 @@ def test_encode_decode_roundtrip_property(spark, rows, wrap):
         for op, b, a, ts in data
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seqs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.sampled_from(["purchase", "click", "view", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_point_in_time_join_matches_predecessor_scan(spark, tmp_path_factory, seqs):
+    """For ANY event sequence, cdc_scd2_point_in_time_join must pair
+    every purchase with EXACTLY its user's latest preceding non-error
+    version — the boundary semantics (valid_from < as_of <=
+    coalesce(valid_to, inf)) checked against a single-threaded scan."""
+    import datetime
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i, (user, etype) in enumerate(seqs):
+        rows.append(
+            (i, t0 + datetime.timedelta(minutes=i), user, etype, float(i) + 0.25, "{}")
+        )
+    base = tmp_path_factory.mktemp("pit")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "events.parquet"))
+
+    got = {
+        (r["user_id"], r["as_of"]): (r["prev_v"], r["prev_valid_from"])
+        for r in all_queries()["cdc_scd2_point_in_time_join"].fn(spark, str(base)).collect()
+    }
+
+    # single-threaded oracle: per user, versions are non-error events in
+    # event_id order; a purchase probes the latest version strictly
+    # before its own event_id.
+    expected = {}
+    by_user: dict[int, list] = {}
+    for eid, _ts, user, etype, value, _props in rows:
+        if etype != "error":
+            by_user.setdefault(user, []).append((eid, value))
+    for eid, _ts, user, etype, value, _props in rows:
+        if etype != "purchase":
+            continue
+        prior = [(e, v) for e, v in by_user.get(user, []) if e < eid]
+        if prior:
+            pe, pv = prior[-1]
+            expected[(user, eid)] = (round(pv, 2), pe)
+    assert got == expected
