@@ -83,7 +83,17 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is
     idle longer than the gap threshold.  Batch twin of
     `stream_session_window` (session_window does the same assignment
-    incrementally); this formulation also yields session ordinals."""
+    incrementally); this formulation also yields session ordinals.
+
+    Skew note: the per-user window is keyed state — it cannot salt the
+    way an aggregation can, so a pathological hot key (one user owning
+    half the corpus; measured in PLANS.md's skew probe) sorts in a
+    single task.  Real-scale mitigations: AQE's skew split handles the
+    preceding exchange, and a two-pass variant (per-(user, time-chunk)
+    local sessionization, then a tiny boundary-merge of first/last
+    sessions per chunk) bounds the per-task sort when one key truly
+    exceeds an executor — the same chunk-then-merge shape as
+    text_vocab_head_coverage's banded prefix sum."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts")).alias("t_us"), "value", "event_id"
     )
