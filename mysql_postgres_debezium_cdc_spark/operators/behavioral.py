@@ -43,9 +43,7 @@ from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 _SESSION_GAP_US = 6 * 3600 * 1_000_000
 
 
-@register(
-    "events_sessionize_gap",
-    oracle=f"""
+_SESSIONIZE_ORACLE = f"""
     WITH flagged AS (
       SELECT user_id,
              epoch_us(ts) AS t_us,
@@ -75,7 +73,12 @@ _SESSION_GAP_US = 6 * 3600 * 1_000_000
     FROM sess
     GROUP BY user_id, session_idx
     ORDER BY user_id, session_idx
-    """,
+    """
+
+
+@register(
+    "events_sessionize_gap",
+    oracle=_SESSIONIZE_ORACLE,
     tags=("behavioral", "session", "window"),
     bench=True,
 )
@@ -632,4 +635,103 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ewma, "event_type string, hour_s bigint, v_cents bigint, ewma double"
         )
         .orderBy("event_type", "hour_s")
+    )
+
+
+# Chunk width for the skew-bounded sessionizer: 4× the session gap, so
+# boundary merges stay rare relative to in-chunk assignments.
+_SESSION_CHUNK_US = 4 * _SESSION_GAP_US
+
+
+@register(
+    "events_sessionize_gap_chunked",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("behavioral", "session", "window", "skew"),
+)
+def events_sessionize_gap_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded sessionization — IDENTICAL results to
+    [[events_sessionize_gap]] (same oracle text certifies both), but no
+    task ever sorts more than one (user, time-chunk) slice, so a single
+    pathological user owning half the corpus (PLANS.md's skew probe)
+    parallelizes across its chunks instead of serializing one task.
+
+    The chunk-then-merge decomposition (the prefix-sum device of
+    text_vocab_head_coverage, applied to keyed windows):
+
+    1. windows run PARTITIONED BY (user, chunk) — the in-chunk lag sees
+       every gap except each chunk's first row;
+    2. the BOUNDARY relation (one row per non-empty (user, chunk): last
+       event time, count of in-chunk session starts) is events-free;
+       a per-user lag over it supplies each chunk's previous-existing-
+       chunk last timestamp, fixing the first-row flags, and a per-user
+       running sum supplies each chunk's session-ordinal OFFSET;
+    3. global session_idx = in-chunk running index + chunk offset.
+
+    The boundary relation is users × active-chunks — data-sized but
+    tiny relative to events, and its windows are per-user over CHUNK
+    rows, not event rows.  The flagged relation persists because both
+    the boundary aggregate and the final assembly consume it (same
+    justified-persist as the vocab-coverage term counts; at cluster
+    scale this is a MEMORY_AND_DISK cache or a checkpoint).  One extra
+    small shuffle vs the single-window form buys the bounded-task
+    guarantee."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t_us"), "value", "event_id"
+    )
+    ev = ev.withColumn("chunk", (F.col("t_us") / _SESSION_CHUNK_US).cast("long"))
+    w_chunk = Window.partitionBy("user_id", "chunk").orderBy("t_us", "event_id")
+    prev_in = F.lag("t_us").over(w_chunk)
+    flagged = ev.withColumn("prev_in", prev_in).persist()
+
+    # Boundary relation: per (user, chunk) last event + in-chunk new-session
+    # count for every NON-FIRST row (first rows resolve against the
+    # previous chunk below).
+    inner_new = F.when(
+        F.col("prev_in").isNotNull()
+        & ((F.col("t_us") - F.col("prev_in")) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    bounds = flagged.groupBy("user_id", "chunk").agg(
+        F.max("t_us").alias("last_t"),
+        F.min("t_us").alias("first_t"),
+        F.sum(inner_new).alias("n_inner_new"),
+    )
+    w_user = Window.partitionBy("user_id").orderBy("chunk")
+    bounds = bounds.withColumn("prev_last", F.lag("last_t").over(w_user))
+    first_new = F.when(
+        F.col("prev_last").isNull()
+        | ((F.col("first_t") - F.col("prev_last")) > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    bounds = bounds.withColumn("n_new", F.col("n_inner_new") + first_new)
+    w_off = Window.partitionBy("user_id").orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bounds.select(
+        "user_id",
+        "chunk",
+        "prev_last",
+        F.coalesce(F.sum("n_new").over(w_off), F.lit(0)).alias("idx_offset"),
+    )
+
+    # Final assembly: resolve each row's previous event (in-chunk lag or
+    # the previous chunk's last), flag, in-chunk running index + offset.
+    joined = flagged.join(offsets, ["user_id", "chunk"])
+    prev_t = F.coalesce(F.col("prev_in"), F.col("prev_last"))
+    is_new = F.when(
+        prev_t.isNull() | ((F.col("t_us") - prev_t) > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    run = w_chunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = joined.withColumn("is_new", is_new).withColumn(
+        "session_idx", (F.sum("is_new").over(run) + F.col("idx_offset")).cast("bigint")
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            (F.min("t_us") / 1_000_000).cast("long").alias("session_start_s"),
+            ((F.max("t_us") - F.min("t_us")) / 1_000_000).cast("long").alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
     )

@@ -79,3 +79,17 @@ def test_sessionize_matches_inorder_scan(spark, rows):
     for r in got:
         by_user.setdefault(r["user_id"], []).append((r["start"], r["end"], r["n"]))
     assert by_user == expected
+
+
+def test_chunked_sessionizer_equals_single_window(spark):
+    """The skew-bounded chunk-merge sessionizer must be result-identical
+    to the single-window formulation on the fixture (both also share
+    one oracle text); any boundary-handling slip (first-row flag,
+    ordinal offset, cross-chunk session continuation) breaks this."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.conftest import SF_DIR_ORACLE
+
+    a = all_queries()["events_sessionize_gap"].fn(spark, SF_DIR_ORACLE)
+    b = all_queries()["events_sessionize_gap_chunked"].fn(spark, SF_DIR_ORACLE)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
