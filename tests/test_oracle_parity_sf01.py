@@ -24,6 +24,9 @@ HEAVY_SLICE = [
     "stream_tumbling_window",
     "cdc_lastwrite_materialize",
     "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_bruteforce_topk",
     # late-r4 additions with scale-sensitive shapes
     "ann_ivfpq_topk",
