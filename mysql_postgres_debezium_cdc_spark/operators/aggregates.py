@@ -272,10 +272,15 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_percentiles",
     oracle="""
+    -- Percentiles interpolate over INTEGER CENTS: interpolating raw
+    -- 2-decimal doubles lands on .xx5 midpoints whose inexact doubles
+    -- round differently across engines at small N (caught by the
+    -- sf0.001 sweep); on integers the p50 midpoint is an exact .5 and
+    -- FLOOR(x+0.5) is half-up in both engines.
     SELECT l_returnflag,
-           ROUND(MEDIAN(l_extendedprice), 2)                                   AS p50,
-           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)  AS p90,
-           ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p99
+           FLOOR(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 0.5) / 100.0 AS p50,
+           FLOOR(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 0.5) / 100.0 AS p90,
+           FLOOR(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 0.5) / 100.0 AS p99
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -288,12 +293,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (t-digest-style sketch, mergeable, one pass);
     the exact form here is the oracle-checkable baseline."""
     li = load(spark, sf_dir, "lineitem")
+    # Integer-cents domain (see oracle comment): interpolation midpoints
+    # become exact halves, so rounding agrees bit-for-bit cross-engine
+    # even on two-element groups.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+    def pct(q):
+        return F.floor(F.percentile(cents, F.lit(q)) + F.lit(0.5)) / 100.0
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.median("l_extendedprice"), 2).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
         )
         .orderBy("l_returnflag")
     )
@@ -360,11 +373,9 @@ def agg_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it is badly broken.
     oracle="""
     SELECT l_returnflag,
-           ROUND(MEDIAN(l_extendedprice), 2) AS p50,
-           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
-             AS p90,
-           ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 2)
-             AS p99,
+           FLOOR(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 0.5) / 100.0 AS p50,
+           FLOOR(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 0.5) / 100.0 AS p90,
+           FLOOR(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT)) + 0.5) / 100.0 AS p99,
            1 AS approx_in_band
     FROM lineitem
     GROUP BY l_returnflag
@@ -386,7 +397,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice"),
         F.array(*[F.lit(x) for x in (0.49, 0.51, 0.89, 0.91, 0.98, 1.0)]),
     )
-    exact = F.percentile(F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    exact = F.percentile(cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     in_band = (
         pcts[0].between(bands[0], bands[1])
         & pcts[1].between(bands[2], bands[3])
@@ -395,9 +407,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(exact[0], 2).alias("p50"),
-            F.round(exact[1], 2).alias("p90"),
-            F.round(exact[2], 2).alias("p99"),
+            # same integer-cents device as agg_percentiles
+            (F.floor(exact[0] + F.lit(0.5)) / 100.0).alias("p50"),
+            (F.floor(exact[1] + F.lit(0.5)) / 100.0).alias("p90"),
+            (F.floor(exact[2] + F.lit(0.5)) / 100.0).alias("p99"),
             F.when(in_band, 1).otherwise(0).alias("approx_in_band"),
         )
         .orderBy("l_returnflag")
