@@ -52,3 +52,21 @@ def test_approx_percentile_within_bound(spark):
     for r in both.collect():
         for a, e in zip(r["a"], r["e"]):
             assert abs(a - e) / e <= 0.005, (r["l_returnflag"], a, e)
+
+
+def test_percentiles_match_oracle_on_tiny_groups(spark):
+    """sf0.001 regression pin: with two-element groups, percentile
+    interpolation lands on exact midpoints — raw-price doubles rounded
+    at 2dp flipped between engines (caught by the full sf0.001 sweep);
+    the integer-cents formulation must hold at the smallest fixture."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.parity import compare, duck_connection
+
+    con = duck_connection("/root/testdata/sf0.001")
+    try:
+        for key in ("agg_percentiles", "agg_approx_percentile"):
+            spec = all_queries()[key]
+            errors = compare(spec.fn(spark, "/root/testdata/sf0.001"), con.sql(spec.oracle).df())
+            assert not errors, (key, errors)
+    finally:
+        con.close()
