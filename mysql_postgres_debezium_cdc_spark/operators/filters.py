@@ -20,7 +20,14 @@ from mysql_postgres_debezium_cdc_spark.sources.parquet import load
     SELECT
       l_orderkey,
       l_linenumber,
-      ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+      -- exact DECIMAL product: the three 2dp factors multiply to an
+      -- exact 6dp value that lands exactly on .005 ties (one sf0.1 row
+      -- flipped between engines under double math); decimal arithmetic
+      -- rounds the TRUE value half-up in both engines, and the final
+      -- cast back to DOUBLE is exact for 2dp results.
+      CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS charged,
       CAST(FLOOR(l_extendedprice * 100 / l_quantity) AS BIGINT)  AS unit_price_cents,
       CAST(l_quantity AS BIGINT) % 7                             AS qty_mod7
     FROM lineitem
@@ -33,9 +40,16 @@ def project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
+        # exact decimal product — see the oracle comment: double math
+        # flips engine rounding on exact .005 ties.
         F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
-        ).alias("charged"),
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(12,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("charged"),
         # floor-of-cents instead of round(quotient, 2): quotients of 2dp
         # prices by integral quantities land on exact decimal halves where
         # engines' double-rounding disagrees; floor over identical IEEE
