@@ -543,3 +543,18 @@ def test_ivfpq_persisted_index_scan_reads_codes_not_vectors(spark):
     assert any("codes" in seg and "pq_nrm" in seg for seg in idx_scans)
     assert all("embedding" not in seg.split("ReadSchema:")[-1][:200] for seg in idx_scans)
     assert r.n_sortmerge_joins == 0, r.ops
+
+
+def test_chunked_sessionizer_windows_are_chunk_partitioned(spark):
+    """events_sessionize_gap_chunked's contract is that NO events-sized
+    window partitions by user alone: the event-level exchanges hash on
+    (user_id, chunk) — the bounded-task slices — while user-only
+    partitioning appears solely for the tiny per-(user, chunk) boundary
+    relation's windows."""
+    r = _plan(spark, "events_sessionize_gap_chunked")
+    import re
+
+    event_parts = re.findall(r"hashpartitioning\(user_id[^)]*chunk[^)]*\)", r.text)
+    assert event_parts, "no (user_id, chunk) exchange found"
+    # the flagged relation is cached so bounds + assembly share one pass
+    assert "InMemoryTableScan" in r.ops, r.ops
