@@ -1504,3 +1504,105 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# Additive-smoothing constant for the source-divergence distributions.
+_JS_ALPHA = 1
+
+
+@register(
+    "text_source_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+    vocab AS (SELECT DISTINCT tok FROM counts),
+    sources AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source),
+    grid AS (
+      SELECT s.source, s.n, v.tok, COALESCE(c.c, 0) AS c
+      FROM sources s CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok
+    ),
+    nv AS (SELECT COUNT(*) AS v FROM vocab),
+    probs AS (
+      SELECT source, tok,
+             (c + {_JS_ALPHA}) / (n + {_JS_ALPHA} * (SELECT v FROM nv)) AS p
+      FROM grid
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.tok,
+             0.5 * a.p * LOG2(2 * a.p / (a.p + b.p))
+             + 0.5 * b.p * LOG2(2 * b.p / (a.p + b.p)) AS term
+      FROM probs a JOIN probs b ON a.tok = b.tok AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           ROUND(SUM(term), 4) AS js_divergence,
+           COUNT(*) AS n_vocab
+    FROM pairs
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("llm", "text", "divergence"),
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    token distributions — the domain-shift diagnostic behind mixture
+    reweighting ([[corpus_mixture_weighted_sample]]): a source whose
+    distribution diverges from the others is a candidate for its own
+    mixture weight (or for a closer look).
+
+    Additive (+1) smoothing over the shared vocabulary keeps every
+    probability strictly positive, so the JS terms are total functions
+    and the divergence is symmetric and bounded by 1 bit.  Scale shape:
+    ONE corpus pass builds the (source, token) counts; everything after
+    — the zero-filled source×vocab grid, the pairwise term join, the
+    per-pair sums — operates on vocabulary-sized relations (sources are
+    a registry, vocab grows sub-linearly).  The per-pair sum is a
+    float reduction whose cross-engine ordering differs, but JS terms
+    are log-valued (never exact decimals), so rounding at 4dp sits
+    ~1e10 ulps away from any boundary — unlike the exact-decimal sums
+    that needed the integer-cents device ([[events_resample_ffill_1h]],
+    PLANS.md's cross-scale sweep findings)."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # vocab-sized; feeds vocab, totals, and the grid
+    )
+    vocab = counts.select("tok").distinct()
+    sources = counts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    n_vocab = vocab.count()  # bounded scalar (vocabulary cardinality)
+    grid = (
+        sources.crossJoin(vocab)
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + _JS_ALPHA)
+                / (F.col("n") + _JS_ALPHA * n_vocab)
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "tok", F.col("p").alias("pb")
+    )
+    term = 0.5 * F.col("pa") * F.log2(2 * F.col("pa") / (F.col("pa") + F.col("pb"))) + (
+        0.5 * F.col("pb") * F.log2(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    return (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", term.alias("term"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.sum("term"), 4).alias("js_divergence"),
+            F.count(F.lit(1)).alias("n_vocab"),
+        )
+        .orderBy("source_a", "source_b")
+    )
