@@ -558,3 +558,12 @@ def test_chunked_sessionizer_windows_are_chunk_partitioned(spark):
     assert event_parts, "no (user_id, chunk) exchange found"
     # the flagged relation is cached so bounds + assembly share one pass
     assert "InMemoryTableScan" in r.ops, r.ops
+
+
+def test_source_divergence_scans_corpus_once(spark):
+    """text_source_divergence touches the corpus exactly once (the
+    (source, token) count fill); the grid/pair/total branches all read
+    the persisted vocabulary-sized relation."""
+    r = _plan(spark, "text_source_divergence")
+    assert sum(1 for op in r.ops if op == "Scan") == 1, r.ops
+    assert r.ops.count("InMemoryTableScan") >= 3, r.ops
