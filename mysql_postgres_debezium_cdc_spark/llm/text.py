@@ -1606,3 +1606,148 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary TRAINING: learn the first K merges from the corpus.
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 5
+
+
+def _bpe_train_oracle(k_iters: int) -> str:
+    """Generate the unrolled K-iteration trainer as chained CTE stages —
+    recursion-free SQL (recursive CTEs cannot aggregate per round), so
+    DuckDB value-checks actual BPE TRAINING, not just one pair count."""
+    sql = r"""
+    WITH w0 AS (
+      SELECT w AS word, COUNT(*) AS wcount,
+             '  ' || REGEXP_REPLACE(w, '(.)', '\1  ', 'g') AS state
+      FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS w
+            FROM documents)
+      GROUP BY w
+    )"""
+    for k in range(k_iters):
+        sql += f""",
+    syms{k} AS (
+      SELECT wcount,
+             LIST_FILTER(STRING_SPLIT(state, '  '), t -> LENGTH(t) > 0) AS s
+      FROM w{k}
+    ),
+    pc{k} AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM syms{k}, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(s), 1))) AS i)
+      GROUP BY 1
+    ),
+    best{k} AS (
+      SELECT pair, cnt FROM pc{k} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{k + 1} AS (
+      SELECT word, wcount,
+             REPLACE(state,
+                     ' ' || SPLIT_PART(b.pair, ' ', 1) || '  '
+                         || SPLIT_PART(b.pair, ' ', 2) || ' ',
+                     ' ' || REPLACE(b.pair, ' ', '') || ' ') AS state
+      FROM w{k}, best{k} b
+    )"""
+    selects = "\n      UNION ALL ".join(
+        f"SELECT {k + 1} AS merge_rank, SPLIT_PART(pair, ' ', 1) AS merge_left, "
+        f"SPLIT_PART(pair, ' ', 2) AS merge_right, cnt AS pair_count FROM best{k}"
+        for k in range(k_iters)
+    )
+    return sql + f"\n    SELECT * FROM ({selects})\n    ORDER BY merge_rank"
+
+
+@register(
+    "corpus_bpe_train_merges",
+    oracle=_bpe_train_oracle(BPE_TRAIN_MERGES),
+    tags=("llm", "text", "bpe", "train"),
+)
+def corpus_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING — the actual merge-learning loop, not
+    just its kernel: learn the first K merges (count adjacent symbol
+    pairs → take the argmax → apply the merge → repeat), returning the
+    ranked merge table (the artifact [[corpus_bpe_encode]] consumes;
+    [[corpus_bpe_pair_counts]] is one un-applied round of this).
+
+    The Sennrich word-count optimization makes training corpus-scale
+    feasible: ONE corpus pass collapses the text to the (word, count)
+    relation, and every round's pair counting, argmax, and merge
+    application run on that vocabulary-sized relation — weighted by
+    word counts, never re-touching documents.  Per round:
+
+    - pair counts partial-aggregate map-side (symbol-pair keyspace);
+    - the argmax is a 1-row relation CROSS-JOINED back (no driver
+      collect — the learned pair stays plan-side, and `F.replace` takes
+      COLUMN patterns, so the merge application is built from it);
+    - the merge applies via the boundary-safe double-space REPLACE
+      device proven in [[corpus_bpe_encode]];
+    - the word relation persists per round (lineage cut — two consumers
+      per round would otherwise double the recompute each iteration,
+      the [[dedup_connected_components]] lesson).
+
+    Training is within-word (original BPE), so merges never cross word
+    boundaries; ties break to the lexicographically smallest pair in
+    both engines.  The unrolled-CTE oracle value-checks all K learned
+    (pair, count) rows — actual distributed tokenizer training under
+    the same gate as every other query."""
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    w = F.explode(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)).alias("word")
+    cur = (
+        d.select(w)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .withColumn(
+            "state",
+            F.concat(F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")),
+        )
+        .persist()
+    )
+    rounds = []
+    for k in range(BPE_TRAIN_MERGES):
+        s = F.filter(F.split("state", "  "), lambda t: F.length(t) > 0)
+        pair_arr = F.when(
+            F.size(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(s, i), F.element_at(s, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pc = (
+            cur.select(F.explode(pair_arr).alias("pair"), "wcount")
+            .groupBy("pair")
+            .agg(F.sum("wcount").cast("bigint").alias("cnt"))
+        )
+        # argmax via global-sort LIMIT 1: TakeOrderedAndProject keeps a
+        # 1-row heap per partition + a 1-row merge — no single-partition
+        # WindowExec even on a huge pair keyspace.
+        best = pc.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        rounds.append(
+            best.select(
+                F.lit(k + 1).alias("merge_rank"),
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("merge_left"),
+                F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("merge_right"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        pat = F.concat(
+            F.lit(" "),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)),
+            F.lit("  "),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)),
+            F.lit(" "),
+        )
+        rep = F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" "))
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pair")))
+            .select(
+                "word",
+                "wcount",
+                F.replace(F.col("state"), pat, rep).alias("state"),
+            )
+            .persist()
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("merge_rank")

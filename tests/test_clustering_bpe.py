@@ -133,3 +133,23 @@ def test_kmeans_stages_match_reference(spark, vecs):
         r["vec_id"]: (r["cid"], r["dist"]) for r in assigned.collect()
     }
     assert got == expect
+
+
+def test_bpe_training_counts_are_monotone_and_consistent_with_encode_table(spark):
+    """BPE theory check: each round's best-pair count is non-increasing
+    (a merge can only reduce existing pair counts, and a new symbol's
+    pair counts are bounded by its constituents'), and the learned
+    first merges must agree with the hand-mined prefix of BPE_MERGES
+    (both derive from the same fixture statistics)."""
+    from mysql_postgres_debezium_cdc_spark.llm.text import BPE_MERGES
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.conftest import SF_DIR_ORACLE
+
+    rows = (
+        all_queries()["corpus_bpe_train_merges"].fn(spark, SF_DIR_ORACLE).collect()
+    )
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    learned = {(r["merge_left"], r["merge_right"]) for r in rows}
+    # the mined table's character-level prefix came from the same corpus
+    assert ("e", "r") in learned and ("e", "r") == BPE_MERGES[0]
