@@ -1691,6 +1691,18 @@ def corpus_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.  The unrolled-CTE oracle value-checks all K learned
     (pair, count) rows — actual distributed tokenizer training under
     the same gate as every other query."""
+    rounds, _final = _bpe_train_states(spark, sf_dir)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train_states(spark: SparkSession, sf_dir: str):
+    """Run the K-round trainer; return (per-round best rows, final word
+    states) — shared by corpus_bpe_train_merges (the merge table) and
+    corpus_bpe_train_and_encode (corpus statistics under the learned
+    vocabulary)."""
     d = spread_small_scan(load(spark, sf_dir, "documents"))
     w = F.explode(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)).alias("word")
     cur = (
@@ -1747,7 +1759,87 @@ def corpus_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("merge_rank")
+    return rounds, cur
+
+
+def _bpe_train_encode_oracle(k_iters: int) -> str:
+    """Trainer CTE chain + a final corpus aggregate over w{K}: the
+    statistics of the corpus re-tokenized under the K LEARNED merges."""
+    train = _bpe_train_oracle(k_iters)
+    # keep only the CTE chain (drop the trainer's SELECT tail)
+    chain = train[: train.rindex("\n    SELECT * FROM (")]
+    return (
+        chain
+        + f""",
+    final AS (
+      SELECT wcount,
+             LIST_FILTER(STRING_SPLIT(state, '  '), t -> LENGTH(t) > 0) AS s,
+             LENGTH(word) AS n_chars
+      FROM w{k_iters}
+    )
+    SELECT {k_iters} AS n_merges, a.total_words, a.total_chars,
+           a.total_tokens,
+           ROUND(CAST(a.total_chars AS DOUBLE) / a.total_tokens, 4)
+             AS chars_per_token,
+           v.n_symbols
+    FROM (SELECT CAST(SUM(wcount) AS BIGINT) AS total_words,
+                 CAST(SUM(wcount * n_chars) AS BIGINT) AS total_chars,
+                 CAST(SUM(wcount * LEN(s)) AS BIGINT) AS total_tokens
+          FROM final) a,
+         (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS n_symbols
+          FROM final, UNNEST(s) AS u(sym)) v
+    """
+    )
+
+
+@register(
+    "corpus_bpe_train_and_encode",
+    oracle=_bpe_train_encode_oracle(BPE_TRAIN_MERGES),
+    tags=("llm", "text", "bpe", "train"),
+)
+def corpus_bpe_train_and_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tokenizer lifecycle in one query: TRAIN K merges on
+    the corpus ([[corpus_bpe_train_merges]]'s loop), APPLY them, and
+    report the corpus statistics a tokenizer evaluation tracks — total
+    tokens under the learned vocabulary, compression (chars/token), and
+    the resulting symbol-vocabulary size.  This is the number that
+    tells you whether the next thousand merges are worth it.
+
+    Everything runs on the word-count relation (one corpus pass, the
+    Sennrich optimization), and the final statistics weight each word's
+    token count by its corpus frequency, so the result is EXACTLY the
+    corpus-wide tokenization the merge table would produce — certified
+    by extending the trainer's unrolled-CTE oracle with the same final
+    aggregate.
+
+    Caveat the n_symbols column makes visible: UNNEST-per-word counts a
+    symbol once per containing word, so the distinct-count relation is
+    (words × avg-symbols) — vocabulary-sized, not corpus-sized, and the
+    COUNT(DISTINCT) shuffles symbols once."""
+    _rounds, final = _bpe_train_states(spark, sf_dir)
+    s = F.filter(F.split("state", "  "), lambda t: F.length(t) > 0)
+    per_word = final.select(
+        "wcount",
+        F.length("word").alias("n_chars"),
+        s.alias("s"),
+    )
+    sym = per_word.select(F.explode("s").alias("sym"))
+    n_symbols = sym.agg(F.countDistinct("sym").cast("bigint").alias("n"))
+    agg = per_word.agg(
+        F.sum("wcount").cast("bigint").alias("total_words"),
+        F.sum(F.col("wcount") * F.col("n_chars")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("wcount") * F.size("s")).cast("bigint").alias("total_tokens"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_symbols))
+        .select(
+            F.lit(BPE_TRAIN_MERGES).alias("n_merges"),
+            "total_words",
+            "total_chars",
+            "total_tokens",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("total_tokens"), 4
+            ).alias("chars_per_token"),
+            F.col("n").alias("n_symbols"),
+        )
+    )
