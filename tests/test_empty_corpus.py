@@ -32,6 +32,9 @@ EMPTY_SLICE = [
     "text_vocab_head_coverage",
     "corpus_train_val_test_split",
     "corpus_reservoir_per_group",
+    "corpus_bpe_train_merges",
+    "corpus_bpe_train_and_encode",
+    "text_source_divergence",
     "stream_tumbling_window",
     "events_sessionize_gap",
 ]
