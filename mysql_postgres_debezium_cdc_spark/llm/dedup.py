@@ -735,13 +735,37 @@ from mysql_postgres_debezium_cdc_spark.llm.similarity import (  # noqa: E402
 )
 
 
+# Default bucket-truncation width for the registered scale path.  The r4
+# 10× probe (PLANS.md) measured the uncapped pair expansion at 109 s on a
+# dup-heavy corpus where the capped run takes ~2 s: pair-reporting output is
+# Ω(true pairs), so the REGISTERED key must bound per-bucket expansion by
+# default.  64 keeps every sane bucket intact (the sf fixtures' widest
+# bucket is far below it, so the oracle comparison sees identical output)
+# while capping a degenerate bucket's inline expansion at 64·63/2 ≈ 2k
+# pairs per bucket.  Uncapped auditing remains one explicit kwarg away
+# (max_bucket_width=None), and `dedup_embedding_clusters` bounds the
+# OUTPUT, not just the expansion, for truly dup-saturated corpora.
+EMB_LSH_DEFAULT_BUCKET_WIDTH = 64
+
+
 @register(
     "dedup_embedding_lsh",
     oracle=f"""
     WITH {LSH_SIGS_SQL},
+    ranked AS (
+      SELECT vec_id, t, sig,
+             ROW_NUMBER() OVER (PARTITION BY t, sig ORDER BY vec_id) AS rk
+      FROM sigs
+    ),
+    kept AS (
+      -- mirror of the engine's max_bucket_width: keep each bucket's first
+      -- {EMB_LSH_DEFAULT_BUCKET_WIDTH} vec_ids ascending (F.slice on the
+      -- sort_array'd bucket), drop the rest deterministically
+      SELECT vec_id, t, sig FROM ranked WHERE rk <= {EMB_LSH_DEFAULT_BUCKET_WIDTH}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+      FROM kept a JOIN kept b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
     ),
     scored AS (
       SELECT c.vec_a, c.vec_b,
@@ -763,7 +787,7 @@ def dedup_embedding_lsh(
     spark: SparkSession,
     sf_dir: str,
     max_doc_freq: int | None = None,
-    max_bucket_width: int | None = None,
+    max_bucket_width: int | None = EMB_LSH_DEFAULT_BUCKET_WIDTH,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the SCALE path that
     replaces `dedup_embedding_cosine`'s O(n²) cross join.
@@ -778,12 +802,16 @@ def dedup_embedding_lsh(
     the dial); the oracle computes the identical bucketed pipeline, so
     the check is exact.
 
-    ``max_doc_freq`` / ``max_bucket_width`` (default off, so the oracle
-    comparison stays uncapped) are the dup-heavy-corpus levers the r4
-    10× probe quantifies (PLANS.md): a corpus where everything
-    near-duplicates everything makes ANY pair-reporting dedup
-    Ω(true pairs); dropping/truncating degenerate buckets bounds the
-    expansion, and `dedup_embedding_clusters` bounds the OUTPUT."""
+    ``max_bucket_width`` DEFAULTS ON (EMB_LSH_DEFAULT_BUCKET_WIDTH=64):
+    the r4 10× probe (PLANS.md) showed the uncapped expansion is
+    Ω(true pairs) — 109 s vs ~2 s capped on a dup-saturated corpus —
+    so the registered scale path bounds per-bucket expansion by
+    default, with the oracle implementing the IDENTICAL deterministic
+    truncation (ROW_NUMBER ≤ width over vec_id ascending == F.slice on
+    the sorted bucket array).  Pass ``max_bucket_width=None`` for the
+    explicit uncapped audit; ``max_doc_freq`` additionally DROPS
+    stopword-degenerate buckets outright; and
+    `dedup_embedding_clusters` bounds the OUTPUT (n rows, not k²)."""
     emb = load(spark, sf_dir, "embeddings")
     sigs = lsh_signatures(emb)
     buckets = (

@@ -42,87 +42,86 @@ _LOADED = False
 
 # The driver's correctness harness checks queries in registry order and caps
 # the sweep at the first 50 keys.  The prefix is ROTATED each round so the
-# union of driver rounds certifies the whole registry: rounds 1-3 checked 85
-# distinct keys (see CORRECTNESS_r0{1,2,3}.json); the round-4 prefix below is
-# 50 never-yet-driver-checked, DuckDB-oracle-backed keys — after it runs, 135
-# of the 210 registry keys have a driver-side green row.  The remaining 75
-# queue for the r5/r6 rotations: the 11 ops added mid/late-r4 (clustering,
-# SemDeDup, RAG retrieval, BPE encode, PMI, EWMA, bloom dedup, z-order,
-# GDPR scrub, length bucketing, quality classifier), the 18 added at r4
-# close (reservoir sample, IVF-PQ inline + persisted-index, kNN label
-# eval, stream-static enrichment, LEFT OUTER stream-stream join,
-# cross-source leak, shingle containment, vocab head coverage, dataset
-# card, decontaminate, DPP scan, dimension correlation, SCD2
-# point-in-time join, chunk-merge sessionizer, source JS divergence,
-# BPE training loop + composed train-and-encode), and the 46 r1-r3 keys
-# whose category sampling the earlier prefixes skipped.  Every key also
+# union of driver rounds certifies the whole registry: rounds 1-4 checked
+# 135 distinct keys (CORRECTNESS_r0{1..4}.json — 132 value-green, 3 recorded
+# only as r1 `no_oracle` rows before their oracles landed in r3).  The
+# round-5 prefix below is 50 of the 78 keys with no driver-side green row:
+# the late-r4 wave VERDICT r4 ranked highest-risk (SCD2 point-in-time join,
+# IVF-PQ inline + persisted index, the BPE training loop, the composed
+# near-dedup pipeline, GDPR scrub, decontamination, global shuffle shards,
+# Misra-Gries heavy hitters, DPP-pruned scan, LEFT OUTER stream-stream
+# join), the 3 legacy `no_oracle` keys re-entered so their record finally
+# shows a value-green row (ann_lsh_topk, multimodal_fake_features,
+# agg_approx_count_distinct), and the riskiest of the never-sampled r1-r3
+# keys (iterative clustering, sketches, stateful streaming twins,
+# embedding maintenance, corpus governance).  The 28 remaining keys — all
+# single-shuffle SQL-surface ops (set-op variants, scalar fn parsers,
+# simple aggregates/sorts/projections) — queue for the r6 prefix, which
+# closes certification: union r1-r6 = the whole registry.  Every key also
 # passes the identical in-repo comparison (tests/test_oracle_parity.py),
-# which sweeps all 210 every round regardless of prefix.
+# which sweeps all registered keys every round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    # TPC-H remainder (q1/q3/q5/q13/q21 certified in r1-r3)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_promo_part_suppliers",
-    "q22_global_sales",
-    # SQL front-end (same SQL text on both engines)
-    "sql_api_revenue_by_nation",
-    # CDC edge semantics
-    "cdc_deadletter_isolation",
-    "cdc_schema_drift_decode",
-    # Streaming batch-twins not yet certified
-    "stream_sliding_window",
-    "stream_user_running_state",
-    # Joins
-    "join_full_outer",
-    "join_right_outer",
-    "join_left_semi",
-    "join_salted_skew",
-    # Aggregation
-    "agg_stats",
-    "agg_histogram",
-    "agg_percentiles",
-    "agg_salted_two_phase",
-    # Window functions
-    "window_range_frame",
-    "window_ntile",
-    "window_first_last_nth",
-    # Projection / filter
-    "project_arithmetic",
-    "filter_in_between_like",
-    "filter_null_safe_eq",
-    # Set ops / pivot
-    "setop_intersect",
-    "unpivot_balances",
-    # Subqueries
-    "subq_scalar_avg",
-    "subq_in_list",
-    "subq_correlated_scalar",
-    # Scans / sources
-    "source_orc_scan",
-    # UDF surface
-    "udaf_pandas_grouped_agg",
-    "udf_cogrouped_merge",
-    # Behavioral
-    "events_funnel_conversion",
-    "events_retention_cohort",
-    "events_resample_ffill_1h",
-    # LLM-data: dedup / text
-    "dedup_embedding_lsh",
-    "text_tfidf_topk",
-    "text_edit_distance_pairs",
+    # Highest-risk late-r4 additions (VERDICT r4 "Next round" item 2)
+    "cdc_scd2_point_in_time_join",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_persisted_index",
+    "corpus_bpe_train_merges",
+    "corpus_bpe_train_and_encode",
+    "corpus_near_dedup_pipeline",
+    "cdc_gdpr_scrub",
+    "dq_decontaminate_corpus",
+    "corpus_global_shuffle_shards",
+    "agg_heavy_hitters_mg",
+    "layout_dpp_join_pruned_scan",
+    "stream_stream_join_left_outer",
+    # Legacy r1 `no_oracle` keys — oracles added in r3, never re-swept
+    "ann_lsh_topk",
+    "multimodal_fake_features",
+    "agg_approx_count_distinct",
+    # Clustering / semantic dedup / retrieval (iterative + composed plans)
+    "cluster_kmeans_embeddings",
+    "corpus_semantic_dedup",
+    "corpus_rag_retrieval",
+    "ann_knn_label_eval",
+    # Dedup family not yet driver-sampled
+    "dedup_embedding_clusters",
+    "dedup_exact_substring_spans",
+    "dedup_bloom_incremental",
+    "dedup_cross_source_leak",
+    "dedup_ngram_containment",
+    "dq_contamination_ngram_overlap",
+    # Embedding maintenance
+    "embedding_normalize_quantize",
+    "embedding_dimension_stats",
+    "embedding_dimension_correlation",
+    # Corpus governance
+    "text_pii_redaction",
+    "corpus_train_val_test_split",
+    "corpus_mixture_weighted_sample",
+    "corpus_reservoir_per_group",
+    "corpus_dataset_card",
+    # Text / tokenization
+    "corpus_bpe_pair_counts",
+    "corpus_bpe_encode",
+    "text_pmi_bigrams",
+    "text_vocab_head_coverage",
+    "text_source_divergence",
+    "text_quality_classifier",
+    # Behavioral / event analytics
+    "events_sessionize_gap_chunked",
+    "events_ewma_hourly",
+    "events_markov_transition",
+    # Sketch aggregates
+    "agg_hll_sketch_mergeable",
+    "agg_approx_percentile",
+    "agg_mode_deterministic",
+    # Streaming twins / CDC egress
+    "stream_user_running_state_stateful",
+    "stream_static_enrichment",
+    "cdc_envelope_encode_roundtrip",
+    # Layout / UDF surface
+    "layout_zorder_cells",
+    "udf_map_in_arrow",
 )
 
 

@@ -815,8 +815,12 @@ def cdc_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes [[cdc_scd2_history]]'s versioned output (validity
     intervals over the changelog offset axis) with an interval
     predicate: ``valid_from < as_of <= coalesce(valid_to, ∞)`` matches
-    each probe to EXACTLY the predecessor version, because a key's
-    intervals tile its offset axis disjointly.
+    each probe to AT MOST the predecessor version.  A key's intervals
+    are disjoint but do NOT tile the axis: a delete ('error' event)
+    closes the open interval without opening a new one, so probes that
+    land in the gap after a delete match NOTHING — delete-closes-state
+    is the contract (standard SCD2 reading; pinned by
+    tests/test_cdc_properties.py::test_point_in_time_purchase_after_delete_sees_nothing).
 
     Scale shape: the join is EQUI on the user key with the interval as
     a residual — hash-joinable, so the planner picks broadcast while a

@@ -65,7 +65,7 @@ def spark_replay(spark, events, n_batches):
     return {r["id"]: r["name"] for r in state.collect()}
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(events=events_strategy, n_batches=st.integers(min_value=1, max_value=3))
 def test_lastwrite_replay_equivalence(spark, events, n_batches):
     assert spark_replay(spark, events, n_batches) == oracle_replay(events)
@@ -123,7 +123,7 @@ composite_events_strategy = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(events=composite_events_strategy, n_batches=st.integers(min_value=1, max_value=3))
 def test_lastwrite_replay_equivalence_composite_pk(spark, events, n_batches):
     """The multi-column-PK contract (pk.<table>=a,b grammar): compaction
@@ -155,7 +155,7 @@ roundtrip_rows = st.lists(
 )
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=15, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(rows=roundtrip_rows, wrap=st.booleans())
 def test_encode_decode_roundtrip_property(spark, rows, wrap):
     """encode_envelope → decode_envelope is the identity on change
@@ -209,25 +209,29 @@ def test_encode_decode_roundtrip_property(spark, rows, wrap):
     assert got == want
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
-@given(
-    seqs=st.lists(
-        st.tuples(
-            st.integers(min_value=0, max_value=3),  # user
-            st.sampled_from(["purchase", "click", "view", "error"]),
-        ),
-        min_size=1,
-        max_size=25,
-    )
-)
-def test_point_in_time_join_matches_predecessor_scan(spark, tmp_path_factory, seqs):
-    """For ANY event sequence, cdc_scd2_point_in_time_join must pair
-    every purchase with EXACTLY its user's latest preceding non-error
-    version — the boundary semantics (valid_from < as_of <=
-    coalesce(valid_to, inf)) checked against a single-threaded scan."""
-    import datetime
+def _point_in_time_oracle(rows):
+    """Single-threaded reference for cdc_scd2_point_in_time_join under
+    DELETE-CLOSES-STATE semantics (the engine/oracle contract):
+    'error' events are deletes that close the open SCD2 interval, so a
+    purchase matches its user's IMMEDIATELY preceding event — of any
+    type — and only if that event is non-error.  An intervening delete
+    creates a gap in the validity axis: purchase-after-delete ⇒ no row."""
+    expected = {}
+    by_user_all: dict[int, list] = {}
+    for eid, _ts, user, etype, value, _props in rows:
+        by_user_all.setdefault(user, []).append((eid, etype, value))
+    for eid, _ts, user, etype, value, _props in rows:
+        if etype != "purchase":
+            continue
+        prior = [t for t in by_user_all.get(user, []) if t[0] < eid]
+        if prior and prior[-1][1] != "error":
+            pe, _pt, pv = prior[-1]
+            expected[(user, eid)] = (round(pv, 2), pe)
+    return expected
 
-    import pyspark.sql.functions as F  # noqa: F401
+
+def _point_in_time_run(spark, tmp_path_factory, seqs):
+    import datetime
 
     from mysql_postgres_debezium_cdc_spark.registry import all_queries
 
@@ -246,20 +250,45 @@ def test_point_in_time_join_matches_predecessor_scan(spark, tmp_path_factory, se
         (r["user_id"], r["as_of"]): (r["prev_v"], r["prev_valid_from"])
         for r in all_queries()["cdc_scd2_point_in_time_join"].fn(spark, str(base)).collect()
     }
+    return got, _point_in_time_oracle(rows)
 
-    # single-threaded oracle: per user, versions are non-error events in
-    # event_id order; a purchase probes the latest version strictly
-    # before its own event_id.
-    expected = {}
-    by_user: dict[int, list] = {}
-    for eid, _ts, user, etype, value, _props in rows:
-        if etype != "error":
-            by_user.setdefault(user, []).append((eid, value))
-    for eid, _ts, user, etype, value, _props in rows:
-        if etype != "purchase":
-            continue
-        prior = [(e, v) for e, v in by_user.get(user, []) if e < eid]
-        if prior:
-            pe, pv = prior[-1]
-            expected[(user, eid)] = (round(pv, 2), pe)
+
+@settings(
+    max_examples=12, deadline=None, derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    seqs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.sampled_from(["purchase", "click", "view", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_point_in_time_join_matches_predecessor_scan(spark, tmp_path_factory, seqs):
+    """For ANY event sequence (deletes interleaved), the temporal join
+    must equal the single-threaded delete-aware scan."""
+    got, expected = _point_in_time_run(spark, tmp_path_factory, seqs)
     assert got == expected
+
+
+def test_point_in_time_purchase_after_delete_sees_nothing(spark, tmp_path_factory):
+    """Pinned regression (found by Hypothesis in r4): a purchase whose
+    user's state was deleted by an intervening 'error' event matches NO
+    version — delete closes the interval, leaving a gap, per the SCD2
+    contract the engine and its DuckDB oracle both implement."""
+    seqs = [(0, "purchase"), (0, "error"), (0, "purchase")]
+    got, expected = _point_in_time_run(spark, tmp_path_factory, seqs)
+    assert expected == {}  # the oracle itself must model the gap
+    assert got == {}
+
+
+def test_point_in_time_reopen_after_delete(spark, tmp_path_factory):
+    """After a delete, a NEW version re-opens state: purchase at t4 sees
+    the click at t3, not the pre-delete purchase at t0."""
+    seqs = [(0, "purchase"), (0, "error"), (0, "click"), (0, "purchase")]
+    got, expected = _point_in_time_run(spark, tmp_path_factory, seqs)
+    assert got == expected
+    assert got == {(0, 3): (2.25, 2)}
