@@ -990,6 +990,7 @@ _PIPE_FILTER = "lang IN ('en', 'de') AND n_chars >= 80"
 
 @register(
     "corpus_near_dedup_pipeline",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE pairs AS ({_cc_pairs_sql(f" WHERE {_PIPE_FILTER}")}),
     edges AS (
@@ -1086,9 +1087,19 @@ def corpus_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_PAIRS_SQL = f"""
       WITH {LSH_SIGS_SQL},
+      ranked AS (
+        SELECT vec_id, t, sig,
+               ROW_NUMBER() OVER (PARTITION BY t, sig ORDER BY vec_id) AS rk
+        FROM sigs
+      ),
+      kept AS (
+        -- mirror of the engine default max_bucket_width (see
+        -- dedup_embedding_lsh, which this pipeline composes)
+        SELECT vec_id, t, sig FROM ranked WHERE rk <= {EMB_LSH_DEFAULT_BUCKET_WIDTH}
+      ),
       cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+        FROM kept a JOIN kept b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
       ),
       scored AS (
         SELECT c.vec_a, c.vec_b,

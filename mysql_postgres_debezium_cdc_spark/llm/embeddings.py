@@ -127,7 +127,6 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORR_TOP_N = 20
-_EMB_DIM = 64
 
 
 @register(
@@ -181,11 +180,16 @@ def embedding_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFra
     as [[embedding_dimension_stats]]."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # Pair indices derive from EACH ROW's actual array length — the
+    # oracle's LEN(embedding) — so a fixture dimension drift changes
+    # both engines identically instead of silently nulling F.get past
+    # the hardcoded bound (ADVICE r4).
+    dim = F.size(F.col("embedding"))
     pair_arr = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.lit(_EMB_DIM - 2)),
+            F.sequence(F.lit(0), dim - 2),
             lambda i: F.transform(
-                F.sequence(i + 1, F.lit(_EMB_DIM - 1)),
+                F.sequence(i + 1, dim - 1),
                 lambda j: F.struct(
                     i.alias("i"),
                     j.alias("j"),

@@ -659,8 +659,11 @@ PQ_K = 8  # codewords per subvector
 PQ_BASE = 200  # vec_id range [PQ_BASE, PQ_BASE + PQ_K) donates the codebooks
 PQ_RERANK = 32  # ADC shortlist depth fed to exact re-ranking
 
-# sf_dir -> {j: 64-dim double list}: frozen codebook donors per corpus.
-_PQ_CODEBOOK_CACHE: dict[str, dict[int, list]] = {}
+# (sf_dir, fixture fingerprint) -> {j: 64-dim double list}: frozen codebook
+# donors per corpus VERSION — the same fingerprint key materialize_once
+# uses, so a regenerated embeddings fixture gets a fresh codebook instead
+# of silently encoding with a stale one (ADVICE r4).
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], dict[int, list]] = {}
 
 _FOLD_ADD = "(acc, x) -> acc + x"
 
@@ -825,10 +828,15 @@ def ann_ivfpq_topk(
     )
 
     # --- codebook: collect PQ_K donor vectors, slice into M×K subvectors.
-    # Cached per corpus: a PQ codebook is trained/frozen once and shipped
-    # with the index — re-collecting it on every plan build would add a
-    # Spark job per query for a constant 512-double artifact.
-    donors = _PQ_CODEBOOK_CACHE.get(sf_dir)
+    # Cached per corpus VERSION: a PQ codebook is trained/frozen once and
+    # shipped with the index — re-collecting it on every plan build would
+    # add a Spark job per query for a constant 512-double artifact — but
+    # the key includes the fixture fingerprint so a regenerated parquet
+    # invalidates the entry (same versioning materialize_once uses).
+    from mysql_postgres_debezium_cdc_spark.scratch import fixture_fingerprint
+
+    cache_key = (sf_dir, fixture_fingerprint(sf_dir))
+    donors = _PQ_CODEBOOK_CACHE.get(cache_key)
     if donors is None:
         donors = {
             int(r["vec_id"]) - PQ_BASE: list(r["emb"])
@@ -845,7 +853,7 @@ def ann_ivfpq_topk(
                 f"found {sorted(donors)} — a real deployment loads a "
                 f"TRAINED codebook artifact here instead"
             )
-        _PQ_CODEBOOK_CACHE[sf_dir] = donors
+        _PQ_CODEBOOK_CACHE[cache_key] = donors
     # cw[m][j] = 8-dim codeword; selfdot via the same left fold both
     # engines run (ordered IEEE double adds from 0.0).
     cw = [[donors[j][m * PQ_D : (m + 1) * PQ_D] for j in range(PQ_K)] for m in range(PQ_M)]

@@ -1677,32 +1677,37 @@ def corpus_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     word counts, never re-touching documents.  Per round:
 
     - pair counts partial-aggregate map-side (symbol-pair keyspace);
-    - the argmax is a 1-row relation CROSS-JOINED back (no driver
-      collect — the learned pair stays plan-side, and `F.replace` takes
-      COLUMN patterns, so the merge application is built from it);
+    - the argmax lands at the driver as ONE row per round — the merge
+      table IS the tokenizer artifact (K·bytes, the thing you ship),
+      so materializing it is a bounds-probe-class collect, and it cuts
+      the lineage that would otherwise pin every generation;
     - the merge applies via the boundary-safe double-space REPLACE
       device proven in [[corpus_bpe_encode]];
-    - the word relation persists per round (lineage cut — two consumers
-      per round would otherwise double the recompute each iteration,
-      the [[dedup_connected_components]] lesson).
+    - the word relation persists per round, and the SUPERSEDED
+      generation unpersists as soon as its successor materializes —
+      the trainer holds ≤2 cached generations for ANY K (pinned by
+      tests/test_iterative_memory.py), where the r4 lazy-plan variant
+      held all K.
 
     Training is within-word (original BPE), so merges never cross word
     boundaries; ties break to the lexicographically smallest pair in
     both engines.  The unrolled-CTE oracle value-checks all K learned
     (pair, count) rows — actual distributed tokenizer training under
     the same gate as every other query."""
-    rounds, _final = _bpe_train_states(spark, sf_dir)
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("merge_rank")
+    merges, _final = _bpe_train_states(spark, sf_dir, need_final=False)
+    return merges.orderBy("merge_rank")
 
 
-def _bpe_train_states(spark: SparkSession, sf_dir: str):
-    """Run the K-round trainer; return (per-round best rows, final word
-    states) — shared by corpus_bpe_train_merges (the merge table) and
+def _bpe_train_states(spark: SparkSession, sf_dir: str, need_final: bool = True):
+    """Run the K-round trainer; return (merge table, final word states)
+    — shared by corpus_bpe_train_merges (the merge table) and
     corpus_bpe_train_and_encode (corpus statistics under the learned
-    vocabulary)."""
+    vocabulary, ``need_final=True`` keeps the last generation cached
+    for that consumer; ``need_final=False`` releases everything).
+
+    Memory contract: at most TWO word-state generations are persisted
+    at any instant — each round's argmax action materializes the
+    current generation, after which its predecessor unpersists."""
     d = spread_small_scan(load(spark, sf_dir, "documents"))
     w = F.explode(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)).alias("word")
     cur = (
@@ -1715,7 +1720,8 @@ def _bpe_train_states(spark: SparkSession, sf_dir: str):
         )
         .persist()
     )
-    rounds = []
+    prev = None
+    merges: list[tuple[int, str, str, int]] = []
     for k in range(BPE_TRAIN_MERGES):
         s = F.filter(F.split("state", "  "), lambda t: F.length(t) > 0)
         pair_arr = F.when(
@@ -1732,34 +1738,42 @@ def _bpe_train_states(spark: SparkSession, sf_dir: str):
         )
         # argmax via global-sort LIMIT 1: TakeOrderedAndProject keeps a
         # 1-row heap per partition + a 1-row merge — no single-partition
-        # WindowExec even on a huge pair keyspace.
-        best = pc.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
-        rounds.append(
-            best.select(
-                F.lit(k + 1).alias("merge_rank"),
-                F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("merge_left"),
-                F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("merge_right"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        pat = F.concat(
-            F.lit(" "),
-            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)),
-            F.lit("  "),
-            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)),
-            F.lit(" "),
-        )
-        rep = F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" "))
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("pair")))
-            .select(
-                "word",
-                "wcount",
-                F.replace(F.col("state"), pat, rep).alias("state"),
-            )
-            .persist()
-        )
-    return rounds, cur
+        # WindowExec even on a huge pair keyspace.  The collect is the
+        # round's action: it materializes `cur` into cache, so the
+        # predecessor generation can be released RIGHT HERE.
+        top = pc.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if prev is not None:
+            prev.unpersist()
+        if not top:
+            break  # pair space exhausted (degenerate corpus); oracle
+            # rounds past exhaustion contribute zero rows too.
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        left, _, right = pair.partition(" ")
+        merges.append((k + 1, left, right, cnt))
+        prev = cur
+        cur = cur.select(
+            "word",
+            "wcount",
+            F.replace(
+                F.col("state"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ).alias("state"),
+        ).persist()
+    merges_df = spark.createDataFrame(
+        merges,
+        "merge_rank int, merge_left string, merge_right string, pair_count bigint",
+    )
+    if need_final:
+        cur.count()  # materialize the final generation, THEN release its
+        # predecessor — the consumer reads the cache, not the lineage.
+        if prev is not None:
+            prev.unpersist()
+    else:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
+    return merges_df, cur
 
 
 def _bpe_train_encode_oracle(k_iters: int) -> str:
@@ -1794,6 +1808,7 @@ def _bpe_train_encode_oracle(k_iters: int) -> str:
 
 @register(
     "corpus_bpe_train_and_encode",
+    bench=True,
     oracle=_bpe_train_encode_oracle(BPE_TRAIN_MERGES),
     tags=("llm", "text", "bpe", "train"),
 )
@@ -1816,7 +1831,7 @@ def corpus_bpe_train_and_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol once per containing word, so the distinct-count relation is
     (words × avg-symbols) — vocabulary-sized, not corpus-sized, and the
     COUNT(DISTINCT) shuffles symbols once."""
-    _rounds, final = _bpe_train_states(spark, sf_dir)
+    _merges, final = _bpe_train_states(spark, sf_dir)
     s = F.filter(F.split("state", "  "), lambda t: F.length(t) > 0)
     per_word = final.select(
         "wcount",

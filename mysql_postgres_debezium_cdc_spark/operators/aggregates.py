@@ -563,6 +563,7 @@ def _mg_candidates(batches):
 
 @register(
     "agg_heavy_hitters_mg",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS token FROM documents

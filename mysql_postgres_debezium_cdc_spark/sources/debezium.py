@@ -113,8 +113,10 @@ def decode_envelope(
     # and an op that neither materializes nor surfaces anywhere would be
     # silent data loss — the poison-record channel is exactly where an
     # operator should see "this stream contains operations I don't
-    # apply" (the reference's switch has no default case and drops them
-    # silently, Consumer.java:168-183; we keep the stronger contract).
+    # apply".  The reference's switch DOES have a default case: it logs
+    # "Unknown op" at WARN and skips the record (Consumer.java:183-184);
+    # surfacing the record as a queryable dead-letter ROW instead of a
+    # log line is this framework's strengthening of that contract.
     is_tombstone = F.col(value_col).isNull() | (F.trim(F.col(value_col)) == "")
     return (
         out.withColumn("_tombstone", is_tombstone)

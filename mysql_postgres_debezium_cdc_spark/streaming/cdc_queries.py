@@ -453,6 +453,7 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     step = (max_id + n_batches) // n_batches
 
     keyed_state: DataFrame | None = None  # id -> v (surviving rows)
+    prev_states: list[DataFrame] = []  # the epoch pair to release next
     agg_state: DataFrame | None = None  # grp -> n_rows, sum_v
     for b in range(n_batches):
         raw = _events_changelog(spark, sf_dir, b * step, (b + 1) * step)
@@ -512,11 +513,22 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
                     ).alias("sum_v"),
                 )
             )
-        # Checkpoint both states so each loop iteration's lineage stays
-        # one-batch deep (a streaming job would persist these per epoch).
-        agg_state = agg_state.localCheckpoint(eager=False)
+        # Persist both states per epoch and RELEASE the superseded
+        # epoch's pair once the new one materializes (streaming state
+        # stores version exactly this way) — the loop holds ≤2 epochs
+        # of state at any instant (tests/test_iterative_memory.py),
+        # where the r4 lazy-checkpoint variant pinned every epoch.
+        agg_state = agg_state.persist()
         keyed_state = apply_changes(keyed_state, compact(events, ["id"]), ["id"], ["v"])
-        keyed_state = keyed_state.localCheckpoint(eager=False)
+        keyed_state = keyed_state.persist()
+        agg_state.count()
+        keyed_state.count()
+        for superseded in prev_states:
+            superseded.unpersist()
+        prev_states = [agg_state, keyed_state]
+    # The returned plan reads only the FINAL agg_state (cached above);
+    # the final keyed replica fed nothing downstream — release it now.
+    keyed_state.unpersist()
     return (
         agg_state.where(F.col("n_rows") > 0)
         .select(

@@ -432,9 +432,10 @@ def test_state_sink_time_travel_and_retention(spark, tmp_path):
 def test_unsupported_op_is_dead_lettered_not_dropped(spark):
     """A parseable envelope with op='t' (Debezium TRUNCATE) must land in
     the dead-letter channel — neither applied (with_change_columns
-    filters to c/r/u/d) nor silently vanished (the reference's switch
-    drops unknown ops with no trace, Consumer.java:168-183; we keep the
-    stronger contract)."""
+    filters to c/r/u/d) nor reduced to a log line (the reference's
+    switch default logs 'Unknown op' at WARN and skips the record,
+    Consumer.java:183-184; this framework surfaces it as a queryable
+    dead-letter row instead)."""
     import json
 
     import pyspark.sql.functions as F
