@@ -1158,6 +1158,64 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_EMB_PAIRS_SQL})
+    SELECT e1.vec_a AS vec_a, e1.vec_b AS vec_b, e2.vec_b AS vec_c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.vec_a = e1.vec_b
+    JOIN pairs e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+    ORDER BY vec_a, vec_b, vec_c
+    """,
+    tags=("graph", "dedup", "embedding"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the embedding near-dup graph — the
+    density diagnostic next to [[dedup_embedding_clusters]]: a
+    connected component that is also triangle-rich is a genuine
+    duplicate FAMILY (pairwise-similar), while a triangle-free chain
+    is transitive drift (a~b~c with a≁c), which near-dedup canonical
+    selection treats very differently.
+
+    Algorithm: the standard oriented 2-path join.  Edges arrive
+    id-oriented (vec_a < vec_b from the LSH pair generator), so every
+    triangle a<b<c is counted exactly once as (a,b)⋈(b,c)⋈(a,c) —
+    two equi-joins, no direction dedup pass.
+
+    Scale shape: both joins are equi hash joins on vertex keys; the
+    2-path relation is Σ deg⁺(v)² — the quantity the id orientation
+    plus the composed LSH bucket cap (EMB_LSH_DEFAULT_BUCKET_WIDTH,
+    see [[dedup_embedding_lsh]]) keeps bounded.  On power-law graphs
+    the refinement is DEGREE orientation (each edge points to the
+    higher-degree endpoint, making deg⁺ ≤ √|E| — one extra degree
+    aggregate + join to rewrite edge direction); the fixture graph is
+    cap-bounded already, so this implementation keeps the cheaper id
+    orientation and documents the lever."""
+    # The edge relation feeds THREE join legs; Catalyst does not dedupe
+    # common subtrees, so an eager lineage-cut materializes the LSH
+    # pipeline once (ContextCleaner reclaims the checkpoint when the
+    # plan is released — no persist to leak across queries).
+    pairs = (
+        dedup_embedding_lsh(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    e2 = pairs.select(F.col("vec_a").alias("b"), F.col("vec_b").alias("c"))
+    e3 = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.col("a").alias("vec_a"),
+            F.col("b").alias("vec_b"),
+            F.col("c").alias("vec_c"),
+        )
+        .orderBy("vec_a", "vec_b", "vec_c")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring dedup: cross-document repeated k-gram spans.
 # ---------------------------------------------------------------------------
@@ -1250,6 +1308,100 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             "n_dup_grams",
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 4).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style boilerplate-line profile: corpus-frequency of content lines.
+# ---------------------------------------------------------------------------
+
+BOILER_LINE_W = 4  # tokens per pseudo-line (production: split on '\n')
+BOILER_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
+
+
+@register(
+    "dedup_boilerplate_lines",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(
+               toks[(1 + i * {BOILER_LINE_W}):((i + 1) * {BOILER_LINE_W})], ' '
+             ) AS line
+      FROM d, LATERAL (
+        SELECT UNNEST(RANGE(0,
+          CAST(CEIL(n / {BOILER_LINE_W}.0) AS BIGINT))) AS i)
+    ),
+    ldf AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (f.df >= {BOILER_MIN_DOCS}) AS BIGINT)
+             AS n_boiler_lines,
+           ROUND(COUNT(*) FILTER (f.df >= {BOILER_MIN_DOCS}) * 1.0
+                 / COUNT(*), 4) AS boiler_ratio
+    FROM lines l JOIN ldf f ON f.line = l.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    tags=("llm", "dedup", "boilerplate"),
+)
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate profile: segment every document into
+    content lines, compute each line's corpus document-frequency, and
+    report per document how much of it is boilerplate (lines shared by
+    ≥ BOILER_MIN_DOCS distinct documents) — headers, navigation, and
+    license blurbs are removed at LINE granularity in web-corpus
+    curation, an axis neither whole-doc MinHash ([[dedup_minhash_lsh]])
+    nor span dedup ([[dedup_exact_substring_spans]], which needs the
+    span VERBATIM in another doc at k-gram alignment) covers.  The
+    fixture corpus has no newlines, so a line is a deterministic
+    BOILER_LINE_W-token segmentation — in production the segmentation
+    parameter is ``split('\\n')`` and nothing else changes.
+
+    Scale shape: the line stream is a narrow generate (one corpus
+    pass); line document-frequency is a map-side-combining groupBy on
+    the line key (the inverted-index shape every dedup op here uses);
+    the flag join is equi on the line key (AQE broadcasts the df
+    relation at fixture scale; at corpus scale it sort-merges, already
+    hash-partitioned by the aggregate that produced it); the per-doc
+    rollup shuffles doc keys once.  No relation exceeds
+    O(distinct lines) ≈ corpus/W."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n_lines = F.ceil(F.col("n") / F.lit(float(BOILER_LINE_W)))
+    lines = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("toks"), F.lit(1) + F.col("i") * BOILER_LINE_W, BOILER_LINE_W),
+        ).alias("line"),
+    )
+    ldf = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = F.col("df") >= BOILER_MIN_DOCS
+    return (
+        lines.join(ldf, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(boiler, 1).otherwise(0)).cast("bigint").alias("n_boiler_lines"),
+            F.round(
+                F.sum(F.when(boiler, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("boiler_ratio"),
         )
         .orderBy("doc_id")
     )

@@ -649,6 +649,197 @@ def corpus_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + dense retrievers fused by reciprocal rank.
+# ---------------------------------------------------------------------------
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+RRF_POOL = 10  # candidate depth taken from each retriever
+RRF_TOPK = 5  # fused results reported per query
+
+
+@register(
+    "rag_rrf_fusion",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    terms AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(toks)) AS tok FROM d
+    ),
+    qterms AS (
+      SELECT doc_id AS q_doc, tok FROM terms
+      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM}
+    ),
+    lex AS (
+      SELECT q.q_doc, t.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM qterms q JOIN terms t ON t.tok = q.tok AND t.doc_id <> q.q_doc
+      GROUP BY 1, 2
+    ),
+    lex_rk AS (
+      SELECT q_doc, doc_id, ROW_NUMBER() OVER (
+        PARTITION BY q_doc ORDER BY overlap DESC, doc_id) AS r
+      FROM lex QUALIFY r <= {RRF_POOL}
+    ),
+    dims AS (
+      SELECT doc_id, {_horner_sql('tok')} % {RAG_DIMS} AS dim, COUNT(*) AS cnt
+      FROM d, UNNEST(toks) AS u(tok)
+      GROUP BY 1, 2
+    ),
+    nrm AS (
+      SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS n2 FROM dims GROUP BY 1
+    ),
+    qdims AS (
+      SELECT doc_id AS q_doc, dim, cnt FROM dims
+      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM}
+    ),
+    dots AS (
+      SELECT q.q_doc, c.doc_id, CAST(SUM(q.cnt * c.cnt) AS BIGINT) AS dot
+      FROM qdims q JOIN dims c ON c.dim = q.dim AND c.doc_id <> q.q_doc
+      GROUP BY 1, 2
+    ),
+    dense_rk AS (
+      SELECT q_doc, doc_id, ROW_NUMBER() OVER (
+        PARTITION BY q_doc ORDER BY cs DESC, doc_id) AS r
+      FROM (
+        SELECT d.q_doc, d.doc_id,
+               CAST(d.dot AS DOUBLE)
+                 / (SQRT(CAST(qn.n2 AS DOUBLE)) * SQRT(CAST(cn.n2 AS DOUBLE)))
+                 AS cs
+        FROM dots d
+        JOIN nrm qn ON qn.doc_id = d.q_doc
+        JOIN nrm cn ON cn.doc_id = d.doc_id
+      ) QUALIFY r <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_doc, de.q_doc) AS q_doc,
+             COALESCE(l.doc_id, de.doc_id) AS hit_doc,
+             l.r AS lex_rank, de.r AS dense_rank,
+             COALESCE(1.0 / ({RRF_C} + l.r), 0.0)
+               + COALESCE(1.0 / ({RRF_C} + de.r), 0.0) AS score
+      FROM lex_rk l
+      FULL OUTER JOIN dense_rk de
+        ON de.q_doc = l.q_doc AND de.doc_id = l.doc_id
+    )
+    SELECT q_doc, rk, hit_doc, lex_rank, dense_rank,
+           ROUND(score, 6) AS rrf_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_doc ORDER BY score DESC, hit_doc) AS rk
+      FROM fused
+    )
+    WHERE rk <= {RRF_TOPK}
+    ORDER BY q_doc, rk
+    """,
+    tags=("llm", "similarity", "rag", "fusion"),
+)
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a LEXICAL retriever
+    (distinct-term overlap via an inverted index — the BM25 shape with
+    integer scores, so ranks are exactly deterministic) and a DENSE
+    retriever (hashing-trick document vectors, cosine — the
+    [[corpus_rag_retrieval]] encoder at document granularity) each
+    contribute their top-RRF_POOL per query; candidates fuse by
+    Σ 1/(60 + rank) over the retrievers that returned them (Cormack et
+    al.'s RRF, the standard hybrid-search combiner), top-RRF_TOPK
+    reported.  Null lex_rank/dense_rank in the output shows WHICH
+    retriever found each hit — exactly the audit a hybrid index needs.
+
+    Scale shape: the query cohort is a fixed fraction of a batch, so
+    every q-side relation broadcasts; both retrievers are inverted-
+    index equi-joins (term / hash-dim key) whose corpus side streams
+    with map-side-combining aggregation; per-query top-P is
+    WindowGroupLimit-pruned; fusion itself runs on ≤ 2·RRF_POOL rows
+    per query.  Float parity: ranks are integers, fusion scores are
+    sums of two exactly-rounded rationals computed in identical
+    expression order — deterministic across engines without rounding
+    tricks (output rounds 6dp for presentation only)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks"))
+    is_q = F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM
+
+    terms = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    qterms = terms.where(is_q).select(F.col("doc_id").alias("q_doc"), "tok")
+    lex = (
+        terms.join(F.broadcast(qterms), "tok")
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    lw = Window.partitionBy("q_doc").orderBy(F.desc("overlap"), F.asc("doc_id"))
+    lex_rk = (
+        lex.withColumn("lex_rank", F.row_number().over(lw).cast("bigint"))
+        .where(F.col("lex_rank") <= RRF_POOL)
+        .select("q_doc", "doc_id", "lex_rank")
+    )
+
+    def horner(tok):
+        return F.aggregate(
+            F.filter(F.split(tok, ""), lambda c: F.length(c) > 0),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % _RAG_PRIME,
+        )
+
+    dims = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nrm = dims.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
+    )
+    qdims = dims.where(is_q).select(
+        F.col("doc_id").alias("q_doc"), "dim", F.col("cnt").alias("qcnt")
+    )
+    qnrm = nrm.where(is_q).select(F.col("doc_id").alias("q_doc"), F.col("n2").alias("qn2"))
+    dots = (
+        dims.join(F.broadcast(qdims), "dim")
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", "doc_id")
+        .agg(F.sum(F.col("qcnt") * F.col("cnt")).cast("bigint").alias("dot"))
+    )
+    cs = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    dw = Window.partitionBy("q_doc").orderBy(F.desc("cs"), F.asc("doc_id"))
+    dense_rk = (
+        dots.join(F.broadcast(qnrm), "q_doc")
+        .join(nrm, "doc_id")
+        .withColumn("cs", cs)
+        .withColumn("dense_rank", F.row_number().over(dw).cast("bigint"))
+        .where(F.col("dense_rank") <= RRF_POOL)
+        .select("q_doc", "doc_id", "dense_rank")
+    )
+
+    fused = (
+        lex_rk.join(dense_rk, ["q_doc", "doc_id"], "full_outer")
+        .select(
+            "q_doc",
+            F.col("doc_id").alias("hit_doc"),
+            "lex_rank",
+            "dense_rank",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_C) + F.col("dense_rank")), F.lit(0.0)
+                )
+            ).alias("score"),
+        )
+    )
+    fw = Window.partitionBy("q_doc").orderBy(F.desc("score"), F.asc("hit_doc"))
+    return (
+        fused.withColumn("rk", F.row_number().over(fw).cast("bigint"))
+        .where(F.col("rk") <= RRF_TOPK)
+        .select(
+            "q_doc", "rk", "hit_doc", "lex_rank", "dense_rank",
+            F.round("score", 6).alias("rrf_score"),
+        )
+        .orderBy("q_doc", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ: product-quantized ADC scoring inside probed coarse cells, then
 # exact re-rank of the shortlist — the faiss-style index layout at 100 TB.
 # ---------------------------------------------------------------------------

@@ -105,6 +105,121 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_DISTINCT_RATIO = 0.5
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS n_words,
+             LIST_REDUCE(LIST_PREPEND(0, [LENGTH(t) FOR t IN toks]),
+                         (a, b) -> a + b) * 1.0 / LEN(toks) AS mwl,
+             LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks) AS dr,
+             CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+                                     [{_GOPHER_STOP_SQL}])) AS BIGINT) AS n_stop
+      FROM d
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 3) AS mean_word_len,
+           ROUND(dr, 4) AS distinct_ratio,
+           n_stop AS n_stopwords,
+           CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                THEN 1 ELSE 0 END AS pass_word_count,
+           CASE WHEN mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                THEN 1 ELSE 0 END AS pass_mean_len,
+           CASE WHEN n_stop >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END
+             AS pass_stopwords,
+           CASE WHEN dr >= {GOPHER_MIN_DISTINCT_RATIO} THEN 1 ELSE 0 END
+             AS pass_repetition,
+           CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                 AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                 AND dr >= {GOPHER_MIN_DISTINCT_RATIO}
+                THEN 1 ELSE 0 END AS pass_overall
+    FROM m
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "gopher"),
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery (Rae et al. 2021 §A1.1, adapted to the
+    fixture's token soup): word-count window, mean-word-length window,
+    minimum distinct-stopword presence, and a repetition gate
+    (distinct-token ratio), each reported as its OWN flag plus the
+    conjunction — a curation pipeline tunes and audits rules
+    individually, which single-score gates ([[text_quality_score]])
+    cannot support.  Rules the fixture cannot exercise (symbol-to-word
+    ratio, bullet/ellipsis line fractions — the corpus has no symbols
+    or line structure) are omitted rather than vacuously computed.
+
+    Scale shape: one narrow pass — every metric is a per-row array
+    fold (JVM higher-order functions, no explode, no shuffle); the
+    output is corpus-sized with a sort for presentation only.  Rule
+    thresholds compare UNROUNDED doubles that both engines derive from
+    integers via one exactly-rounded division, so the flags are
+    deterministic; only the reported metrics round (3/4dp)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks"))
+    n_words = F.size(F.col("toks")).cast("bigint")
+    mwl = (
+        F.aggregate(
+            F.transform(F.col("toks"), F.length),
+            F.lit(0),
+            lambda a, b: a + b,
+        )
+        * F.lit(1.0)
+        / F.size(F.col("toks"))
+    )
+    dr = F.size(F.array_distinct(F.col("toks"))) * F.lit(1.0) / F.size(F.col("toks"))
+    n_stop = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("toks")),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        )
+        .cast("bigint")
+    )
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        dr.alias("dr"),
+        n_stop.alias("n_stop"),
+    )
+    p_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    p_ml = F.col("mwl").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+    p_st = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    p_rep = F.col("dr") >= GOPHER_MIN_DISTINCT_RATIO
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("mwl"), 3).alias("mean_word_len"),
+        F.round(F.col("dr"), 4).alias("distinct_ratio"),
+        F.col("n_stop").alias("n_stopwords"),
+        flag(p_wc).alias("pass_word_count"),
+        flag(p_ml).alias("pass_mean_len"),
+        flag(p_st).alias("pass_stopwords"),
+        flag(p_rep).alias("pass_repetition"),
+        flag(p_wc & p_ml & p_st & p_rep).alias("pass_overall"),
+    ).orderBy("doc_id")
+
+
 def _lang_score_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
     return (

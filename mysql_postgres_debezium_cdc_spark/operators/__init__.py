@@ -4,6 +4,7 @@ from mysql_postgres_debezium_cdc_spark.operators import (  # noqa: F401
     aggregates,
     behavioral,
     filters,
+    graphs,
     joins,
     pivots,
     setops,

@@ -71,6 +71,77 @@ def test_lastwrite_replay_equivalence(spark, events, n_batches):
     assert spark_replay(spark, events, n_batches) == oracle_replay(events)
 
 
+@st.composite
+def delivery_plans(draw):
+    """An at-least-once delivery of an event log: contiguous batch
+    ranges whose ends advance monotonically to the head, where each
+    restart may REWIND into already-applied offsets (a consumer-group
+    restart re-reads from the last committed offset), rows arrive in
+    arbitrary order WITHIN a batch (a batch is an unordered relation),
+    and some rows are duplicated inside their batch (broker
+    redelivery).  This is exactly the delivery model Kafka guarantees —
+    per-key order only via contiguous re-reads — so last-write-wins
+    must converge to the in-order replay under ALL such plans."""
+    events = draw(st.lists(
+        st.tuples(
+            st.sampled_from(["c", "u", "r", "d"]),
+            st.integers(min_value=0, max_value=4),
+            st.text(alphabet="abc", min_size=0, max_size=3),
+        ),
+        min_size=1,
+        max_size=20,
+    ))
+    n = len(events)
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    ends = sorted(
+        draw(st.lists(st.integers(1, n), min_size=n_cuts, max_size=n_cuts))
+    ) + [n]
+    rewinds = [draw(st.integers(0, 3)) for _ in ends]
+    dup_picks = [draw(st.integers(0, 4)) for _ in ends]
+    shuffle_seed = draw(st.integers(0, 2**16))
+    return events, ends, rewinds, dup_picks, shuffle_seed
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(plan=delivery_plans())
+def test_replay_converges_under_rewind_shuffle_and_redelivery(spark, plan):
+    """Suffix-rewind + in-batch shuffle + duplicate rows: the replica
+    must still converge to the single-threaded in-order replay.  Pins
+    the at-least-once contract the reference inherits from its consumer
+    group (Consumer.java:122-127 + committed offsets): re-reads are
+    contiguous and in order, so batch-wins merge converges."""
+    import random
+
+    events, ends, rewinds, dup_picks, shuffle_seed = plan
+    rng = random.Random(shuffle_seed)
+    rows = []
+    for off, (op, key, name) in enumerate(events):
+        img = {"id": key, "name": name}
+        env = {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "source": {"db": "app", "table": "t", "ts_ms": 0},
+            "op": op,
+            "ts_ms": 0,
+        }
+        rows.append((json.dumps(env), off))
+    state = None
+    prev_end = 0
+    for end, rw, dup in zip(ends, rewinds, dup_picks):
+        start = max(0, prev_end - rw)
+        batch = rows[start:end]
+        prev_end = max(prev_end, end)
+        if not batch:
+            continue
+        batch = batch + [batch[dup % len(batch)]]  # broker redelivery
+        rng.shuffle(batch)  # a batch is an unordered relation
+        df = spark.createDataFrame(batch, "value string, offset long")
+        ev = with_change_columns(decode_envelope(df, ROW_SCHEMA))
+        state = apply_changes(state, compact(ev, ["id"]), ["id"], ["name"])
+    got = {r["id"]: r["name"] for r in state.collect()}
+    assert got == oracle_replay(events)
+
+
 COMPOSITE_ROW_SCHEMA = T.StructType(
     [
         T.StructField("okey", T.LongType()),
