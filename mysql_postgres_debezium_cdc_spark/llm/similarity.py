@@ -468,6 +468,13 @@ RAG_DIMS = 16  # hashing-trick vector width
 RAG_TOPK = 3
 RAG_QUERY_MOD = 100  # doc_id % RAG_QUERY_MOD == RAG_QUERY_REM selects queries
 RAG_QUERY_REM = 7
+# Hard cohort cap: queries are a FIXED-SIZE batch, not a fixed FRACTION
+# of the corpus.  Without it the q-side relation scales with the corpus
+# and retrieval cost goes quadratic — the r5 10x probe measured
+# rag_rrf_fusion at 158 s vs 7.7 s once the mod-rule cohort grew 10x
+# (PLANS.md).  The cap keeps every fixture's output byte-identical
+# (max doc_id at sf0.1 is 4999) while pinning cost linear in the corpus.
+RAG_QUERY_CAP = 5000
 _RAG_CHUNK_W = 64
 _RAG_CHUNK_S = 48
 _RAG_PRIME = 2147483647
@@ -513,7 +520,7 @@ def _horner_sql(var: str) -> str:
       SELECT doc_id AS q_doc, {_horner_sql('tok')} % {RAG_DIMS} AS dim,
              COUNT(*) AS cnt
       FROM d, UNNEST(toks) AS u(tok)
-      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM}
+      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM} AND doc_id < {RAG_QUERY_CAP}
       GROUP BY 1, 2
     ),
     qnorm AS (
@@ -600,11 +607,17 @@ def corpus_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_id", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
         .groupBy("doc_id", "chunk_id", "dim")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # two consumers (dot join + norms) over the expensive per-token
+        # Horner fold — materialize once, same device as rag_rrf_fusion
+        .localCheckpoint(eager=True)
     )
     cnorm = cdims.groupBy("doc_id", "chunk_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
     )
-    qd = base.where(F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM)
+    qd = base.where(
+        (F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM)
+        & (F.col("doc_id") < RAG_QUERY_CAP)
+    )
     qdims = (
         qd.select(F.col("doc_id").alias("q_doc"), F.explode("toks").alias("tok"))
         .select("q_doc", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
@@ -668,7 +681,7 @@ RRF_TOPK = 5  # fused results reported per query
     ),
     qterms AS (
       SELECT doc_id AS q_doc, tok FROM terms
-      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM}
+      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM} AND doc_id < {RAG_QUERY_CAP}
     ),
     lex AS (
       SELECT q.q_doc, t.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
@@ -690,7 +703,7 @@ RRF_TOPK = 5  # fused results reported per query
     ),
     qdims AS (
       SELECT doc_id AS q_doc, dim, cnt FROM dims
-      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM}
+      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM} AND doc_id < {RAG_QUERY_CAP}
     ),
     dots AS (
       SELECT q.q_doc, c.doc_id, CAST(SUM(q.cnt * c.cnt) AS BIGINT) AS dot
@@ -744,22 +757,37 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported.  Null lex_rank/dense_rank in the output shows WHICH
     retriever found each hit — exactly the audit a hybrid index needs.
 
-    Scale shape: the query cohort is a fixed fraction of a batch, so
-    every q-side relation broadcasts; both retrievers are inverted-
-    index equi-joins (term / hash-dim key) whose corpus side streams
-    with map-side-combining aggregation; per-query top-P is
-    WindowGroupLimit-pruned; fusion itself runs on ≤ 2·RRF_POOL rows
-    per query.  Float parity: ranks are integers, fusion scores are
+    Scale shape: the query cohort is a FIXED-SIZE batch (RAG_QUERY_CAP
+    — a cohort that scaled with the corpus would make all-pairs dense
+    scoring quadratic; the r5 10× probe measured it, PLANS.md), so
+    every q-side relation derives from a pushdown-filtered scan and
+    broadcasts; both retrievers are inverted-index equi-joins (term /
+    hash-dim key) whose corpus side streams with map-side-combining
+    aggregation, the hashed-vector relation materialized once for its
+    two consumers; per-query top-P is WindowGroupLimit-pruned; fusion
+    itself runs on ≤ 2·RRF_POOL rows per query.  Float parity: ranks
+    are integers, fusion scores are
     sums of two exactly-rounded rationals computed in identical
     expression order — deterministic across engines without rounding
     tricks (output rounds 6dp for presentation only)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     base = d.select("doc_id", toks.alias("toks"))
-    is_q = F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM
+    is_q = (F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM) & (
+        F.col("doc_id") < RAG_QUERY_CAP
+    )
+    # Every q-side relation derives from a SEPARATE filtered scan: the
+    # cohort predicate pushes down to parquet, so re-tokenizing the ≤50
+    # query docs is near-free — where filtering the corpus-side subtree
+    # instead would re-run the full tokenize/hash pipeline per consumer
+    # (the r5 10x probe caught exactly that: 175 s -> 43 s, PLANS.md).
+    qbase = base.where(is_q)
 
     terms = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
-    qterms = terms.where(is_q).select(F.col("doc_id").alias("q_doc"), "tok")
+    qterms = qbase.select(
+        F.col("doc_id").alias("q_doc"),
+        F.explode(F.array_distinct("toks")).alias("tok"),
+    )
     lex = (
         terms.join(F.broadcast(qterms), "tok")
         .where(F.col("doc_id") != F.col("q_doc"))
@@ -780,19 +808,30 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, c: (acc * 31 + F.ascii(c)) % _RAG_PRIME,
         )
 
+    # The corpus-side hashed-vector relation feeds TWO consumers (the
+    # dot-product join and the norm aggregate); the per-token Horner
+    # fold is the expensive stage, so materialize it once (eager
+    # lineage cut, ContextCleaner-reclaimed — the graph_triangle_count
+    # device) instead of letting each consumer re-hash the corpus.
     dims = (
         base.select("doc_id", F.explode("toks").alias("tok"))
         .select("doc_id", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     nrm = dims.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
     )
-    qdims = dims.where(is_q).select(
-        F.col("doc_id").alias("q_doc"), "dim", F.col("cnt").alias("qcnt")
+    qdims = (
+        qbase.select(F.col("doc_id").alias("q_doc"), F.explode("toks").alias("tok"))
+        .select("q_doc", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .groupBy("q_doc", "dim")
+        .agg(F.count(F.lit(1)).alias("qcnt"))
     )
-    qnrm = nrm.where(is_q).select(F.col("doc_id").alias("q_doc"), F.col("n2").alias("qn2"))
+    qnrm = qdims.groupBy("q_doc").agg(
+        F.sum(F.col("qcnt") * F.col("qcnt")).cast("bigint").alias("qn2")
+    )
     dots = (
         dims.join(F.broadcast(qdims), "dim")
         .where(F.col("doc_id") != F.col("q_doc"))

@@ -15,6 +15,18 @@ Determinism rules every registered query must follow (SURVEY.md §5.2):
   summation order differs between engines so raw sums are not hash-stable.
 - Timestamps in output are cast to DATE or epoch BIGINT; session timezone
   is pinned to UTC by ``ensure_session_confs``.
+
+Cache contract: a few queries ``persist()`` a relation that feeds two
+branches of the RETURNED plan (`text_vocab_head_coverage`,
+`text_source_divergence`, `events_sessionize_gap_chunked`,
+`text_tfidf_topk`, `cluster_kmeans_embeddings`) — the cache populates
+when the caller executes the plan and cannot be released from inside the
+builder.  A long-lived session sweeping many queries should call
+``spark.catalog.clearCache()`` between queries (``scripts/sweep_parity.py``
+and ``bench.py`` do; a one-shot driver invocation doesn't need to).  The
+ITERATIVE builders (BPE trainer, IVM loop) are exempt: they materialize
+eagerly and release superseded generations themselves
+(tests/test_iterative_memory.py).
 """
 
 from __future__ import annotations
@@ -54,10 +66,12 @@ _LOADED = False
 # shows a value-green row (ann_lsh_topk, multimodal_fake_features,
 # agg_approx_count_distinct), and the riskiest of the never-sampled r1-r3
 # keys (iterative clustering, sketches, stateful streaming twins,
-# embedding maintenance, corpus governance).  The 28 remaining keys — all
-# single-shuffle SQL-surface ops (set-op variants, scalar fn parsers,
-# simple aggregates/sorts/projections) — queue for the r6 prefix, which
-# closes certification: union r1-r6 = the whole registry.  Every key also
+# embedding maintenance, corpus governance).  The 33 remaining keys — the
+# 28 single-shuffle SQL-surface ops (set-op variants, scalar fn parsers,
+# simple aggregates/sorts/projections) plus the 5 r5 additions (graph
+# analytics, RRF fusion, boilerplate/Gopher profiling) — queue for the r6
+# prefix, which closes certification: union r1-r6 = the whole registry.
+# Every key also
 # passes the identical in-repo comparison (tests/test_oracle_parity.py),
 # which sweeps all registered keys every round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
