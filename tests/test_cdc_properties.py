@@ -363,3 +363,62 @@ def test_point_in_time_reopen_after_delete(spark, tmp_path_factory):
     got, expected = _point_in_time_run(spark, tmp_path_factory, seqs)
     assert got == expected
     assert got == {(0, 3): (2.25, 2)}
+
+
+def _scd2_history_oracle(rows):
+    """Single-threaded SCD2-history reference under delete-closes-state:
+    each non-error event opens a version at its own offset; the NEXT
+    event for the key — of ANY type — closes it; deletes emit no row."""
+    by_user: dict[int, list] = {}
+    for eid, _ts, user, etype, value, _props in rows:
+        by_user.setdefault(user, []).append((eid, etype, value))
+    expected = set()
+    for user, evs in by_user.items():
+        for i, (eid, etype, value) in enumerate(evs):
+            if etype == "error":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            expected.add((user, round(value, 2), eid, nxt, nxt is None))
+    return expected
+
+
+@settings(
+    max_examples=10, deadline=None, derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    seqs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from(["purchase", "click", "view", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_history_matches_interval_scan(spark, tmp_path_factory, seqs):
+    """For ANY event sequence with deletes interleaved, cdc_scd2_history
+    must produce exactly the single-threaded interval construction:
+    disjoint per-key intervals, deletes closing without opening (the
+    axis has GAPS after deletes — the r4 spec hole, now pinned at the
+    history level too, not just the temporal join)."""
+    import datetime
+
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i, (user, etype) in enumerate(seqs):
+        rows.append(
+            (i, t0 + datetime.timedelta(minutes=i), user, etype, float(i) + 0.25, "{}")
+        )
+    base = tmp_path_factory.mktemp("scd2h")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "events.parquet"))
+
+    got = {
+        (r["id"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in all_queries()["cdc_scd2_history"].fn(spark, str(base)).collect()
+    }
+    assert got == _scd2_history_oracle(rows)
