@@ -166,51 +166,65 @@ def embedding_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFra
     correlated dims mean the encoder wastes capacity (and PCA/whitening
     would help, cf. the int8 path in [[embedding_normalize_quantize]]).
 
-    Scale shape: the corpus contributes via ONE pass — each row expands
-    to its D·(D−1)/2 = 2016 ordered pair products IN-ROW (nested
-    transform over index sequences, no self-join: joining the exploded
-    (vec, dim) relation to itself would shuffle the corpus twice and
-    blow up to the same row count anyway), and the partial aggregation
-    combines map-side, so the shuffle carries O(2016 × partitions)
-    sufficient-statistic rows no matter the corpus size.  All five
-    sums per pair ride the same pass; Pearson r assembles from the
-    sufficient statistics afterward.  The top-N ranking runs on the
-    FIXED 2016-row pair relation (bounded global sort).  Correlations
-    round to 3dp — cross-engine float summation order, same precedent
-    as [[embedding_dimension_stats]]."""
+    Scale shape: the corpus contributes via ONE pass — each Arrow
+    batch collapses to its D·(D−1)/2 = 2016 sufficient-statistic rows
+    through a single BLAS Gram product (XᵀX inside mapInPandas; the
+    r5 rewrite of the per-row nested-transform explode, which burned
+    20.6 s at sf0.1 pushing 40M structs through the aggregate — the
+    vectorized form is ~10× faster and emits 2016 rows per BATCH
+    instead of per row).  No self-join: joining the exploded
+    (vec, dim) relation to itself would shuffle the corpus twice.
+    The shuffle carries O(2016 × batches) partial rows no matter the
+    corpus size; Pearson r assembles from the summed statistics.  The
+    top-N ranking runs on the FIXED 2016-row pair relation (bounded
+    global sort).  Correlations round to 3dp — cross-engine float
+    summation order, same precedent as
+    [[embedding_dimension_stats]]."""
     e = load(spark, sf_dir, "embeddings")
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # Pair indices derive from EACH ROW's actual array length — the
-    # oracle's LEN(embedding) — so a fixture dimension drift changes
-    # both engines identically instead of silently nulling F.get past
-    # the hardcoded bound (ADVICE r4).
-    dim = F.size(F.col("embedding"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), dim - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, dim - 1),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    F.get(emb, i).alias("x"),
-                    F.get(emb, j).alias("y"),
-                ),
-            ),
-        )
+
+    def _gram_partials(batches):
+        """Per-Arrow-batch sufficient statistics via ONE BLAS Gram
+        product (XᵀX) instead of exploding D(D−1)/2 structs per row —
+        the vectorized-Pandas-UDF doctrine measured: 20.6 s → ~2 s at
+        sf0.1 (r5 timing sweep).  The dimension derives from each
+        batch's actual array width (the oracle's LEN(embedding));
+        ragged widths make np.stack raise loudly (ADVICE r4)."""
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            n_b, d = x.shape
+            g = x.T @ x
+            s = x.sum(axis=0)
+            iu, ju = np.triu_indices(d, k=1)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int64"),
+                    "j": ju.astype("int64"),
+                    "n": np.full(iu.shape, n_b, dtype="int64"),
+                    "sx": s[iu],
+                    "sy": s[ju],
+                    "sxx": g[iu, iu],
+                    "syy": g[ju, ju],
+                    "sxy": g[iu, ju],
+                }
+            )
+
+    partials = e.select("embedding").mapInPandas(
+        _gram_partials,
+        schema="i long, j long, n long, sx double, sy double, "
+        "sxx double, syy double, sxy double",
     )
-    pairs = (
-        e.select(F.explode(pair_arr).alias("p"))
-        .select("p.i", "p.j", "p.x", "p.y")
-        .groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        )
+    pairs = partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
     )
     corr = (
         F.round(

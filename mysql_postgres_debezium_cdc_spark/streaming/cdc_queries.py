@@ -458,7 +458,14 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     for b in range(n_batches):
         raw = _events_changelog(spark, sf_dir, b * step, (b + 1) * step)
         events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
-        batch = compact(events, ["id"]).select(
+        # The compacted batch feeds BOTH the delta computation and the
+        # replica merge; the JSON encode/decode chain behind it is the
+        # epoch's expensive stage, so materialize it once (eager
+        # lineage cut) instead of decoding the batch per consumer —
+        # exactly what a streaming runtime's per-epoch batch DataFrame
+        # is.  (r5 timing sweep: 19 s -> ~10 s for the 3-epoch loop.)
+        compacted = compact(events, ["id"]).localCheckpoint(eager=True)
+        batch = compacted.select(
             F.col("_pk_id").alias("id"),
             F.col("after.v").alias("new_v"),
             F.col(IS_DELETE).alias("is_del"),
@@ -519,7 +526,7 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         # of state at any instant (tests/test_iterative_memory.py),
         # where the r4 lazy-checkpoint variant pinned every epoch.
         agg_state = agg_state.persist()
-        keyed_state = apply_changes(keyed_state, compact(events, ["id"]), ["id"], ["v"])
+        keyed_state = apply_changes(keyed_state, compacted, ["id"], ["v"])
         keyed_state = keyed_state.persist()
         agg_state.count()
         keyed_state.count()
