@@ -621,3 +621,89 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "cnt")
         .orderBy("token")
     )
+
+
+SKEW_TOP_N = 10
+
+
+@register(
+    "agg_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM per_key
+    ),
+    ranked AS (
+      SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, key
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_key
+    )
+    SELECT r.rk, r.key, r.cnt,
+           ROUND(r.cnt * 1.0 / s.total_rows, 6) AS share,
+           ROUND(r.cum * 1.0 / s.total_rows, 6) AS cum_share,
+           s.n_keys, s.total_rows,
+           CAST(CEIL(s.max_cnt * s.n_keys * 1.0 / s.total_rows) AS BIGINT)
+             AS salt_buckets
+    FROM ranked r CROSS JOIN stats s
+    WHERE r.rk <= {SKEW_TOP_N}
+    ORDER BY r.rk
+    """,
+    tags=("agg", "skew", "diagnostics"),
+)
+def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the operator you run BEFORE deciding
+    whether a fact-fact join needs salting ([[join_salted_skew]]) or
+    AQE's skew-join split suffices: per-key frequencies for a join key
+    (l_suppkey), the top-N heaviest keys with their corpus share and
+    cumulative share, and the standard salting recommendation
+    ``ceil(max_cnt / avg_cnt)`` (how many buckets split the heaviest
+    key down to the average).
+
+    Scale shape: ONE map-side-combining count per key (the shuffle
+    carries distinct keys, not rows); the stats relation is one row
+    (broadcast); top-N comes from ``orderBy().limit(N)`` —
+    TakeOrderedAndProject keeps an N-row heap per partition, so there
+    is NO unpartitioned window over the |keys|-sized relation (the
+    window_ntile lesson); rank and cumulative share then run on the
+    constant N-row relation.  All shares are single divisions of
+    exact integers (6dp round for presentation)."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = per_key.orderBy(F.desc("cnt"), F.asc("key")).limit(SKEW_TOP_N)
+    # Window over exactly SKEW_TOP_N rows — constant-size, not a scale
+    # hazard (the kmeans-init precedent).
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = top.withColumn("rk", F.row_number().over(w).cast("bigint")).withColumn(
+        "cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .select(
+            "rk",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("total_rows"), 6).alias("share"),
+            F.round(F.col("cum") * 1.0 / F.col("total_rows"), 6).alias("cum_share"),
+            "n_keys",
+            "total_rows",
+            F.ceil(F.col("max_cnt") * F.col("n_keys") * 1.0 / F.col("total_rows"))
+            .cast("bigint")
+            .alias("salt_buckets"),
+        )
+        .orderBy("rk")
+    )

@@ -735,3 +735,72 @@ def events_sessionize_gap_chunked(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@register(
+    "events_seasonal_naive_eval",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT cur.event_type, cur.n AS actual, prev.n AS predicted
+      FROM hourly cur
+      JOIN hourly prev
+        ON prev.event_type = cur.event_type
+       AND prev.h = cur.h - INTERVAL 24 HOURS
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(AVG(ABS(actual - predicted)), 4) AS mae,
+           ROUND(SQRT(AVG(CAST((actual - predicted) * (actual - predicted)
+                               AS DOUBLE))), 4) AS rmse,
+           CAST(MAX(ABS(actual - predicted)) AS BIGINT) AS max_abs_err
+    FROM joined
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("behavioral", "timeseries", "forecast"),
+)
+def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's event
+    count with the SAME HOUR YESTERDAY (the t−24h baseline every
+    anomaly detector and capacity forecast is judged against) and
+    report per-type MAE / RMSE / worst-hour error.  The prediction
+    joins on the exact timestamp h−24h — NOT "24 rows back" — so
+    missing hours create no silent misalignment (the gap-vs-lag
+    distinction [[events_resample_ffill_1h]] exists to handle).
+
+    Scale shape: hourly counts are one map-side-combining groupBy
+    (shuffle carries (type, hour) keys); the self-join is equi on
+    (type, hour−24) over the hour-keyed aggregate — co-partitioned
+    frontier-sized relations, not events; the final rollup is
+    |event_type|-sized.  Errors are exact integers; MAE/RMSE are
+    single divisions + sqrt of integer sums, rounded 4dp for
+    presentation only."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = hourly.select("event_type", "h", F.col("n").alias("actual"))
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("n").alias("predicted"),
+    )
+    joined = cur.join(prev, ["event_type", "h"])
+    err = F.col("actual") - F.col("predicted")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.avg(F.abs(err)), 4).alias("mae"),
+            F.round(F.sqrt(F.avg((err * err).cast("double"))), 4).alias("rmse"),
+            F.max(F.abs(err)).cast("bigint").alias("max_abs_err"),
+        )
+        .orderBy("event_type")
+    )
