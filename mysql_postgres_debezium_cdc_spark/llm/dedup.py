@@ -690,15 +690,23 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — the exact all-pairs baseline.
 
-    Broadcast nested-loop over the embedding table with the dot product
-    in Catalyst higher-order functions (zip_with/aggregate) — JVM-side,
-    no Python.  O(n²) by definition: this is the *verification* kernel,
-    and it GUARDS its own input cardinality — past ``max_rows`` it
-    raises instead of silently launching a quadratic cross join,
-    pointing at `dedup_embedding_lsh` (bucketed candidates + this same
-    exact cosine on candidates only), which is the path a 100 TB corpus
-    must take.  The count probe is parquet-metadata-cheap and runs once
-    per invocation."""
+    O(n²) by definition: this is the *verification* kernel, and it
+    GUARDS its own input cardinality — past ``max_rows`` it raises
+    instead of silently launching a quadratic scoring pass, pointing at
+    `dedup_embedding_lsh` (bucketed candidates + the same exact cosine
+    on candidates only), which is the path a 100 TB corpus must take.
+    The count probe is parquet-metadata-cheap and runs once.
+
+    Execution (r5): the build side broadcasts (guard-BOUNDED by
+    construction — the same collect a BroadcastExchange performs) and
+    each Arrow batch of probe vectors scores against it inside
+    mapInPandas with an ORDERED k-step accumulation
+    (``acc += x_k·y_k`` for k = 0..D−1, from 0.0) that reproduces the
+    Catalyst/DuckDB left fold BIT-FOR-BIT — so oracle parity is exact
+    while the kernel runs as vectorized numpy instead of an
+    interpreted 64-element fold per pair (r5 timing sweep: 43 s →
+    ~2 s at sf0.1; the pandas-UDF doctrine, same rewrite as
+    embedding_dimension_correlation)."""
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     if n > max_rows:
@@ -709,19 +717,60 @@ def dedup_embedding_cosine(
             "LSH-bucketed candidates verified by the same exact cosine — "
             "or raise max_rows explicitly if you really mean it."
         )
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"), _norm(as_double).alias("nrm_a")
+    import numpy as np
+
+    build = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"), _norm(as_double).alias("nrm_b")
+    ids_np = np.array([i for i, _ in build], dtype="int64")
+    mat = np.array([v for _, v in build], dtype="float64")
+    dim = mat.shape[1]
+    nrm_np = np.zeros(len(mat))
+    for k in range(dim):  # ordered self-dot, then sqrt — _norm's fold
+        nrm_np += mat[:, k] * mat[:, k]
+    nrm_np = np.sqrt(nrm_np)
+    bc = spark.sparkContext.broadcast((ids_np, mat, nrm_np))
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            xa_ids = pdf["vec_id"].to_numpy()
+            pos = np.searchsorted(ids, xa_ids)
+            na = b_nrm[pos]
+            out_a, out_b, out_c = [], [], []
+            for lo in range(0, len(x), 512):  # bound the dot-block size
+                hi = min(lo + 512, len(x))
+                dot = np.zeros((hi - lo, len(b_mat)))
+                for k in range(x.shape[1]):  # ordered fold, bit = Catalyst
+                    dot += x[lo:hi, k][:, None] * b_mat[:, k][None, :]
+                cs = dot / (na[lo:hi][:, None] * b_nrm[None, :])
+                keep = (ids[None, :] > xa_ids[lo:hi][:, None]) & (
+                    cs >= COS_NEARDUP_THRESHOLD
+                )
+                ai, bj = np.nonzero(keep)
+                out_a.append(xa_ids[lo:hi][ai])
+                out_b.append(ids[bj])
+                out_c.append(cs[ai, bj])
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                    "vec_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                    "cs": np.concatenate(out_c) if out_c else np.array([], "float64"),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _score, schema="vec_a long, vec_b long, cs double"
     )
-    cs = cosine_from_norms(_dot(F.col("emb_a"), F.col("emb_b")), F.col("nrm_a"), F.col("nrm_b"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"), cs.alias("_cs"))
-        .where(F.col("_cs") >= COS_NEARDUP_THRESHOLD)
-        .drop("_cs")
+        scored.select("vec_a", "vec_b", F.round(F.col("cs"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 
