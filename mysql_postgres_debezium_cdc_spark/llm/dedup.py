@@ -723,6 +723,8 @@ def dedup_embedding_cosine(
         (r["vec_id"], r["embedding"])
         for r in emb.select("vec_id", "embedding").collect()
     )
+    if not build:  # zero-row corpus: nothing to pair
+        return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
     ids_np = np.array([i for i, _ in build], dtype="int64")
     mat = np.array([v for _, v in build], dtype="float64")
     dim = mat.shape[1]

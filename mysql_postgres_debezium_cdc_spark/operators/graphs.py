@@ -122,6 +122,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded collect: ≤ |nations|² rows by construction (not by data).
     edges = [(r["src"], r["dst"], r["w"]) for r in edges_df.collect()]
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    if not nodes:  # zero-row corpus: no trade, no ranks
+        return spark.createDataFrame([], "nation string, pagerank double")
     n = float(len(nodes))
     outw = {}
     for s, _, w in edges:
@@ -145,7 +148,6 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = spark.createDataFrame(
         list(pr.items()), "node int, pr_raw double"
     )
-    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
         .select(

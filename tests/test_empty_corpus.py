@@ -37,6 +37,17 @@ EMPTY_SLICE = [
     "text_source_divergence",
     "stream_tumbling_window",
     "events_sessionize_gap",
+    # r5 additions
+    "dedup_boilerplate_lines",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "text_gopher_quality_flags",
+    "rag_rrf_fusion",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "agg_skew_profile",
+    "events_seasonal_naive_eval",
+    "embedding_dimension_correlation",
 ]
 
 
