@@ -425,3 +425,4 @@ def stream_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("purchase_id", "click_id")
     )
+

@@ -316,3 +316,76 @@ def attribution_join_outer(events: DataFrame, watermark: str = "2 hours") -> Dat
         "user_id",
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+TWS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("top3_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def user_state_tws(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API (StatefulProcessor + typed state variables) — the successor to
+    ``applyInPandasWithState`` ([[user_state_stateful]] keeps the old
+    surface covered).  Two state variables per user demonstrate the
+    composite-state capability the old API lacks:
+
+    - a ValueState (n_events, sum_cents) — the running aggregate, in
+      INTEGER CENTS so cross-batch accumulation is exact and the batch
+      twin can demand equality with no float tolerance;
+    - a ListState of event ids, truncated to the top-3 after every
+      batch — bounded per-key state the old single-value API could
+      only fake by packing into one row.
+
+    transformWithState requires the RocksDB state-store provider (set
+    by the caller); state shards by the groupBy key like any keyed
+    aggregation, so the operator scales out with partitions."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _UserAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, s LONG")
+            self._ids = handle.getListState("ids", "id LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = self._agg.get()
+            n, s = (int(st[0]), int(st[1])) if st is not None else (0, 0)
+            new_ids = []
+            for pdf in rows:
+                n += len(pdf)
+                # FLOOR(value*100) on the same doubles both engines hold
+                s += int((pdf["value"] * 100).apply(__import__("math").floor).sum())
+                new_ids.extend(int(i) for i in pdf["event_id"])
+            ids = sorted(
+                [t[0] for t in self._ids.get()] + new_ids, reverse=True
+            )[:3]
+            self._ids.put([(i,) for i in ids])
+            self._agg.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [s],
+                    "top3_ids": [ids],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_UserAgg(),
+            outputStructType=TWS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
