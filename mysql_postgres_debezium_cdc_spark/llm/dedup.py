@@ -922,6 +922,81 @@ _CC_PAIRS_SQL = _cc_pairs_sql()
 
 
 @register(
+    "dedup_lsh_recall_eval",
+    oracle="""
+    WITH exact AS ({EXACT}),
+    lsh AS ({LSH}),
+    hits AS (
+      SELECT e.vec_a,
+             CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      LEFT JOIN lsh l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST(SUM(hit) AS BIGINT) AS n_common,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           ROUND(SUM(hit) * 1.0 / (SELECT COUNT(*) FROM lsh), 4) AS precision
+    FROM hits
+    """,
+    tags=("llm", "dedup", "embedding", "eval"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision of the LSH scale path against the exact
+    all-pairs ground truth, measured in-plan — the acceptance test a
+    production dedup rollout runs before trusting banding parameters:
+    [[dedup_embedding_cosine]] (guard-bounded exact baseline) is the
+    truth set, [[dedup_embedding_lsh]] (banded buckets + default
+    width cap) the candidate path; both share the cosine threshold,
+    so precision is 1.0 BY CONSTRUCTION (every LSH pair is exact-
+    verified) and the interesting number is recall — what the bands
+    and the bucket cap drop.  The oracle embeds both keys' certified
+    oracle SQL, so the eval cannot drift from what the driver checks
+    for each pipeline.
+
+    Scale note: the ground-truth side inherits the exact baseline's
+    cardinality guard — at corpus scale this eval runs on a sampled
+    slice (the standard practice), while the LSH side is the path
+    that actually scales."""
+    exact = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    lsh = dedup_embedding_lsh(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("hit")
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
+    return (
+        exact.join(lsh, ["vec_a", "vec_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_common"),
+        )
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(F.col("n_common") * 1.0 / F.col("n_exact"), 4).alias("recall"),
+            F.round(F.col("n_common") * 1.0 / F.col("n_lsh"), 4).alias("precision"),
+        )
+    )
+
+
+def _bind_dedup_eval_oracle() -> None:
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["dedup_lsh_recall_eval"]
+    object.__setattr__(
+        spec,
+        "oracle",
+        spec.oracle.replace(
+            "{EXACT}", _REGISTRY["dedup_embedding_cosine"].oracle
+        ).replace("{LSH}", _REGISTRY["dedup_embedding_lsh"].oracle),
+    )
+
+
+_bind_dedup_eval_oracle()
+
+
+@register(
     "dedup_connected_components",
     oracle=f"""
     WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),

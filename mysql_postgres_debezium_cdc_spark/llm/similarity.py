@@ -178,8 +178,14 @@ def ann_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_TABLES = 4
-LSH_BITS = 4
+# Band geometry (retuned r5): precision/bucket-width comes from BITS
+# (64 signatures per table keeps the expected bucket far under the
+# scale path's default width cap), recall from TABLES.  The r5
+# dedup_lsh_recall_eval op measured the old 4x4 geometry at 10% recall
+# under the cap at sf0.1 (16 signatures -> every bucket wider than the
+# cap -> mass truncation); 8x6 restores recall with the cap intact.
+LSH_TABLES = 8
+LSH_BITS = 6
 LSH_DIM = 64
 # Hyperplane component for (plane p, dim d): a Weyl-style mixed
 # congruence — multiply a per-(p,d) index by a large odd constant, mod a
@@ -458,6 +464,85 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("q_id", "rk")
     )
+
+
+def _oracle_of(key: str) -> str:
+    """Reuse an already-registered key's oracle SQL as a CTE body —
+    the eval queries below re-run BOTH pipelines oracle-side, so the
+    ground truth and the approximate path stay pinned to the exact
+    SQL the driver certifies for each."""
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    return _REGISTRY[key].oracle
+
+
+@register(
+    "ann_ivf_recall_eval",
+    oracle=f"""
+    WITH bf AS ({{BF}}),
+    iv AS ({{IV}}),
+    hits AS (
+      SELECT b.q_id,
+             CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM bf b LEFT JOIN iv i ON i.q_id = b.q_id AND i.c_id = b.c_id
+    )
+    SELECT q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_found,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall_at_k
+    FROM hits GROUP BY q_id ORDER BY q_id
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force ground
+    truth, measured IN-PLAN per query — "measure, don't guess" as a
+    registered operator: the number every ANN deployment tracks when
+    tuning nprobe/cells, computed by composing the two certified
+    pipelines ([[ann_bruteforce_topk]] is the truth set,
+    [[ann_ivf_topk]] the approximate path) and left-joining their
+    top-k sets.  The oracle embeds BOTH keys' certified oracle SQL as
+    CTEs, so the eval can never drift from what the driver checks for
+    each pipeline individually.
+
+    Scale shape: both inputs are per-query top-k relations (bounded:
+    queries × k rows); the join and rollup are constant-size.  The
+    expensive parts are the pipelines themselves, each already
+    scale-shaped in its own right."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("q_id", "c_id")
+    iv = ann_ivf_topk(spark, sf_dir).select(
+        "q_id", F.col("c_id").alias("c_id"), F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(iv, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_found"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# Bind the composed oracle AFTER registration so it embeds the exact
+# certified SQL of both constituent keys.
+def _bind_recall_oracle() -> None:
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["ann_ivf_recall_eval"]
+    object.__setattr__(
+        spec,
+        "oracle",
+        spec.oracle.replace("{BF}", _oracle_of("ann_bruteforce_topk")).replace(
+            "{IV}", _oracle_of("ann_ivf_topk")
+        ),
+    )
+
+
+_bind_recall_oracle()
 
 
 # ---------------------------------------------------------------------------
