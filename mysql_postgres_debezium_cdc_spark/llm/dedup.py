@@ -974,8 +974,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_common",
-            F.round(F.col("n_common") * 1.0 / F.col("n_exact"), 4).alias("recall"),
-            F.round(F.col("n_common") * 1.0 / F.col("n_lsh"), 4).alias("precision"),
+            # try_divide: a zero-row corpus yields n_exact = n_lsh = 0;
+            # NULL ratios match the oracle's NULL-propagating division
+            # (ANSI plain division would throw instead).
+            F.round(F.try_divide(F.col("n_common") * 1.0, F.col("n_exact")), 4).alias("recall"),
+            F.round(F.try_divide(F.col("n_common") * 1.0, F.col("n_lsh")), 4).alias("precision"),
         )
     )
 
