@@ -1536,6 +1536,107 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_boilerplate_removal",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i,
+             ARRAY_TO_STRING(
+               toks[(1 + i * {BOILER_LINE_W}):((i + 1) * {BOILER_LINE_W})], ' '
+             ) AS line
+      FROM d, LATERAL (
+        SELECT UNNEST(RANGE(0,
+          CAST(CEIL(n / {BOILER_LINE_W}.0) AS BIGINT))) AS i)
+    ),
+    ldf AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+    ),
+    kept AS (
+      SELECT l.doc_id, l.i, l.line
+      FROM lines l JOIN ldf f ON f.line = l.line
+      WHERE f.df < {BOILER_MIN_DOCS}
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST(line ORDER BY i), ' ') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+           CAST(LENGTH(COALESCE(r.clean_text, '')) AS BIGINT) AS clean_n_chars,
+           MD5(COALESCE(r.clean_text, '')) AS clean_md5
+    FROM d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "dedup", "boilerplate"),
+)
+def dedup_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of the CCNet boilerplate pass: drop every line
+    shared by ≥ BOILER_MIN_DOCS documents and REBUILD each document
+    from its surviving lines in original order — what the curation
+    pipeline actually writes downstream, where
+    [[dedup_boilerplate_lines]] is the audit that tunes the threshold.
+    The value check hashes the rebuilt text (MD5 both engines), so a
+    single mis-ordered or mis-dropped line anywhere in the corpus
+    fails the gate; documents whose every line is boilerplate survive
+    as empty text (kept=0), not dropped rows — removal changes
+    CONTENT, never corpus membership.
+
+    Scale shape: identical to the profile op (one narrow line
+    generate, one map-side-combining df aggregate, one equi join on
+    the line key) plus an order-reconstructing per-doc aggregate:
+    sort_array(collect_list(struct(i, line))) shuffles each document's
+    surviving lines once, bounded per key by document length — the
+    same per-doc rebuild shape corpus_chunk_documents certifies."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n_lines = F.ceil(F.col("n") / F.lit(float(BOILER_LINE_W)))
+    lines = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ",
+            F.slice(F.col("toks"), F.lit(1) + F.col("i") * BOILER_LINE_W, BOILER_LINE_W),
+        ).alias("line"),
+    )
+    ldf = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("df"))
+    kept = lines.join(ldf, "line").where(F.col("df") < BOILER_MIN_DOCS)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        d.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            F.length(F.coalesce(F.col("clean_text"), F.lit(""))).cast("bigint").alias(
+                "clean_n_chars"
+            ),
+            F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-style incremental dedup: probabilistic pre-filter + exact verify.
 # ---------------------------------------------------------------------------

@@ -48,6 +48,7 @@ EMPTY_SLICE = [
     "agg_skew_profile",
     "events_seasonal_naive_eval",
     "embedding_dimension_correlation",
+    "dedup_boilerplate_removal",
     "dedup_lsh_recall_eval",
     "ann_ivf_recall_eval",
 ]
