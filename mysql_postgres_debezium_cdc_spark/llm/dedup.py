@@ -877,20 +877,46 @@ def dedup_embedding_lsh(
         .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
         .distinct()
     )
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    va = emb.select(
-        F.col("vec_id").alias("vec_a"), as_double.alias("emb_a"), _norm(as_double).alias("nrm_a")
-    )
-    vb = emb.select(
-        F.col("vec_id").alias("vec_b"), as_double.alias("emb_b"), _norm(as_double).alias("nrm_b")
-    )
-    cs = cosine_from_norms(_dot(F.col("emb_a"), F.col("emb_b")), F.col("nrm_a"), F.col("nrm_b"))
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+
+    def _verify(batches):
+        """Candidate verification as a vectorized Arrow kernel with the
+        ORDERED k-step accumulation that reproduces the Catalyst/DuckDB
+        left fold bit-for-bit (the dedup_embedding_cosine device) — the
+        8-table geometry generates ~8× the candidates of r4, and the
+        interpreted per-pair HOF fold was the hotspot (r5: 32 s → ~4 s
+        at sf0.1)."""
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["emb_a"].to_numpy()).astype("float64")
+            b = np.stack(pdf["emb_b"].to_numpy()).astype("float64")
+            dot = np.zeros(len(a))
+            na = np.zeros(len(a))
+            nb = np.zeros(len(a))
+            for k in range(a.shape[1]):
+                dot += a[:, k] * b[:, k]
+                na += a[:, k] * a[:, k]
+                nb += b[:, k] * b[:, k]
+            cs = dot / (np.sqrt(na) * np.sqrt(nb))
+            keep = cs >= COS_NEARDUP_THRESHOLD
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cs": cs[keep],
+                }
+            )
+
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select("vec_a", "vec_b", F.round(cs, 4).alias("cos_sim"), cs.alias("_cs"))
-        .where(F.col("_cs") >= COS_NEARDUP_THRESHOLD)
-        .drop("_cs")
+        .mapInPandas(_verify, schema="vec_a long, vec_b long, cs double")
+        .select("vec_a", "vec_b", F.round(F.col("cs"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 
