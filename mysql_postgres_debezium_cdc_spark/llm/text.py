@@ -1973,3 +1973,87 @@ def corpus_bpe_train_and_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_symbols"),
         )
     )
+
+
+NOVELTY_K = 3  # n-gram width for the novelty signal
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+                                 t -> LENGTH(t) > 0) AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             ARRAY_TO_STRING(toks[i:(i + {NOVELTY_K} - 1)], ' ') AS gram
+      FROM d, LATERAL (
+        SELECT UNNEST(RANGE(1, GREATEST(LEN(toks) - {NOVELTY_K} + 2, 1))) AS i)
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (f.first_doc = g.doc_id) AS BIGINT)
+             AS n_novel,
+           ROUND(COUNT(*) FILTER (f.first_doc = g.doc_id) * 1.0
+                 / COUNT(*), 4) AS novelty_ratio
+    FROM grams g JOIN firsts f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    tags=("llm", "text", "novelty"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY under the corpus's canonical order:
+    the fraction of a document's distinct k-grams whose FIRST corpus
+    occurrence is this document — the freshness/staleness signal a
+    curriculum or crawl-recency policy ranks by, and the prefix form
+    of incremental dedup ([[dedup_bloom_incremental]] asks "is this
+    batch new vs the index"; novelty asks it per document against
+    everything before it, in one batch pass).  A document full of
+    grams first seen earlier is boilerplate-ish or near-duplicated
+    even when no single pair crosses a dedup threshold.
+
+    Scale shape: the gram stream is a narrow generate (per-doc
+    DISTINCT inside the row's own explode keeps multiplicity out);
+    first-occurrence is ONE map-side-combining MIN per gram key (the
+    inverted-index shape); the flag join is equi on the gram key; the
+    per-doc rollup shuffles doc keys once.  No window over the corpus,
+    no ordering dependence beyond the stable doc_id axis."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n_grams = F.greatest(F.col("n") - NOVELTY_K + 1, F.lit(1))
+    grams = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_grams),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, NOVELTY_K)
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.col("first_doc") == F.col("doc_id")
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(novel, 1).otherwise(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(F.when(novel, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -51,6 +51,7 @@ EMPTY_SLICE = [
     "dedup_boilerplate_removal",
     "dedup_lsh_recall_eval",
     "ann_ivf_recall_eval",
+    "text_ngram_novelty",
 ]
 
 
