@@ -567,3 +567,75 @@ def test_source_divergence_scans_corpus_once(spark):
     r = _plan(spark, "text_source_divergence")
     assert sum(1 for op in r.ops if op == "Scan") == 1, r.ops
     assert r.ops.count("InMemoryTableScan") >= 3, r.ops
+
+
+def test_skew_profile_topn_is_heap_not_global_window(spark):
+    """agg_skew_profile's top-N must be TakeOrderedAndProject (an N-row
+    heap per partition) over the per-key counts; the only Window runs
+    AFTER the limit, on a constant SKEW_TOP_N-row relation — never an
+    unpartitioned ranking over the |keys|-sized relation."""
+    r = _plan(spark, "agg_skew_profile")
+    assert "TakeOrderedAndProject" in r.ops, r.ops
+    # the window's input is the TakeOrdered output: it appears later in
+    # the (bottom-up numbered) operator list than the heap
+    assert r.ops.index("TakeOrderedAndProject") < r.ops.index("Window")
+
+
+def test_rrf_query_cohort_scan_is_pushdown_filtered(spark):
+    """rag_rrf_fusion's q-side relations come from a SEPARATE scan with
+    the cohort predicate pushed to parquet (doc_id bounds visible in
+    PushedFilters) — re-filtering the corpus-side subtree instead would
+    re-run the tokenize/hash pipeline per consumer (the r5 10x probe's
+    175s->33s finding)."""
+    r = _plan(spark, "rag_rrf_fusion")
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id" in r.text, (
+        "cohort filter did not reach a parquet scan"
+    )
+
+
+def test_boilerplate_df_join_is_map_side_combined(spark):
+    """dedup_boilerplate_lines: the line document-frequency aggregate
+    must partial-aggregate map-side (HashAggregate pairs around the
+    exchange) and the corpus never cross-joins."""
+    r = _plan(spark, "dedup_boilerplate_lines")
+    assert sum(o == "HashAggregate" for o in r.ops) >= 4
+    assert "CartesianProduct" not in r.ops
+    assert "BroadcastNestedLoopJoin" not in r.ops
+
+
+def test_seasonal_naive_joins_hour_aggregates_not_events(spark):
+    """events_seasonal_naive_eval: the t-24h self-join runs on the
+    HOURLY aggregate (map-side combined), not on raw events — the
+    joined relations are frontier-sized."""
+    r = _plan(spark, "events_seasonal_naive_eval")
+    # hourly agg partials on both sides + final rollup
+    assert sum(o == "HashAggregate" for o in r.ops) >= 4
+    assert "CartesianProduct" not in r.ops
+
+
+def test_dimension_correlation_is_gram_batch_kernel(spark):
+    """embedding_dimension_correlation computes sufficient stats via
+    one Arrow-batch Gram kernel (MapInPandas), not a per-row pair
+    explode (Generate) — the r5 rewrite's 20x win."""
+    r = _plan(spark, "embedding_dimension_correlation")
+    assert "MapInPandas" in r.ops
+    assert "Generate" not in r.ops
+
+
+def test_embedding_lsh_verification_is_arrow_kernel(spark):
+    """dedup_embedding_lsh verifies candidates in the vectorized Arrow
+    kernel (MapInPandas), with the candidate generation still an equi
+    join on bucket keys — no nested-loop over the corpus."""
+    r = _plan(spark, "dedup_embedding_lsh")
+    assert "MapInPandas" in r.ops
+    assert "CartesianProduct" not in r.ops
+
+
+def test_pagerank_corpus_stage_is_one_aggregated_edge_relation(spark):
+    """graph_pagerank_trade's distributed stage: the fact-fact join
+    feeds ONE map-side-combining aggregate down to <=|nations|^2 rows;
+    the returned plan (post-solve) only joins the 25-row rank relation
+    to the nation dim — broadcast, no shuffle of anything corpus-sized."""
+    r = _plan(spark, "graph_pagerank_trade")
+    assert r.n_broadcast_joins >= 1
+    assert r.n_sortmerge_joins == 0, r.ops  # ranks x nation: both tiny
