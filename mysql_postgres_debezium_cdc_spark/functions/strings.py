@@ -193,3 +193,63 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("_id").alias("xml_attr_id"),
         F.xpath_string("x", F.lit("/cust/name")).alias("xpath_name"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_string_collation",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN s_suppkey % 2 = 0 THEN n_name
+                  ELSE LOWER(n_name) END AS mixed
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_distinct_cs,
+           CAST(COUNT(DISTINCT LOWER(mixed)) AS BIGINT) AS n_distinct_ci,
+           CAST(COUNT(*) FILTER (LOWER(mixed) = 'nation_1')
+                AS BIGINT) AS n_probe_matches
+    FROM m
+    """,
+    tags=("fn", "string", "collation"),
+)
+def fn_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: distinct-counting and equality under
+    ``UTF8_LCASE`` on a deliberately case-mangled column (each
+    supplier\'s nation name, lower-cased for odd suppliers — every
+    nation therefore exists in TWO case variants).  Case-sensitive
+    distinct sees both variants (up to 2x|nations|); the collated
+    distinct folds them back to |nations| — the declarative form of
+    the case-insensitive identity that lower()-normalization pipelines
+    (including the reference\'s identifier lower-casing,
+    Consumer.java:208-210) hand-roll.  The oracle expresses the SAME
+    semantics in portable ANSI (DISTINCT LOWER / LOWER =), which is
+    exactly the equivalence the collation feature guarantees for ASCII
+    data — so the value check certifies that Spark\'s collated
+    semantics match the normalization they replace.
+
+    Scale shape: broadcast dim join + scalar aggregates (partial
+    map-side); collation compares JVM-side inside codegen, no UDF."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mixed = F.when(
+        F.col("s_suppkey") % 2 == 0, F.col("n_name")
+    ).otherwise(F.lower(F.col("n_name")))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(mixed.alias("mixed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col("mixed")).alias("n_distinct_cs"),
+            F.countDistinct(F.collate(F.col("mixed"), "UTF8_LCASE")).alias(
+                "n_distinct_ci"
+            ),
+            F.sum(
+                F.when(
+                    F.collate(F.col("mixed"), "UTF8_LCASE") == F.lit("NATION_1"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_probe_matches"),
+        )
+    )
