@@ -269,3 +269,72 @@ def layout_dpp_join_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(PARTITION_COL)
     )
+
+
+@register(
+    "layout_bucketed_join_no_shuffle",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("layout", "bucketing", "join"),
+)
+def layout_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-table join — the biggest single lever for a REPEATED
+    fact⋈fact join at 100 TB: pay the hash shuffle ONCE at write time
+    (``bucketBy(n, key).sortBy(key)``), and every subsequent join on
+    the bucket key runs with ZERO exchanges and ZERO sorts (Spark
+    trusts the on-disk HashPartitioning + sort order).  The reference's
+    replica tables are keyed by PK — the natural bucket key — so a
+    downstream consumer joins the replica shuffle-free.
+
+    This registered form writes orders+lineitem bucketed by order key
+    (once per session and fixture version; the write IS the amortized
+    shuffle), joins the bucketed tables, and aggregates per priority.
+    The answer is layout-independent — the oracle runs the plain join.
+    At fixture scale AQE broadcasts the small orders side (also
+    shuffle-free); at fact×fact scale, where neither side broadcasts,
+    the bucketed SortMergeJoin with NO exchange on either side is the
+    plan — pinned by tests/test_plans.py::test_bucketed_join_has_no_shuffle
+    (merge-hinted) and test_bucketed_key_plan_never_shuffles_join_inputs
+    on this very key.
+    Values are exact integers, so the value hash certifies the
+    bucket-file routing end to end (a row landing in the wrong bucket
+    would vanish from the join)."""
+    import tempfile
+
+    from mysql_postgres_debezium_cdc_spark.plans.bucketing import write_bucketed
+    from mysql_postgres_debezium_cdc_spark.scratch import fixture_fingerprint
+
+    tag = fixture_fingerprint(sf_dir)
+    tbl_o, tbl_l = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    base = tempfile.gettempdir()
+    if not spark.catalog.tableExists(tbl_o):
+        write_bucketed(
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            tbl_o,
+            f"{base}/bkt_orders_{tag}",
+            "o_orderkey",
+        )
+    if not spark.catalog.tableExists(tbl_l):
+        write_bucketed(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            tbl_l,
+            f"{base}/bkt_lineitem_{tag}",
+            "l_orderkey",
+        )
+    o = spark.table(tbl_o)
+    li = spark.table(tbl_l)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -639,3 +639,14 @@ def test_pagerank_corpus_stage_is_one_aggregated_edge_relation(spark):
     r = _plan(spark, "graph_pagerank_trade")
     assert r.n_broadcast_joins >= 1
     assert r.n_sortmerge_joins == 0, r.ops  # ranks x nation: both tiny
+
+
+def test_bucketed_key_plan_never_shuffles_join_inputs(spark):
+    """layout_bucketed_join_no_shuffle: no hash exchange on either join
+    input — at fixture scale the small side broadcasts, and with the
+    broadcast path closed the bucketed SMJ runs exchange-free; in BOTH
+    regimes the only shuffles are the post-join aggregate/sort."""
+    r = _plan(spark, "layout_bucketed_join_no_shuffle")
+    assert "hashpartitioning(o_orderkey" not in r.text
+    assert "hashpartitioning(l_orderkey" not in r.text
+    assert r.n_shuffles <= 2, r.ops  # agg exchange + presentation sort only
