@@ -243,11 +243,17 @@ def fn_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.collate(F.col("mixed"), "UTF8_LCASE")).alias(
                 "n_distinct_ci"
             ),
-            F.sum(
-                F.when(
-                    F.collate(F.col("mixed"), "UTF8_LCASE") == F.lit("NATION_1"),
-                    1,
-                ).otherwise(0)
+            # coalesce: SUM over zero rows is NULL in Spark but the
+            # oracle's COUNT(*) FILTER is 0 — fold the empty corpus
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.collate(F.col("mixed"), "UTF8_LCASE")
+                        == F.lit("NATION_1"),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("n_probe_matches"),

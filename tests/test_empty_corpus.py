@@ -52,6 +52,8 @@ EMPTY_SLICE = [
     "dedup_lsh_recall_eval",
     "ann_ivf_recall_eval",
     "text_ngram_novelty",
+    "fn_string_collation",
+    "layout_bucketed_join_no_shuffle",
 ]
 
 
