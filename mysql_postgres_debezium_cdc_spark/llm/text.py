@@ -2057,3 +2057,98 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SPAN_MASK_MOD = 13  # a span starts where the position hash hits 0 (≈1/13)
+SPAN_MASK_LEN = 3  # tokens per corrupted span
+_SPAN_HASH_A = 2654435761  # Weyl/Knuth multiplicative constants — exact
+_SPAN_HASH_B = 40503  # in BIGINT for both engines
+_SPAN_HASH_M = 2147483647
+
+
+@register(
+    "corpus_span_corruption_plan",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             t -> LENGTH(t) > 0)) AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens, UNNEST(RANGE(0, n_tokens)) AS i
+      FROM d
+    ),
+    flags AS (
+      SELECT doc_id, n_tokens, i,
+             CASE WHEN (doc_id * {_SPAN_HASH_A} + i * {_SPAN_HASH_B})
+                       % {_SPAN_HASH_M} % {SPAN_MASK_MOD} = 0
+                  THEN 1 ELSE 0 END AS is_start,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM RANGE({SPAN_MASK_LEN}) r(k)
+               WHERE i - k >= 0
+                 AND (doc_id * {_SPAN_HASH_A} + (i - k) * {_SPAN_HASH_B})
+                     % {_SPAN_HASH_M} % {SPAN_MASK_MOD} = 0
+             ) THEN 1 ELSE 0 END AS is_masked
+      FROM pos
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_start) AS BIGINT) AS n_spans,
+           CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+           ROUND(SUM(is_masked) * 1.0 / MAX(n_tokens), 4) AS mask_ratio
+    FROM flags
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "objective"),
+)
+def corpus_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLANNING: deterministically choose
+    corruption spans per document (a position is a span start when its
+    (doc_id, position) Weyl hash lands on 0 mod SPAN_MASK_MOD; each
+    start masks SPAN_MASK_LEN tokens, overlaps unioned) and report the
+    span count, masked-token count, and realized mask ratio — the
+    artifact a pretraining objective builder materializes BEFORE
+    tokenizing, so the plan is reproducible across reshards and
+    re-runs (no RNG state: the mask is a pure function of content
+    position, the same seeding discipline corpus_train_val_test_split
+    and corpus_global_shuffle_shards use).
+
+    Scale shape: one narrow pass — positions explode per doc and every
+    flag is integer hash arithmetic (JVM-side, exact in BIGINT for
+    both engines); the rollup is one map-side-combining groupBy on
+    doc_id.  The union-of-spans membership check is O(SPAN_MASK_LEN)
+    hash evaluations per position, not a window or self-join."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    base = d.select("doc_id", F.size(toks).alias("n_tokens"))
+    pos = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("n_tokens") - 1)).alias("i"),
+    )
+
+    def h(i_col):
+        return (
+            F.col("doc_id") * _SPAN_HASH_A + i_col * _SPAN_HASH_B
+        ) % _SPAN_HASH_M % SPAN_MASK_MOD
+
+    is_start = F.when(h(F.col("i")) == 0, 1).otherwise(0)
+    masked = F.greatest(
+        *[
+            F.when((F.col("i") - k >= 0) & (h(F.col("i") - k) == 0), 1).otherwise(0)
+            for k in range(SPAN_MASK_LEN)
+        ]
+    )
+    flags = pos.select("doc_id", "n_tokens", is_start.alias("is_start"), masked.alias("is_masked"))
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("is_start").cast("bigint").alias("n_spans"),
+            F.sum("is_masked").cast("bigint").alias("n_masked"),
+            F.round(F.sum("is_masked") * 1.0 / F.max("n_tokens"), 4).alias("mask_ratio"),
+        )
+        .orderBy("doc_id")
+    )

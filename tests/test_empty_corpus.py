@@ -54,6 +54,7 @@ EMPTY_SLICE = [
     "text_ngram_novelty",
     "fn_string_collation",
     "layout_bucketed_join_no_shuffle",
+    "corpus_span_corruption_plan",
 ]
 
 
