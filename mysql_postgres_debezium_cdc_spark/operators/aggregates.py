@@ -707,3 +707,80 @@ def agg_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+BITMAP_WORD = 32  # ids pack 32-per-word: 1<<31 stays positive in BIGINT
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle=f"""
+    WITH words AS (
+      SELECT event_type, user_id // {BITMAP_WORD} AS word,
+             BIT_OR(1::BIGINT << CAST(user_id % {BITMAP_WORD} AS INT)) AS mask
+      FROM events GROUP BY 1, 2
+    ),
+    bm AS (
+      SELECT event_type,
+             CAST(SUM(BIT_COUNT(mask)) AS BIGINT) AS n_distinct_bitmap
+      FROM words GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT bm.event_type, n_distinct_bitmap, n_distinct_exact,
+           CASE WHEN n_distinct_bitmap = n_distinct_exact THEN 1 ELSE 0 END
+             AS bitmap_matches
+    FROM bm JOIN ex ON ex.event_type = bm.event_type
+    ORDER BY bm.event_type
+    """,
+    tags=("agg", "bitmap", "distinct"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via packed bitmaps — the roaring-bitmap
+    trick for bounded-id domains, relational-style: ids pack 32-per-
+    word, each (group, word) ORs its bits (map-side combining — the
+    shuffle carries ≤ one BIGINT per word per map partition), and the
+    distinct count is the bit_count sum.  Against COUNT(DISTINCT),
+    which shuffles every distinct VALUE, the bitmap shuffles
+    |id-domain|/32 words regardless of row count — the standard layout
+    for distinct-user counting over dense integer keyspaces (what
+    ClickHouse's groupBitmap and Druid's bitmap indexes do).  The
+    output carries BOTH counts and pins their equality, so the value
+    hash certifies the bitmap math itself.
+
+    Scale note: for SPARSE or unbounded domains the words relation
+    degenerates to one word per id — that regime belongs to HLL
+    ([[agg_approx_count_distinct]]) or plain distinct; the op's
+    contract is dense bounded ids (user ids, fixture: 0..2k)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") / BITMAP_WORD).cast("long").alias("word"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD} AS INT))")
+            ).alias("mask")
+        )
+    )
+    bm = words.groupBy("event_type").agg(
+        F.sum(F.bit_count(F.col("mask"))).cast("bigint").alias("n_distinct_bitmap")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_exact")
+    )
+    return (
+        bm.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_distinct_bitmap",
+            "n_distinct_exact",
+            F.when(
+                F.col("n_distinct_bitmap") == F.col("n_distinct_exact"), 1
+            ).otherwise(0).alias("bitmap_matches"),
+        )
+        .orderBy("event_type")
+    )

@@ -804,3 +804,104 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ANOM_K = 3.0  # flag hours whose |residual| exceeds K x MAD
+
+
+@register(
+    "events_seasonal_anomaly_hours",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT cur.event_type, cur.h,
+             cur.n - prev.n AS r
+      FROM hourly cur
+      JOIN hourly prev
+        ON prev.event_type = cur.event_type
+       AND prev.h = cur.h - INTERVAL 24 HOURS
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(r) AS med_r FROM res GROUP BY event_type
+    ),
+    mad AS (
+      SELECT r.event_type, MEDIAN(ABS(r.r - m.med_r)) AS mad_r
+      FROM res r JOIN med m ON m.event_type = r.event_type
+      GROUP BY r.event_type
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           m.mad_r AS mad_residual,
+           CAST(COUNT(*) FILTER (
+             ABS(r.r - md.med_r) > {ANOM_K} * m.mad_r) AS BIGINT)
+             AS n_anomalous
+    FROM res r
+    JOIN mad m ON m.event_type = r.event_type
+    JOIN med md ON md.event_type = r.event_type
+    GROUP BY r.event_type, m.mad_r
+    ORDER BY r.event_type
+    """,
+    tags=("behavioral", "timeseries", "anomaly"),
+)
+def events_seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly DETECTION — the composition the
+    [[events_seasonal_naive_eval]] baseline exists for: residual =
+    actual − same-hour-yesterday, robust scale = MAD of the residuals
+    per type, anomalous hour = |residual − median| > K·MAD (the
+    [[events_anomaly_mad]] robustness argument applied to the
+    DESEASONALIZED series, so a daily traffic cycle doesn't masquerade
+    as anomalies the way it would under a raw-count MAD).
+
+    Float parity without rounding: residuals are exact integers, and
+    MEDIAN over integers lands on .0/.5 exactly in double for both
+    engines, so medians, MADs, and every threshold comparison are
+    bit-deterministic — the value hash pins the detector's decisions,
+    not a rounded summary.
+
+    Scale shape: hourly counts and the t−24h join are the eval op's
+    frontier-sized relations; medians aggregate per event_type
+    (bounded groups), and the flag pass re-joins two |types|-sized
+    relations — broadcast at any scale."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = hourly.select("event_type", "h", F.col("n").alias("actual"))
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("n").alias("predicted"),
+    )
+    res = cur.join(prev, ["event_type", "h"]).select(
+        "event_type", (F.col("actual") - F.col("predicted")).alias("r")
+    )
+    med = res.groupBy("event_type").agg(F.median("r").alias("med_r"))
+    mad = (
+        res.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("r") - F.col("med_r"))).alias("mad_r"))
+    )
+    flagged = (
+        res.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "mad_r")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("r") - F.col("med_r")) > ANOM_K * F.col("mad_r"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalous"),
+        )
+    )
+    return flagged.select(
+        "event_type", "n_hours", F.col("mad_r").alias("mad_residual"), "n_anomalous"
+    ).orderBy("event_type")

@@ -55,6 +55,8 @@ EMPTY_SLICE = [
     "fn_string_collation",
     "layout_bucketed_join_no_shuffle",
     "corpus_span_corruption_plan",
+    "agg_bitmap_exact_distinct",
+    "events_seasonal_anomaly_hours",
 ]
 
 
