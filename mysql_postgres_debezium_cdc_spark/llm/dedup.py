@@ -659,6 +659,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_recall_eval",
+    oracle="""
+    WITH exact AS ({EXACT}),
+    mh AS ({MH}),
+    hits AS (
+      SELECT e.doc_a,
+             CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      LEFT JOIN mh m ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM mh) AS BIGINT) AS n_minhash,
+           CAST(SUM(hit) AS BIGINT) AS n_common,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           ROUND(SUM(hit) * 1.0 / (SELECT COUNT(*) FROM mh), 4) AS precision
+    FROM hits
+    """,
+    tags=("llm", "dedup", "minhash", "eval"),
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision of MinHash-LSH against the EXACT Jaccard
+    ground truth — the text-family sibling of [[dedup_lsh_recall_eval]]
+    (both sides share the shingle definition and JACCARD_THRESHOLD, and
+    the inverted-index [[dedup_ngram_jaccard]] is exhaustive for J>0,
+    so it IS the truth set; [[dedup_minhash_lsh]]'s banded candidates
+    are exact-verified, so precision pins 1.0 and recall measures the
+    4×4 banding s-curve at the operating threshold).  The oracle embeds
+    both keys' certified oracle SQL, so the eval cannot drift."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    n_mh = mh.agg(F.count(F.lit(1)).cast("bigint").alias("n_minhash"))
+    return (
+        exact.join(mh, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_common"),
+        )
+        .crossJoin(F.broadcast(n_mh))
+        .select(
+            "n_exact",
+            "n_minhash",
+            "n_common",
+            F.round(F.try_divide(F.col("n_common") * 1.0, F.col("n_exact")), 4).alias(
+                "recall"
+            ),
+            F.round(
+                F.try_divide(F.col("n_common") * 1.0, F.col("n_minhash")), 4
+            ).alias("precision"),
+        )
+    )
+
+
+def _bind_minhash_eval_oracle() -> None:
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["dedup_minhash_recall_eval"]
+    object.__setattr__(
+        spec,
+        "oracle",
+        spec.oracle.replace(
+            "{EXACT}", _REGISTRY["dedup_ngram_jaccard"].oracle
+        ).replace("{MH}", _REGISTRY["dedup_minhash_lsh"].oracle),
+    )
+
+
+_bind_minhash_eval_oracle()
+
+
 COS_NEARDUP_THRESHOLD = 0.35
 
 # Hard input bound for the exact O(n²) baseline: past this, refuse to run

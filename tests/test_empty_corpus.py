@@ -57,6 +57,7 @@ EMPTY_SLICE = [
     "corpus_span_corruption_plan",
     "agg_bitmap_exact_distinct",
     "events_seasonal_anomaly_hours",
+    "dedup_minhash_recall_eval",
 ]
 
 
