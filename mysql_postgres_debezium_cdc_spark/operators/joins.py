@@ -337,3 +337,71 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_urgent")
         .orderBy("c_custkey")
     )
+
+
+ASOF_TOLERANCE_MIN = 30  # max staleness of the matched click, minutes
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS purchase_s,
+           CASE WHEN last_click_ts >= ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTES
+                THEN CAST(FLOOR(EPOCH(last_click_ts)) AS BIGINT)
+                ELSE NULL END AS click_within_tol_s,
+           CASE WHEN last_click_ts >= ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTES
+                THEN 1 ELSE 0 END AS matched
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    semantics): each purchase matches the user's latest preceding click
+    ONLY if it is at most ASOF_TOLERANCE_MIN old — stale matches become
+    NULL, not silently-attributed conversions.  The tolerance is what
+    separates attribution ("the click that drove this purchase") from
+    mere precedence ([[join_asof_last_click]]); both share the same
+    single-shuffle running-MAX formulation, with the staleness bound
+    applied as a residual predicate AFTER the as-of resolution — never
+    as an inequality join.
+
+    Scale shape: identical to the plain as-of — one shuffle by key, a
+    keyed window, no nested loop; the tolerance costs one comparison
+    per row."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    in_tol = F.col("last_click_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTES"
+    )
+    return (
+        ev.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("purchase_s"),
+            F.when(
+                in_tol,
+                F.floor(F.unix_timestamp("last_click_ts")).cast("bigint"),
+            ).alias("click_within_tol_s"),
+            F.when(in_tol, 1).otherwise(0).alias("matched"),
+        )
+        .orderBy("event_id")
+    )

@@ -66,9 +66,9 @@ _LOADED = False
 # shows a value-green row (ann_lsh_topk, multimodal_fake_features,
 # agg_approx_count_distinct), and the riskiest of the never-sampled r1-r3
 # keys (iterative clustering, sketches, stateful streaming twins,
-# embedding maintenance, corpus governance).  The 45 remaining keys — the
+# embedding maintenance, corpus governance).  The 46 remaining keys — the
 # 28 single-shuffle SQL-surface ops (set-op variants, scalar fn parsers,
-# simple aggregates/sorts/projections) plus the 17 r5 additions (graph
+# simple aggregates/sorts/projections) plus the 18 r5 additions (graph
 # analytics, RRF fusion, boilerplate/Gopher profiling, skew diagnosis,
 # forecast evaluation, recall evals) — queue for the r6 prefix, which closes
 # certification: union r1-r6 = the whole registry.

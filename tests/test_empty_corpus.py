@@ -58,6 +58,7 @@ EMPTY_SLICE = [
     "agg_bitmap_exact_distinct",
     "events_seasonal_anomaly_hours",
     "dedup_minhash_recall_eval",
+    "join_asof_tolerance",
 ]
 
 
