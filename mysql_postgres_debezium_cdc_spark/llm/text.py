@@ -2026,8 +2026,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     no ordering dependence beyond the stable doc_id axis."""
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
-    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
-    n_grams = F.greatest(F.col("n") - NOVELTY_K + 1, F.lit(1))
+    # Docs shorter than K tokens have NO complete k-grams and emit no
+    # rows — the same semantic as the oracle's RANGE upper bound (which
+    # collapses to an empty range for n < K).  Filtering BEFORE the
+    # sequence also keeps sequence() ascending: sequence(1, n-K+1) with
+    # n-K+1 < 1 would yield a descending array and phantom grams.
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") >= NOVELTY_K
+    )
+    n_grams = F.col("n") - NOVELTY_K + 1
     grams = (
         base.select(
             "doc_id",
@@ -2122,7 +2129,14 @@ def corpus_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash evaluations per position, not a window or self-join."""
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
-    base = d.select("doc_id", F.size(toks).alias("n_tokens"))
+    # Zero-token docs (a designed output of dedup_boilerplate_removal)
+    # have no positions to corrupt and emit no row — the oracle's
+    # RANGE(0, 0) semantic.  The filter must come BEFORE the explode:
+    # sequence(0, -1) yields a DESCENDING [0, -1] array (phantom
+    # positions) and max(n_tokens)=0 would divide by zero under ANSI.
+    base = d.select("doc_id", F.size(toks).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
     pos = base.select(
         "doc_id",
         "n_tokens",
