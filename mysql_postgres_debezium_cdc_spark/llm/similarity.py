@@ -755,9 +755,7 @@ RRF_POOL = 10  # candidate depth taken from each retriever
 RRF_TOPK = 5  # fused results reported per query
 
 
-@register(
-    "rag_rrf_fusion",
-    oracle=f"""
+_RRF_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
     ),
@@ -827,10 +825,51 @@ RRF_TOPK = 5  # fused results reported per query
     )
     WHERE rk <= {RRF_TOPK}
     ORDER BY q_doc, rk
-    """,
+    """
+
+
+def _rrf_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select("doc_id", toks.alias("toks"))
+
+
+def _rrf_horner(tok):
+    return F.aggregate(
+        F.filter(F.split(tok, ""), lambda c: F.length(c) > 0),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _RAG_PRIME,
+    )
+
+
+def _rrf_terms_relation(base: DataFrame) -> DataFrame:
+    """Lexical inverted-index relation: one (doc_id, tok) row per
+    DISTINCT term per document."""
+    return base.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+
+
+def _rrf_dims_relation(base: DataFrame) -> DataFrame:
+    """Dense hashed-vector relation: (doc_id, dim, cnt) sparse counts
+    via the per-token Horner fold — the expensive corpus-side stage."""
+    return (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", (_rrf_horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "rag_rrf_fusion",
+    oracle=_RRF_ORACLE,
     tags=("llm", "similarity", "rag", "fusion"),
 )
-def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rag_rrf_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    terms_df: DataFrame | None = None,
+    dims_df: DataFrame | None = None,
+) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion: a LEXICAL retriever
     (distinct-term overlap via an inverted index — the BM25 shape with
     integer scores, so ranks are exactly deterministic) and a DENSE
@@ -854,10 +893,12 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integers, fusion scores are
     sums of two exactly-rounded rationals computed in identical
     expression order — deterministic across engines without rounding
-    tricks (output rounds 6dp for presentation only)."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    base = d.select("doc_id", toks.alias("toks"))
+    tricks (output rounds 6dp for presentation only).
+
+    ``terms_df`` / ``dims_df`` substitute PERSISTED index relations for
+    the two corpus-side builds (see [[rag_rrf_persisted_index]]); the
+    defaults build them inline from the document scan."""
+    base = _rrf_tokenized(spark, sf_dir)
     is_q = (F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM) & (
         F.col("doc_id") < RAG_QUERY_CAP
     )
@@ -868,7 +909,7 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the r5 10x probe caught exactly that: 175 s -> 43 s, PLANS.md).
     qbase = base.where(is_q)
 
-    terms = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    terms = terms_df if terms_df is not None else _rrf_terms_relation(base)
     qterms = qbase.select(
         F.col("doc_id").alias("q_doc"),
         F.explode(F.array_distinct("toks")).alias("tok"),
@@ -886,31 +927,25 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_doc", "doc_id", "lex_rank")
     )
 
-    def horner(tok):
-        return F.aggregate(
-            F.filter(F.split(tok, ""), lambda c: F.length(c) > 0),
-            F.lit(0).cast("bigint"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % _RAG_PRIME,
-        )
-
     # The corpus-side hashed-vector relation feeds TWO consumers (the
     # dot-product join and the norm aggregate); the per-token Horner
     # fold is the expensive stage, so materialize it once (eager
     # lineage cut, ContextCleaner-reclaimed — the graph_triangle_count
     # device) instead of letting each consumer re-hash the corpus.
+    # When a persisted index is supplied, the parquet scan replaces the
+    # checkpoint: re-scanning the ~12-bytes-per-row index per consumer
+    # is cheaper than a lineage cut.
     dims = (
-        base.select("doc_id", F.explode("toks").alias("tok"))
-        .select("doc_id", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
-        .groupBy("doc_id", "dim")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        dims_df
+        if dims_df is not None
+        else _rrf_dims_relation(base).localCheckpoint(eager=True)
     )
     nrm = dims.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
     )
     qdims = (
         qbase.select(F.col("doc_id").alias("q_doc"), F.explode("toks").alias("tok"))
-        .select("q_doc", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .select("q_doc", (_rrf_horner(F.col("tok")) % RAG_DIMS).alias("dim"))
         .groupBy("q_doc", "dim")
         .agg(F.count(F.lit(1)).alias("qcnt"))
     )
@@ -960,6 +995,53 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("rrf_score"),
         )
         .orderBy("q_doc", "rk")
+    )
+
+
+@register(
+    "rag_rrf_persisted_index",
+    oracle=_RRF_ORACLE,
+    tags=("llm", "similarity", "rag", "fusion", "index"),
+)
+def rag_rrf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF retrieval over PERSISTED indexes — the steady-state
+    serving path: the two corpus-side relations (the lexical inverted
+    index and the hashed-vector sparse counts — the expensive per-token
+    builds) are written ONCE per corpus version (materialize_once:
+    staged write + atomic rename, keyed by fixture fingerprint) and
+    every subsequent query batch reads the index parquet, never
+    re-tokenizing or re-hashing the corpus.  This is the pattern
+    [[ann_ivfpq_persisted_index]] established for the PQ index, applied
+    to retrieval: index build amortizes across query batches instead of
+    repeating per invocation.
+
+    Identical math to [[rag_rrf_fusion]] (same oracle TEXT certifies
+    both): the index rows are pure integers (doc_id, tok string /
+    hash-dim, count) that round-trip parquet exactly, downstream
+    cosine/fusion arithmetic is the same expression tree, so the
+    persisted path is bit-identical to the inline path — the equality
+    that licenses swapping one for the other in a serving tier."""
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    terms_path = materialize_once(
+        sf_dir,
+        "rrf_terms",
+        lambda p: _rrf_terms_relation(_rrf_tokenized(spark, sf_dir))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    dims_path = materialize_once(
+        sf_dir,
+        "rrf_dims",
+        lambda p: _rrf_dims_relation(_rrf_tokenized(spark, sf_dir))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return rag_rrf_fusion(
+        spark,
+        sf_dir,
+        terms_df=spark.read.parquet(terms_path),
+        dims_df=spark.read.parquet(dims_path),
     )
 
 

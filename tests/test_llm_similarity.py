@@ -97,3 +97,15 @@ def test_ivfpq_missing_codebook_raises_clearly(spark, tmp_path):
     similarity._PQ_CODEBOOK_CACHE.clear()
     with pytest.raises(ValueError, match="codebook donors missing"):
         all_queries()["ann_ivfpq_topk"].fn(spark, str(base))
+
+
+def test_rrf_persisted_index_bit_identical_to_inline(spark):
+    """The serving-path contract: reading the persisted term/dim indexes
+    must reproduce the inline fusion output exactly (integer index rows
+    round-trip parquet; downstream float math is the same expression
+    tree)."""
+    inline = all_queries()["rag_rrf_fusion"].fn(spark, SF_DIR_ORACLE)
+    persisted = all_queries()["rag_rrf_persisted_index"].fn(spark, SF_DIR_ORACLE)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )

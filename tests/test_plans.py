@@ -650,3 +650,25 @@ def test_bucketed_key_plan_never_shuffles_join_inputs(spark):
     assert "hashpartitioning(o_orderkey" not in r.text
     assert "hashpartitioning(l_orderkey" not in r.text
     assert r.n_shuffles <= 2, r.ops  # agg exchange + presentation sort only
+
+
+def test_rrf_persisted_index_never_rehashes_corpus(spark):
+    """rag_rrf_persisted_index's corpus-side relations must come from
+    the index parquet (rrf_terms / rrf_dims locations in the plan); the
+    documents table may be scanned only for the fixed-size query cohort
+    (qterms, qdims, and qnrm's re-derived qdims subtree — Catalyst does
+    not dedupe common subtrees, and re-scanning <=50 pushdown-filtered
+    docs is cheaper than a lineage cut), every one carrying the cohort's
+    doc_id range pushdown."""
+    r = _plan(spark, "rag_rrf_persisted_index")
+    segs = r.text.split("Location:")
+    locs = [seg.split("\n")[0] for seg in segs[1:]]
+    assert any("rrf_terms" in l for l in locs), locs
+    assert any("rrf_dims" in l for l in locs), locs
+    doc_segs = [
+        seg for seg, l in zip(segs[1:], locs) if "documents.parquet" in l
+    ]
+    assert len(doc_segs) <= 3, f"{len(doc_segs)} documents scans: {locs}"
+    for seg in doc_segs:
+        pushed = seg.split("PushedFilters:")[-1].split("\n")[0]
+        assert "LessThan(doc_id" in pushed, pushed
