@@ -12,9 +12,11 @@ edge derivation (fact-fact joins + a map-side-combining aggregate);
 the solve then runs on the aggregated GRAPH, whose size is bounded by
 the key space, not the corpus.  When the key space itself is huge
 (web graphs), the iteration stays distributed as repeated joins —
-`dedup_connected_components` is exactly that shape — but a
-nation-level graph is ≤ 25 nodes, so iterating it distributed would
-shuffle 625 rows three times for nothing.
+`graph_pagerank_distributed` below runs exactly that shape on the
+corpus-scale near-dup document graph — but a nation-level graph is
+≤ 25 nodes, so iterating it distributed would shuffle 625 rows three
+times for nothing.  Both regimes are therefore implemented, each on
+the graph whose size class demands it.
 """
 
 from __future__ import annotations
@@ -157,4 +159,121 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("pr_raw"), 6) + F.lit(0.0)).alias("pagerank"),
         )
         .orderBy(F.desc("pagerank"), F.asc("nation"))
+    )
+
+
+def _prd_oracle() -> str:
+    """Unrolled fixed-iteration damped PageRank over the near-dup doc
+    graph (same CTE-unroll device as the trade-graph oracle); the pair
+    CTE embeds the certified near-dup pair SQL so the two keys cannot
+    drift."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _CC_PAIRS_SQL
+
+    base = f"""
+    WITH pairs AS ({_CC_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    outw AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    for k in range(PR_ITERS):
+        base += f""",
+    flow{k} AS (
+      SELECT e.dst AS node, SUM(r.pr / ow.deg) AS m
+      FROM edges e
+      JOIN r{k} r ON r.node = e.src
+      JOIN outw ow ON ow.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k + 1} AS (
+      SELECT n.node,
+             (1.0 - {PR_DAMP}) / nn.n + {PR_DAMP} * COALESCE(f.m, 0.0) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN flow{k} f ON f.node = n.node
+    )"""
+    return base + f"""
+    SELECT node AS doc_id, ROUND(pr, 6) + 0.0 AS pagerank
+    FROM r{PR_ITERS}
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "graph_pagerank_distributed",
+    oracle=_prd_oracle(),
+    tags=("graph", "pagerank", "iterative", "distributed"),
+)
+def graph_pagerank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, PR_ITERS fixed iterations) over the
+    CORPUS-SCALE near-dup document graph — the web-scale shape the
+    trade-graph docstring promises: the node set grows with the corpus,
+    so every iteration stays distributed as an edge⋈rank equi-join +
+    map-side-combining aggregate; the rank relation is never collected.
+    Within duplicate clusters, rank concentrates on the most-connected
+    documents — the centrality signal a canonical-document picker can
+    rank by (vs [[dedup_connected_components]]'s min-id convention).
+
+    Iteration discipline is the pointer-jumping module's: edges, the
+    per-edge out-degree denominators, and the node set materialize
+    ONCE via eager localCheckpoint (reused every round, not recomputed
+    from lineage); each round's rank relation eagerly checkpoints so
+    plans stay constant-depth and superseded generations are reclaimed
+    by the ContextCleaner.  The ONLY driver-side values are the 1-row
+    node count (the teleport denominator — a scalar probe, not data
+    collection; the rank relation itself never leaves the cluster).
+
+    Graph contract: the pair list symmetrizes, so every node has
+    out-degree ≥ 1 and the dangling-mass term is identically zero
+    (unlike the trade graph, where supplier-less nations dangle) —
+    Σpr = 1 at every iteration by construction.  Float parity: per-node
+    flow sums are IEEE doubles whose in-group order may differ between
+    engines; only the FINAL rank rounds (6dp), the kmeans/divergence
+    contract."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # Per-edge share denominators, joined once and reused every round —
+    # without this each iteration would re-run the degree aggregate.
+    edges_w = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()  # 1-row scalar probe (graph-sized aggregate, not data)
+    if n == 0:
+        return spark.createDataFrame([], "doc_id bigint, pagerank double")
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(PR_ITERS):
+        flow = (
+            edges_w.join(ranks, edges_w.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
+        )
+        ranks = (
+            nodes.join(flow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PR_DAMP) / n)
+                    + PR_DAMP * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"),
+            (F.round(F.col("pr"), 6) + F.lit(0.0)).alias("pagerank"),
+        )
+        .orderBy("doc_id")
     )

@@ -59,6 +59,9 @@ EMPTY_SLICE = [
     "events_seasonal_anomaly_hours",
     "dedup_minhash_recall_eval",
     "join_asof_tolerance",
+    # r6 additions
+    "graph_pagerank_distributed",
+    "rag_rrf_persisted_index",
 ]
 
 

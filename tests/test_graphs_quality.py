@@ -82,3 +82,32 @@ def test_rrf_score_identity(spark, queries):
         saw_both |= r["lex_rank"] is not None and r["dense_rank"] is not None
         saw_lex_only |= (r["lex_rank"] is None) != (r["dense_rank"] is None)
     assert saw_both  # fusion actually meets in the middle somewhere
+
+
+def test_distributed_pagerank_is_a_distribution_over_pair_nodes(spark, queries):
+    """The symmetrized near-dup graph has no dangling nodes (every
+    endpoint has out-degree >= 1), so mass conserves: ranks sum to 1,
+    all strictly positive, and the node set is exactly the set of
+    near-dup pair endpoints."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _jaccard_pairs
+
+    rows = queries["graph_pagerank_distributed"](spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-4
+    endpoints = set()
+    for p in _jaccard_pairs(spark, SF).collect():
+        endpoints.add(p["doc_a"])
+        endpoints.add(p["doc_b"])
+    assert {r["doc_id"] for r in rows} == endpoints
+
+
+def test_distributed_pagerank_never_collects_rank_relation(spark, queries):
+    """The rank relation must stay on the cluster: the returned plan
+    reads checkpointed RDDs (Scan ExistingRDD), never a LocalTableScan
+    or parallelized local collection — the signature graph_pagerank_
+    trade's bounded driver solve leaves and this operator must not."""
+    df = queries["graph_pagerank_distributed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
