@@ -54,89 +54,86 @@ _LOADED = False
 
 # The driver's correctness harness checks queries in registry order and caps
 # the sweep at the first 50 keys.  The prefix is ROTATED each round so the
-# union of driver rounds certifies the whole registry: rounds 1-4 checked
-# 135 distinct keys (CORRECTNESS_r0{1..4}.json — 132 value-green, 3 recorded
-# only as r1 `no_oracle` rows before their oracles landed in r3).  The
-# round-5 prefix below is 50 of the 78 keys with no driver-side green row:
-# the late-r4 wave VERDICT r4 ranked highest-risk (SCD2 point-in-time join,
-# IVF-PQ inline + persisted index, the BPE training loop, the composed
-# near-dedup pipeline, GDPR scrub, decontamination, global shuffle shards,
-# Misra-Gries heavy hitters, DPP-pruned scan, LEFT OUTER stream-stream
-# join), the 3 legacy `no_oracle` keys re-entered so their record finally
-# shows a value-green row (ann_lsh_topk, multimodal_fake_features,
-# agg_approx_count_distinct), and the riskiest of the never-sampled r1-r3
-# keys (iterative clustering, sketches, stateful streaming twins,
-# embedding maintenance, corpus governance).  The 46 remaining keys — the
-# 28 single-shuffle SQL-surface ops (set-op variants, scalar fn parsers,
-# simple aggregates/sorts/projections) plus the 18 r5 additions (graph
-# analytics, RRF fusion, boilerplate/Gopher profiling, skew diagnosis,
-# forecast evaluation, recall evals) — queue for the r6 prefix, which closes
-# certification: union r1-r6 = the whole registry.
-# Every key also
-# passes the identical in-repo comparison (tests/test_oracle_parity.py),
-# which sweeps all registered keys every round regardless of prefix.
+# union of driver rounds certifies the whole registry: rounds 1-5 checked
+# 182 distinct keys (CORRECTNESS_r0{1..5}.json, all value-green; the 3 r1
+# `no_oracle` rows were re-greened in r5).  The round-6 prefix below is
+# EXACTLY the 46 keys with no driver-side green row (the 18 r5 additions —
+# graph analytics, RRF fusion, boilerplate/Gopher profiling, skew
+# diagnosis, forecast evaluation, recall evals — plus 28 r1-r3 stragglers:
+# set-op multiset variants, scalar fn parsers, SQL-API surface, simple
+# aggregates/sorts/projections, binaryFile/mergeSchema sources), the 2 r6
+# additions (persisted-index RRF serving path, distributed PageRank), and
+# 2 high-value re-greens of keys whose code paths moved this round's watch
+# list (cdc_lastwrite_materialize — the flagship standing query under the
+# bench-regression question; dedup_embedding_lsh — the retuned 8x6 capped
+# default).  Union r1-r6 = the whole registry: certification closes this
+# round.  Every key also passes the identical in-repo comparison
+# (tests/test_oracle_parity.py), which sweeps all registered keys every
+# round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    # Highest-risk late-r4 additions (VERDICT r4 "Next round" item 2)
-    "cdc_scd2_point_in_time_join",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_persisted_index",
-    "corpus_bpe_train_merges",
-    "corpus_bpe_train_and_encode",
-    "corpus_near_dedup_pipeline",
-    "cdc_gdpr_scrub",
-    "dq_decontaminate_corpus",
-    "corpus_global_shuffle_shards",
-    "agg_heavy_hitters_mg",
-    "layout_dpp_join_pruned_scan",
-    "stream_stream_join_left_outer",
-    # Legacy r1 `no_oracle` keys — oracles added in r3, never re-swept
-    "ann_lsh_topk",
-    "multimodal_fake_features",
-    "agg_approx_count_distinct",
-    # Clustering / semantic dedup / retrieval (iterative + composed plans)
-    "cluster_kmeans_embeddings",
-    "corpus_semantic_dedup",
-    "corpus_rag_retrieval",
-    "ann_knn_label_eval",
-    # Dedup family not yet driver-sampled
-    "dedup_embedding_clusters",
-    "dedup_exact_substring_spans",
-    "dedup_bloom_incremental",
-    "dedup_cross_source_leak",
-    "dedup_ngram_containment",
-    "dq_contamination_ngram_overlap",
-    # Embedding maintenance
-    "embedding_normalize_quantize",
-    "embedding_dimension_stats",
-    "embedding_dimension_correlation",
-    # Corpus governance
-    "text_pii_redaction",
-    "corpus_train_val_test_split",
-    "corpus_mixture_weighted_sample",
-    "corpus_reservoir_per_group",
-    "corpus_dataset_card",
-    # Text / tokenization
-    "corpus_bpe_pair_counts",
-    "corpus_bpe_encode",
-    "text_pmi_bigrams",
-    "text_vocab_head_coverage",
-    "text_source_divergence",
-    "text_quality_classifier",
-    # Behavioral / event analytics
-    "events_sessionize_gap_chunked",
-    "events_ewma_hourly",
-    "events_markov_transition",
-    # Sketch aggregates
-    "agg_hll_sketch_mergeable",
-    "agg_approx_percentile",
-    "agg_mode_deterministic",
-    # Streaming twins / CDC egress
-    "stream_user_running_state_stateful",
-    "stream_static_enrichment",
-    "cdc_envelope_encode_roundtrip",
-    # Layout / UDF surface
-    "layout_zorder_cells",
-    "udf_map_in_arrow",
+    # r6 additions (never existed before this round)
+    "rag_rrf_persisted_index",
+    "graph_pagerank_distributed",
+    # r5 additions never driver-swept: recall evals + hybrid retrieval
+    "dedup_minhash_recall_eval",
+    "ann_ivf_recall_eval",
+    "dedup_lsh_recall_eval",
+    "rag_rrf_fusion",
+    # r5 graph + profiling additions
+    "graph_triangle_count",
+    "graph_pagerank_trade",
+    "dedup_boilerplate_lines",
+    "dedup_boilerplate_removal",
+    "text_gopher_quality_flags",
+    "text_ngram_novelty",
+    "corpus_span_corruption_plan",
+    "agg_skew_profile",
+    "agg_bitmap_exact_distinct",
+    "events_seasonal_naive_eval",
+    "events_seasonal_anomaly_hours",
+    "join_asof_tolerance",
+    "fn_string_collation",
+    "layout_bucketed_join_no_shuffle",
+    # r1-r3 stragglers: sources
+    "source_binaryfile_scan",
+    "source_parquet_merge_schema",
+    # scalar fn parsers
+    "fn_url_parse",
+    "fn_xml_parse",
+    # text/corpus ops
+    "text_repetition_ratio",
+    "text_unigram_lm_score",
+    "corpus_bigram_lm_counts",
+    "corpus_chunk_documents",
+    "corpus_length_bucketed_batches",
+    # aggregates / ordered collections
+    "agg_collect_sorted",
+    "agg_string_concat_ordered",
+    "agg_bool_and_or",
+    # behavioral / event analytics
+    "events_cumulative_unique_users",
+    "events_anomaly_mad",
+    "events_multi_granularity_rollup",
+    # projection / quality / joins / set ops
+    "project_case_when",
+    "dq_null_profile",
+    "join_cross",
+    "setop_union_all",
+    "setop_intersect_all",
+    "setop_except_all",
+    # SQL-API surface
+    "sql_api_lateral_topn",
+    "sql_api_agg_filter_clause",
+    "sql_api_pipe_syntax",
+    "sql_api_parameterized",
+    # sort / top-k / window
+    "sort_multi_key",
+    "topk_max_by_group",
+    "window_percent_rank_cume_dist",
+    # High-value re-greens (keys 49-50): the flagship standing query
+    # (bench watch item) and the retuned capped-LSH default
+    "cdc_lastwrite_materialize",
+    "dedup_embedding_lsh",
 )
 
 
