@@ -872,6 +872,7 @@ EMB_LSH_DEFAULT_BUCKET_WIDTH = 64
 
 @register(
     "dedup_embedding_lsh",
+    bench=True,
     oracle=f"""
     WITH {LSH_SIGS_SQL},
     ranked AS (

@@ -861,6 +861,7 @@ def _rrf_dims_relation(base: DataFrame) -> DataFrame:
 
 @register(
     "rag_rrf_fusion",
+    bench=True,
     oracle=_RRF_ORACLE,
     tags=("llm", "similarity", "rag", "fusion"),
 )

@@ -312,7 +312,14 @@ def layout_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFra
 
     tag = fixture_fingerprint(sf_dir)
     tbl_o, tbl_l = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
-    base = tempfile.gettempdir()
+    # The write path is scoped per SESSION (applicationId), not just per
+    # fixture fingerprint: catalog table names are session-local, so two
+    # concurrent sessions would both see tableExists()=False and race
+    # concurrent bucketed writes into a shared per-fingerprint path; a
+    # session-scoped directory gives each its own, and stale directories
+    # die with the application's temp space instead of accumulating
+    # under one shared key (ADVICE r5).
+    base = f"{tempfile.gettempdir()}/spark_graft_bkt_{spark.sparkContext.applicationId}"
     if not spark.catalog.tableExists(tbl_o):
         write_bucketed(
             load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),

@@ -328,24 +328,13 @@ TWS_OUTPUT = T.StructType(
 )
 
 
-def user_state_tws(spark: SparkSession, events: DataFrame) -> DataFrame:
-    """Custom stateful operator on the Spark 4 ``transformWithState``
-    API (StatefulProcessor + typed state variables) — the successor to
-    ``applyInPandasWithState`` ([[user_state_stateful]] keeps the old
-    surface covered).  Two state variables per user demonstrate the
-    composite-state capability the old API lacks:
-
-    - a ValueState (n_events, sum_cents) — the running aggregate, in
-      INTEGER CENTS so cross-batch accumulation is exact and the batch
-      twin can demand equality with no float tolerance;
-    - a ListState of event ids, truncated to the top-3 after every
-      batch — bounded per-key state the old single-value API could
-      only fake by packing into one row.
-
-    transformWithState requires the RocksDB state-store provider (set
-    by the caller); state shards by the groupBy key like any keyed
-    aggregation, so the operator scales out with partitions."""
-    import pandas as pd
+def make_user_agg_processor():
+    """The TWS StatefulProcessor behind [[user_state_tws]], hoisted so
+    its fold/top-3 arithmetic is unit-testable against a stubbed handle
+    (tests/test_tws_stateful.py) even where the transformWithState
+    runtime protocol (google.protobuf) is unavailable — the class and
+    its methods import cleanly; only a live run needs protobuf."""
+    import pandas as pd  # noqa: F401 (used by handleInputRows)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class _UserAgg(StatefulProcessor):
@@ -354,13 +343,17 @@ def user_state_tws(spark: SparkSession, events: DataFrame) -> DataFrame:
             self._ids = handle.getListState("ids", "id LONG")
 
         def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            import pandas as pd
+
             st = self._agg.get()
             n, s = (int(st[0]), int(st[1])) if st is not None else (0, 0)
             new_ids = []
             for pdf in rows:
                 n += len(pdf)
                 # FLOOR(value*100) on the same doubles both engines hold
-                s += int((pdf["value"] * 100).apply(__import__("math").floor).sum())
+                s += int((pdf["value"] * 100).apply(math.floor).sum())
                 new_ids.extend(int(i) for i in pdf["event_id"])
             ids = sorted(
                 [t[0] for t in self._ids.get()] + new_ids, reverse=True
@@ -379,11 +372,31 @@ def user_state_tws(spark: SparkSession, events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return _UserAgg()
+
+
+def user_state_tws(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API (StatefulProcessor + typed state variables) — the successor to
+    ``applyInPandasWithState`` ([[user_state_stateful]] keeps the old
+    surface covered).  Two state variables per user demonstrate the
+    composite-state capability the old API lacks:
+
+    - a ValueState (n_events, sum_cents) — the running aggregate, in
+      INTEGER CENTS so cross-batch accumulation is exact and the batch
+      twin can demand equality with no float tolerance;
+    - a ListState of event ids, truncated to the top-3 after every
+      batch — bounded per-key state the old single-value API could
+      only fake by packing into one row.
+
+    transformWithState requires the RocksDB state-store provider (set
+    by the caller); state shards by the groupBy key like any keyed
+    aggregation, so the operator scales out with partitions."""
     return (
         events.select("user_id", "event_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=_UserAgg(),
+            statefulProcessor=make_user_agg_processor(),
             outputStructType=TWS_OUTPUT,
             outputMode="Update",
             timeMode="None",

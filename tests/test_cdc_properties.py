@@ -422,3 +422,143 @@ def test_scd2_history_matches_interval_scan(spark, tmp_path_factory, seqs):
         for r in all_queries()["cdc_scd2_history"].fn(spark, str(base)).collect()
     }
     assert got == _scd2_history_oracle(rows)
+
+
+# ---------------------------------------------------------------------------
+# Ordering hazards beyond the single-partition generator (VERDICT r5 #6):
+# cross-partition interleavings of a keyed topic, and log-compaction gaps.
+# ---------------------------------------------------------------------------
+
+PARTITION_STRIDE = 1_000_000  # ORDER_COL encoding: partition * stride + offset
+
+
+@st.composite
+def partitioned_streams(draw):
+    """A keyed topic spread over TWO partitions under Debezium's default
+    key-hash partitioner (key % 2 → partition).  Kafka guarantees order
+    only WITHIN a partition; batches may interleave reads from the two
+    partitions arbitrarily.  Because a key's events all live in one
+    partition (the key-hash contract), last-write-wins only ever
+    compares offsets of the SAME partition — so any ORDER_COL encoding
+    that is monotone within a partition (here partition*stride+offset)
+    converges, even though it imposes an arbitrary CROSS-partition
+    order.  That is the per-key-per-partition contract this family
+    pins: correctness requires key-affine partitioning, not a global
+    offset order."""
+    events = draw(st.lists(
+        st.tuples(
+            st.sampled_from(["c", "u", "r", "d"]),
+            st.integers(min_value=0, max_value=4),
+            st.text(alphabet="abc", min_size=0, max_size=3),
+        ),
+        min_size=1,
+        max_size=20,
+    ))
+    # Each batch draws a (partition, how-many) pull: the consumer polls
+    # an arbitrary interleaving of the two partitions' heads.
+    pulls = draw(st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 6)),
+        min_size=1, max_size=12,
+    ))
+    batch_cuts = draw(st.integers(min_value=1, max_value=4))
+    return events, pulls, batch_cuts
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(plan=partitioned_streams())
+def test_replay_converges_across_partition_interleavings(spark, plan):
+    """Same-key events split across Kafka partitions: under the key-hash
+    partitioner each key is confined to one partition, so ANY
+    interleaving of the partitions' ordered streams — including pulls
+    that run one partition far ahead of the other — must converge to
+    the single-threaded in-order replay."""
+    events, pulls, batch_cuts = plan
+    # Route each event to its key's home partition; per-partition
+    # offsets are dense and independent (both start at 0).
+    parts = {0: [], 1: []}
+    for op, key, name in events:
+        p = key % 2
+        img = {"id": key, "name": name}
+        env = {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "source": {"db": "app", "table": "t", "ts_ms": 0},
+            "op": op,
+            "ts_ms": 0,
+        }
+        parts[p].append((json.dumps(env), p * PARTITION_STRIDE + len(parts[p])))
+    # Materialize the consumer's read sequence from the pull plan, then
+    # drain any tail so every event is delivered at least once.
+    heads = {0: 0, 1: 0}
+    seq = []
+    for p, k in pulls:
+        take = parts[p][heads[p] : heads[p] + k]
+        seq.extend(take)
+        heads[p] += len(take)
+    for p in (0, 1):
+        seq.extend(parts[p][heads[p]:])
+
+    state = None
+    step = max(1, (len(seq) + batch_cuts - 1) // batch_cuts)
+    for i in range(0, len(seq), step):
+        df = spark.createDataFrame(seq[i : i + step], "value string, offset long")
+        ev = with_change_columns(decode_envelope(df, ROW_SCHEMA))
+        state = apply_changes(state, compact(ev, ["id"]), ["id"], ["name"])
+    got = {r["id"]: r["name"] for r in state.collect()}
+    assert got == oracle_replay(events)
+
+
+@st.composite
+def compacted_logs(draw):
+    """A topic-compaction scenario: everything before the compaction
+    point keeps only each key's LATEST event (tombstones included —
+    pre-retention), offsets preserved, so the replayed log has GAPS and
+    keys whose earliest events are missing."""
+    events = draw(st.lists(
+        st.tuples(
+            st.sampled_from(["c", "u", "r", "d"]),
+            st.integers(min_value=0, max_value=4),
+            st.text(alphabet="abc", min_size=0, max_size=3),
+        ),
+        min_size=2,
+        max_size=20,
+    ))
+    cpoint = draw(st.integers(min_value=1, max_value=len(events)))
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    return events, cpoint, n_batches
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(plan=compacted_logs())
+def test_replay_converges_over_compaction_gaps(spark, plan):
+    """Log compaction drops superseded per-key events, leaving offset
+    gaps and keys that first appear mid-stream as 'u'/'d'.  Last-write-
+    wins must be insensitive: only each key's max-offset event decides,
+    so the compacted replay equals the full replay.  Pins that nothing
+    in decode → compact → apply assumes dense offsets or that a key's
+    first event is a create."""
+    events, cpoint, n_batches = plan
+    latest_before = {}
+    for off, (op, key, name) in enumerate(events[:cpoint]):
+        latest_before[key] = off
+    kept = sorted(latest_before.values()) + list(range(cpoint, len(events)))
+    rows = []
+    for off in kept:
+        op, key, name = events[off]
+        img = {"id": key, "name": name}
+        env = {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "source": {"db": "app", "table": "t", "ts_ms": 0},
+            "op": op,
+            "ts_ms": 0,
+        }
+        rows.append((json.dumps(env), off))
+    state = None
+    step = max(1, (len(rows) + n_batches - 1) // n_batches)
+    for i in range(0, len(rows), step):
+        df = spark.createDataFrame(rows[i : i + step], "value string, offset long")
+        ev = with_change_columns(decode_envelope(df, ROW_SCHEMA))
+        state = apply_changes(state, compact(ev, ["id"]), ["id"], ["name"])
+    got = {r["id"]: r["name"] for r in state.collect()}
+    assert got == oracle_replay(events)

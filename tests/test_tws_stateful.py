@@ -71,3 +71,98 @@ def test_tws_running_state_matches_batch_twin(spark):
         assert r["sf_n_events"] == r["b_n_events"], r
         assert r["sf_sum_cents"] == r["b_sum_cents"], r
         assert r["sf_top3_ids"] == r["b_top3_ids"], r
+
+
+# ---------------------------------------------------------------------------
+# Stubbed-handle coverage (ADVICE r5): the fold/top-3 arithmetic runs
+# against fake state variables, so the processor logic is exercised even
+# where the protobuf state-server protocol is absent.
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeListState:
+    def __init__(self):
+        self._rows = []
+
+    def get(self):
+        return iter(list(self._rows))
+
+    def put(self, rows):
+        self._rows = list(rows)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def test_user_agg_fold_and_top3_against_stub_handle():
+    """Two batches for one key: the running (n, sum_cents) must
+    accumulate exactly (integer cents, floor semantics) and the
+    ListState must round-trip (id,) tuples, keeping the global top-3
+    event ids across batches."""
+    import pandas as pd
+
+    from mysql_postgres_debezium_cdc_spark.streaming.jobs import (
+        make_user_agg_processor,
+    )
+
+    proc = make_user_agg_processor()
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    b1 = pd.DataFrame({"event_id": [5, 2, 9], "value": [1.005, 2.999, 0.0]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    assert len(out1) == 1
+    r1 = out1[0].iloc[0]
+    # floor(100.4999...) = 100 (1.005*100 in IEEE is just under 100.5),
+    # floor(299.9) = 299, floor(0) = 0
+    assert r1["user_id"] == 7
+    assert r1["n_events"] == 3
+    assert r1["sum_cents"] == 100 + 299 + 0
+    assert r1["top3_ids"] == [9, 5, 2]
+
+    b2a = pd.DataFrame({"event_id": [11], "value": [0.01]})
+    b2b = pd.DataFrame({"event_id": [1, 6], "value": [10.0, -0.5]})
+    out2 = list(proc.handleInputRows((7,), iter([b2a, b2b]), None))
+    r2 = out2[0].iloc[0]
+    assert r2["n_events"] == 6
+    assert r2["sum_cents"] == 399 + 1 + 1000 - 50
+    assert r2["top3_ids"] == [11, 9, 6]  # global top-3, not per-batch
+
+    proc.close()
+
+
+def test_user_agg_empty_state_then_delete_like_batch():
+    """First-ever batch (ValueState.get() is None) must start the fold
+    at (0, 0); an empty pandas batch contributes nothing."""
+    import pandas as pd
+
+    from mysql_postgres_debezium_cdc_spark.streaming.jobs import (
+        make_user_agg_processor,
+    )
+
+    proc = make_user_agg_processor()
+    proc.init(_FakeHandle())
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "value": pd.Series([], dtype="float64")})
+    out = list(proc.handleInputRows((1,), iter([empty]), None))
+    r = out[0].iloc[0]
+    assert (r["n_events"], r["sum_cents"], r["top3_ids"]) == (0, 0, [])
