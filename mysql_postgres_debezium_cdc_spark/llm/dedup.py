@@ -528,6 +528,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_profile(
+    spark: SparkSession, sf_dir: str, predicate: str | None = None
+) -> DataFrame:
+    """Per-document MinHash profile: (doc_id, n_sh, sids, mh0..mh{N-1})
+    from ONE partial+final aggregation over the distinct shingle ids —
+    the relation both the full-corpus LSH and the incremental index
+    build share."""
+    sh = _shingles(spark, sf_dir, predicate=predicate)
+    doc_sids = sh.select(
+        "doc_id", _feature_id(F.col("shingle")).alias("sid")
+    ).distinct()
+    mh = [
+        F.min((F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("sid") + j) % MH_PRIME).alias(
+            f"mh{j}"
+        )
+        for j in range(N_HASHES)
+    ]
+    return doc_sids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sort_array(F.collect_list("sid")).alias("sids"),
+        *mh,
+    )
+
+
+def _mh_band_sigs() -> "F.Column":
+    """The N_BANDS banded signature strings over the mh columns."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def _mh_sql(j: int) -> str:
     # multiplier pre-reduced mod P: product with a 31-bit sid stays < 2⁶²
     return f"MIN(({(j * MH_MULT + 1) % MH_PRIME} * sid + {j}) % {MH_PRIME}) AS mh{j}"
@@ -608,33 +645,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision can merge two shingles into one feature id in BOTH
     engines — `distinct` on (doc, sid) keeps the set semantics exact
     under that merge."""
-    sh = _shingles(spark, sf_dir)
-    doc_sids = sh.select(
-        "doc_id", _feature_id(F.col("shingle")).alias("sid")
-    ).distinct()
-
-    mh = [
-        F.min((F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("sid") + j) % MH_PRIME).alias(
-            f"mh{j}"
-        )
-        for j in range(N_HASHES)
-    ]
-    profile = doc_sids.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        F.sort_array(F.collect_list("sid")).alias("sids"),
-        *mh,
-    ).persist()
-    band_sigs = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[F.col(f"mh{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+    profile = _mh_profile(spark, sf_dir).persist()
     buckets = (
-        profile.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
+        profile.select("doc_id", F.posexplode(_mh_band_sigs()).alias("band", "band_sig"))
         .groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .where(F.size("docs") > 1)
@@ -728,6 +741,143 @@ def _bind_minhash_eval_oracle() -> None:
 
 
 _bind_minhash_eval_oracle()
+
+
+# Incremental dedup batch cohort: doc_id % INCR_MOD == INCR_REM is "today's
+# batch"; everything else is the already-indexed corpus.
+INCR_MOD = 10
+INCR_REM = 3
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL.format(filter="")}),
+    doc_sids AS (
+      SELECT DISTINCT doc_id, {_SID_SQL} AS sid FROM shingles
+    ),
+    sigs AS (
+      SELECT doc_id, COUNT(*) AS n_sh,
+             {", ".join(_mh_sql(j) for j in range(N_HASHES))}
+      FROM doc_sids
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, n_sh, b.band, b.band_sig
+      FROM sigs, LATERAL (
+        SELECT UNNEST(RANGE(0, {N_BANDS})) AS band,
+               UNNEST([{_BAND_SIGS_SQL}]) AS band_sig
+      ) b
+    ),
+    candidates AS (
+      SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS dup_doc,
+             n.n_sh AS na, i.n_sh AS nb
+      FROM bands n JOIN bands i
+        ON i.band = n.band AND i.band_sig = n.band_sig
+      WHERE n.doc_id % {INCR_MOD} = {INCR_REM}
+        AND i.doc_id % {INCR_MOD} <> {INCR_REM}
+    ),
+    verified AS (
+      SELECT c.new_doc, c.dup_doc, MIN(c.na) AS na, MIN(c.nb) AS nb,
+             COUNT(*) AS n_common
+      FROM candidates c
+      JOIN doc_sids x ON x.doc_id = c.new_doc
+      JOIN doc_sids y ON y.doc_id = c.dup_doc AND y.sid = x.sid
+      GROUP BY c.new_doc, c.dup_doc
+    )
+    SELECT new_doc, dup_doc,
+           ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY new_doc, dup_doc
+    """,
+    tags=("llm", "dedup", "minhash", "incremental", "index"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a PERSISTED MinHash-LSH index —
+    the nightly-ingest shape: the existing corpus's banded signatures
+    and verification profiles are written ONCE per corpus version
+    (materialize_once, fixture-fingerprint-keyed), and each new batch
+    (the deterministic doc_id % INCR_MOD == INCR_REM cohort) probes the
+    index for candidate buckets, exact-verifying only the collisions.  The
+    near-dup sibling of [[dedup_bloom_incremental]] (which answers
+    exact "seen before?"); this answers "is today's document a NEAR
+    duplicate of anything already indexed" without re-signing the
+    corpus.
+
+    Scale shape: batch-side shingling/signing touches only the batch;
+    the candidate probe is an equi-join on (band, band_sig) between the
+    batch's bands and the index parquet (pushdown-prunable by band);
+    verification joins the batch's sid arrays against ONLY the
+    colliding index docs' persisted profiles.  Per-batch cost is
+    O(batch + collisions), never O(corpus) — the property that makes
+    nightly dedup affordable at 100 TB.  Index rows are integers and
+    sorted integer arrays, so parquet round-trip is exact and the
+    output is bit-identical to an inline two-sided run (the same
+    oracle certifies both sides from scratch)."""
+    import os
+
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    def _build(p: str) -> None:
+        prof = _mh_profile(
+            spark, sf_dir, predicate=f"doc_id % {INCR_MOD} <> {INCR_REM}"
+        ).persist()
+        prof.select("doc_id", "n_sh", "sids").write.mode("overwrite").parquet(
+            f"{p}/profiles"
+        )
+        prof.select(
+            "doc_id", F.posexplode(_mh_band_sigs()).alias("band", "band_sig")
+        ).write.mode("overwrite").parquet(f"{p}/bands")
+        prof.unpersist()
+        # materialize_once commits on a TOP-LEVEL _SUCCESS marker; the
+        # two Spark writes each left one inside their subdirectory.
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    path = materialize_once(sf_dir, "mh_index", _build)
+    idx_prof = spark.read.parquet(f"{path}/profiles").select(
+        F.col("doc_id").alias("dup_doc"),
+        F.col("n_sh").alias("nb"),
+        F.col("sids").alias("sids_b"),
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col("doc_id").alias("dup_doc"), "band", "band_sig"
+    )
+
+    # Batch side: profile feeds both the probe and the verify join —
+    # batch-sized, so one eager lineage cut materializes it.
+    newp = _mh_profile(
+        spark, sf_dir, predicate=f"doc_id % {INCR_MOD} = {INCR_REM}"
+    ).localCheckpoint(eager=True)
+    new_bands = newp.select(
+        F.col("doc_id").alias("new_doc"),
+        F.posexplode(_mh_band_sigs()).alias("band", "band_sig"),
+    )
+    candidates = (
+        new_bands.join(idx_bands, ["band", "band_sig"])
+        .select("new_doc", "dup_doc")
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            newp.select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("n_sh").alias("na"),
+                F.col("sids").alias("sids_a"),
+            ),
+            "new_doc",
+        )
+        .join(idx_prof, "dup_doc")
+        .withColumn("n_common", F.size(F.array_intersect("sids_a", "sids_b")))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        verified.where(jac >= JACCARD_THRESHOLD)
+        .select("new_doc", "dup_doc", F.round(jac, 4).alias("jaccard"))
+        .orderBy("new_doc", "dup_doc")
+    )
 
 
 COS_NEARDUP_THRESHOLD = 0.35

@@ -573,9 +573,7 @@ def _horner_sql(var: str) -> str:
     )
 
 
-@register(
-    "corpus_rag_retrieval",
-    oracle=f"""
+_RAG_ORACLE = f"""
     WITH d AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
              LEN(STRING_SPLIT(text, ' ')) AS n
@@ -635,10 +633,43 @@ def _horner_sql(var: str) -> str:
     )
     WHERE rk <= {RAG_TOPK}
     ORDER BY q_doc, rk
-    """,
+    """
+
+
+def _rag_chunk_dims_relation(base: DataFrame) -> DataFrame:
+    """Chunk-vector index relation: (doc_id, chunk_id, dim, cnt) sparse
+    hashed counts over overlapping token windows — the corpus-side
+    build both the inline and persisted RAG retrieval paths share."""
+    nc = F.ceil(
+        F.greatest(F.col("n") - _RAG_CHUNK_W, F.lit(0)) / F.lit(float(_RAG_CHUNK_S))
+    ) + 1
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.slice(
+            F.col("toks"), F.lit(1) + F.col("chunk_id") * _RAG_CHUNK_S, F.lit(_RAG_CHUNK_W)
+        ).alias("ctoks"),
+    )
+    return (
+        chunks.select("doc_id", "chunk_id", F.explode("ctoks").alias("tok"))
+        .select("doc_id", "chunk_id", (_rrf_horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .groupBy("doc_id", "chunk_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "corpus_rag_retrieval",
+    oracle=_RAG_ORACLE,
     tags=("llm", "similarity", "rag"),
 )
-def corpus_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_rag_retrieval(
+    spark: SparkSession, sf_dir: str, cdims_df: DataFrame | None = None
+) -> DataFrame:
     """End-to-end RAG indexing + retrieval, composed from the engine's
     own pieces: documents are cut into overlapping chunks (same
     boundary contract as corpus_chunk_documents), each chunk is
@@ -660,41 +691,21 @@ def corpus_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side streams, dot products partially aggregate map-side,
     and the per-query top-k is WindowGroupLimit-pruned.  Swapping the
     hashing embed for real vectors turns this into exactly
-    ann_ivf_topk's problem — the IVF path is the scale continuation."""
+    ann_ivf_topk's problem — the IVF path is the scale continuation.
+
+    ``cdims_df`` substitutes a PERSISTED chunk-vector index for the
+    corpus-side build (see [[corpus_rag_persisted_chunks]]); the
+    default builds it inline."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
 
-    nc = F.ceil(
-        F.greatest(F.col("n") - _RAG_CHUNK_W, F.lit(0)) / F.lit(float(_RAG_CHUNK_S))
-    ) + 1
-    chunks = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_id"),
-    ).select(
-        "doc_id",
-        F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        F.slice(
-            F.col("toks"), F.lit(1) + F.col("chunk_id") * _RAG_CHUNK_S, F.lit(_RAG_CHUNK_W)
-        ).alias("ctoks"),
-    )
-
-    def horner(tok):
-        return F.aggregate(
-            F.filter(F.split(tok, ""), lambda c: F.length(c) > 0),
-            F.lit(0).cast("bigint"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % _RAG_PRIME,
-        )
-
     cdims = (
-        chunks.select("doc_id", "chunk_id", F.explode("ctoks").alias("tok"))
-        .select("doc_id", "chunk_id", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
-        .groupBy("doc_id", "chunk_id", "dim")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        cdims_df
+        if cdims_df is not None
         # two consumers (dot join + norms) over the expensive per-token
         # Horner fold — materialize once, same device as rag_rrf_fusion
-        .localCheckpoint(eager=True)
+        else _rag_chunk_dims_relation(base).localCheckpoint(eager=True)
     )
     cnorm = cdims.groupBy("doc_id", "chunk_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
@@ -705,7 +716,7 @@ def corpus_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qdims = (
         qd.select(F.col("doc_id").alias("q_doc"), F.explode("toks").alias("tok"))
-        .select("q_doc", (horner(F.col("tok")) % RAG_DIMS).alias("dim"))
+        .select("q_doc", (_rrf_horner(F.col("tok")) % RAG_DIMS).alias("dim"))
         .groupBy("q_doc", "dim")
         .agg(F.count(F.lit(1)).alias("qcnt"))
     )
@@ -743,6 +754,34 @@ def corpus_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("cos"),
         )
         .orderBy("q_doc", "rk")
+    )
+
+
+@register(
+    "corpus_rag_persisted_chunks",
+    oracle=_RAG_ORACLE,
+    tags=("llm", "similarity", "rag", "index"),
+)
+def corpus_rag_persisted_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval over a PERSISTED chunk-vector index — the serving
+    path for [[corpus_rag_retrieval]]: the chunk→embed stage (the
+    corpus-scale work) is written once per corpus version and every
+    query batch reads the index parquet, re-embedding only the ≤50
+    cohort queries.  Completes the serving-tier family:
+    [[ann_ivfpq_persisted_index]] (PQ codes),
+    [[rag_rrf_persisted_index]] (hybrid term+vector indexes), and this
+    (chunk granularity).  Index rows are pure integers, so the output
+    is bit-identical to the inline path; the same oracle certifies
+    both."""
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    def _build(p: str) -> None:
+        base = _rrf_tokenized(spark, sf_dir).withColumn("n", F.size("toks"))
+        _rag_chunk_dims_relation(base).write.mode("overwrite").parquet(p)
+
+    path = materialize_once(sf_dir, "rag_chunk_dims", _build)
+    return corpus_rag_retrieval(
+        spark, sf_dir, cdims_df=spark.read.parquet(path)
     )
 
 

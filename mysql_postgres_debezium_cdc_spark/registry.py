@@ -61,18 +61,22 @@ _LOADED = False
 # graph analytics, RRF fusion, boilerplate/Gopher profiling, skew
 # diagnosis, forecast evaluation, recall evals — plus 28 r1-r3 stragglers:
 # set-op multiset variants, scalar fn parsers, SQL-API surface, simple
-# aggregates/sorts/projections, binaryFile/mergeSchema sources), the 2 r6
-# additions (persisted-index RRF serving path, distributed PageRank), and
-# 2 high-value re-greens of keys whose code paths moved this round's watch
-# list (cdc_lastwrite_materialize — the flagship standing query under the
-# bench-regression question; dedup_embedding_lsh — the retuned 8x6 capped
-# default).  Union r1-r6 = the whole registry: certification closes this
-# round.  Every key also passes the identical in-repo comparison
-# (tests/test_oracle_parity.py), which sweeps all registered keys every
-# round regardless of prefix.
+# aggregates/sorts/projections, binaryFile/mergeSchema sources) plus the 4
+# r6 additions (persisted-index serving paths for hybrid RRF and chunked
+# RAG retrieval, incremental MinHash dedup against a persisted signature
+# index, distributed PageRank on the corpus-scale near-dup graph) — 46+4 =
+# exactly the 50-key budget, so union r1-r6 = the WHOLE registry:
+# certification closes this round.  (Optional re-greens were considered
+# and dropped in favor of full closure; the candidates —
+# cdc_lastwrite_materialize, dedup_embedding_lsh — are covered by the
+# in-repo sweep and the bench set.)  Every key also passes the identical
+# in-repo comparison (tests/test_oracle_parity.py), which sweeps all
+# registered keys every round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
     # r6 additions (never existed before this round)
     "rag_rrf_persisted_index",
+    "corpus_rag_persisted_chunks",
+    "dedup_minhash_incremental",
     "graph_pagerank_distributed",
     # r5 additions never driver-swept: recall evals + hybrid retrieval
     "dedup_minhash_recall_eval",
@@ -130,10 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "sort_multi_key",
     "topk_max_by_group",
     "window_percent_rank_cume_dist",
-    # High-value re-greens (keys 49-50): the flagship standing query
-    # (bench watch item) and the retuned capped-LSH default
-    "cdc_lastwrite_materialize",
-    "dedup_embedding_lsh",
 )
 
 

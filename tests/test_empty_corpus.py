@@ -62,6 +62,8 @@ EMPTY_SLICE = [
     # r6 additions
     "graph_pagerank_distributed",
     "rag_rrf_persisted_index",
+    "corpus_rag_persisted_chunks",
+    "dedup_minhash_incremental",
 ]
 
 

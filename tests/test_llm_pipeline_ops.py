@@ -126,3 +126,32 @@ def test_contamination_flags_planted_overlap(spark, tmp_path):
     assert 0 not in got  # eval docs are never reported as contaminated
     assert got[1]["n_overlap"] == 3 and got[1]["n_shingles"] == 4
     assert got[1]["flag_contaminated"] == 1
+
+
+def test_minhash_incremental_equals_cross_slice_of_full_run(spark):
+    """Band signatures are per-document, so a (batch, index) pair
+    collides in the split incremental probe iff it collides in the
+    full-corpus LSH run; verification math is identical.  The
+    incremental output must therefore equal the full run's pairs
+    restricted to exactly-one-side-in-batch (in either orientation),
+    jaccard values included — and every reported pair must straddle
+    the cohort."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import INCR_MOD, INCR_REM
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    full = all_queries()["dedup_minhash_lsh"].fn(spark, sf).collect()
+    incr = all_queries()["dedup_minhash_incremental"].fn(spark, sf).collect()
+
+    def in_batch(d):
+        return d % INCR_MOD == INCR_REM
+
+    expected = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if in_batch(a) != in_batch(b):
+            new, dup = (a, b) if in_batch(a) else (b, a)
+            expected[(new, dup)] = r["jaccard"]
+    got = {(r["new_doc"], r["dup_doc"]): r["jaccard"] for r in incr}
+    assert got == expected
+    assert all(in_batch(n) and not in_batch(d) for n, d in got)

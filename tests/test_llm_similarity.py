@@ -109,3 +109,13 @@ def test_rrf_persisted_index_bit_identical_to_inline(spark):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, persisted.collect())
     )
+
+
+def test_rag_persisted_chunks_bit_identical_to_inline(spark):
+    """Same serving-path contract as the RRF index: the persisted
+    chunk-vector index must reproduce the inline retrieval exactly."""
+    inline = all_queries()["corpus_rag_retrieval"].fn(spark, SF_DIR_ORACLE)
+    persisted = all_queries()["corpus_rag_persisted_chunks"].fn(spark, SF_DIR_ORACLE)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
