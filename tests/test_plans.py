@@ -672,3 +672,19 @@ def test_rrf_persisted_index_never_rehashes_corpus(spark):
     for seg in doc_segs:
         pushed = seg.split("PushedFilters:")[-1].split("\n")[0]
         assert "LessThan(doc_id" in pushed, pushed
+
+
+def test_minhash_incremental_corpus_side_reads_index_parquet(spark):
+    """dedup_minhash_incremental must read the persisted signature index
+    (mh_index locations for both the bands probe and the verification
+    profiles); the documents table is scanned only to shingle the new
+    batch — at most one scan, since the batch profile is checkpointed
+    before fanning into probe + verify."""
+    r = _plan(spark, "dedup_minhash_incremental")
+    segs = r.text.split("Location:")
+    locs = [seg.split("\n")[0] for seg in segs[1:]]
+    idx = [l for l in locs if "mh_index" in l]
+    assert any("bands" in l for l in idx), locs
+    assert any("profiles" in l for l in idx), locs
+    doc_scans = [l for l in locs if "documents.parquet" in l]
+    assert len(doc_scans) <= 1, f"{len(doc_scans)} documents scans: {locs}"
