@@ -243,9 +243,21 @@ def graph_pagerank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    # Per-edge share denominators, joined once and reused every round —
-    # without this each iteration would re-run the degree aggregate.
-    edges_w = edges.join(outw, "src").localCheckpoint(eager=True)
+    # Per-edge share denominators, materialized once and reused every
+    # round (3 longs per edge).  MEASURED choice of materialization
+    # (PLANS.md r6): with an eager localCheckpoint, AQE sees the true
+    # rank-relation size each round and BROADCASTS it, so an iteration
+    # streams the edge relation with NO shuffle at all (~0.6 s/iter at
+    # the 501k-edge 10x probe) — beating the persist()+repartition(src)
+    # alternative (~0.9 s/iter), whose InMemoryTableScan keeps its
+    # partitioning for a shuffle-free SMJ build side but pays the cache
+    # read + per-round sort.  When ranks outgrow the broadcast
+    # threshold (true web scale), flip to that cached-repartition
+    # shape: partitioning reuse makes the per-round shuffle O(|ranks|),
+    # never O(|edges|).
+    edges_w = edges.join(outw, "src").select("src", "dst", "deg").localCheckpoint(
+        eager=True
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
