@@ -22,9 +22,7 @@ from mysql_postgres_debezium_cdc_spark.session import get_session
 from tests.parity import compare, duck_connection
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_session("sweep-parity")
+def sweep(spark, sf_dir: str) -> list[tuple[str, str]]:
     con = duck_connection(sf_dir)
     bad = []
     for name, spec in all_queries().items():
@@ -37,10 +35,21 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             bad.append((name, "EXC: " + str(ex)[:200]))
         spark.catalog.clearCache()
-    print(f"swept {sf_dir}: failures={len(bad)}")
+    print(f"swept {sf_dir}: failures={len(bad)}", flush=True)
     for name, err in bad:
-        print(f"  {name}: {err}")
-    return 1 if bad else 0
+        print(f"  {name}: {err}", flush=True)
+    return bad
+
+
+def main() -> int:
+    # Accepts any number of fixture dirs (the documented
+    # `sf{0.001,0.1}` brace-expansion invocation) and sweeps each.
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    spark = get_session("sweep-parity")
+    total_bad = 0
+    for sf_dir in sf_dirs:
+        total_bad += len(sweep(spark, sf_dir))
+    return 1 if total_bad else 0
 
 
 if __name__ == "__main__":
