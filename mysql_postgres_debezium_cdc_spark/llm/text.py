@@ -2166,3 +2166,76 @@ def corpus_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_bpe_fertility_by_lang",
+    oracle="""
+    WITH enc AS ({ENC}),
+    d AS (SELECT doc_id, lang FROM documents)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(e.n_tokens) * 1.0 / NULLIF(SUM(e.n_words), 0), 4)
+             AS fertility,
+           ROUND(SUM(e.n_chars) * 1.0 / NULLIF(SUM(e.n_tokens), 0), 4)
+             AS chars_per_token
+    FROM enc e JOIN d ON d.doc_id = e.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    tags=("llm", "corpus", "bpe", "eval"),
+)
+def corpus_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY evaluation per language: tokens-per-word and
+    chars-per-token under the fixed BPE merge table, aggregated by
+    document language — the standard multilingual-tokenizer health
+    metric (a language with fertility far above the corpus mean is
+    being shredded into bytes, inflating its effective sequence length
+    and training cost; the signal that drives merge-table rebalancing
+    or per-language sampling weights).  Composes the certified
+    [[corpus_bpe_encode]] per-document counts (the oracle embeds that
+    key's oracle SQL, so the eval cannot drift from the encoder) with
+    the documents dimension.
+
+    Scale shape: inherits the encoder's narrow per-doc pass; the join
+    keys doc_id against a projection of the same table (self-join on
+    the storage key — co-partitioned at write time in a real lake);
+    the rollup is one map-side-combining groupBy on the bounded
+    language key.  NULLIF/try_divide guards the degenerate
+    all-empty-docs language instead of crashing the whole report."""
+    enc = corpus_bpe_encode(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        enc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.try_divide(F.sum("n_tokens") * 1.0, F.sum("n_words")), 4
+            ).alias("fertility"),
+            F.round(
+                F.try_divide(F.sum("n_chars") * 1.0, F.sum("n_tokens")), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bind_fertility_oracle() -> None:
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["corpus_bpe_fertility_by_lang"]
+    object.__setattr__(
+        spec,
+        "oracle",
+        spec.oracle.replace("{ENC}", _REGISTRY["corpus_bpe_encode"].oracle),
+    )
+
+
+_bind_fertility_oracle()

@@ -18,7 +18,7 @@ tests/test_plans.py::test_partitioned_scan_prunes_directories.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
@@ -344,4 +344,103 @@ def layout_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning: the lake-maintenance pass that keeps a
+# streaming-ingested table scannable.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 1000  # rows per compacted output file
+COMPACT_BATCH_ROWS = 500  # modeled ingest micro-batch width (event_id range)
+
+
+def compaction_plan(files: DataFrame, target_rows: int) -> DataFrame:
+    """First-fit merge plan over a per-file inventory: ``files`` has
+    (part, file_key, n_rows); within each partition, files are taken in
+    file_key order and assigned to merge group floor(rows_before /
+    target_rows) — contiguous groups of ~target_rows rows each, the
+    standard bin-pack a compaction job (OPTIMIZE / rewriteDataFiles)
+    executes.  Pure window arithmetic over the FILE INVENTORY (never
+    the data): planning cost is O(files), so the plan for a million-file
+    table is itself a small query.  Shared by the registered modeled-
+    inventory key and the real input_file_name audit in
+    tests/test_plans.py."""
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows_before = F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    return (
+        files.withColumn("merge_group", F.floor(rows_before / target_rows))
+        .groupBy("part", "merge_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("part", "merge_group")
+    )
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT event_type AS part,
+             event_id // {COMPACT_BATCH_ROWS} AS file_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events
+      GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT part, file_key, n_rows,
+             COALESCE(SUM(n_rows) OVER (
+               PARTITION BY part ORDER BY file_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS rows_before
+      FROM files
+    )
+    SELECT part AS event_type,
+           CAST(FLOOR(rows_before / {COMPACT_TARGET_ROWS}) AS BIGINT)
+             AS merge_group,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows
+    FROM planned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("layout", "compaction", "maintenance"),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLAN — the maintenance query behind Delta
+    OPTIMIZE / Iceberg rewriteDataFiles: given a per-file row inventory
+    of a partitioned, streaming-ingested table, emit contiguous merge
+    groups of ~COMPACT_TARGET_ROWS rows per partition.  A day of
+    micro-batch ingest leaves one file per (batch, partition) — at
+    100 TB that is millions of KB-files whose open/footer costs
+    dominate scans; compaction planning is the query that decides what
+    to rewrite, and it must cost O(files), not O(data).
+
+    The registered form models the ingest inventory deterministically —
+    one "file" per (event_type, event_id // COMPACT_BATCH_ROWS), i.e.
+    one file per micro-batch per partition, with realistic skew because
+    event types are uneven within each batch — so the full plan is
+    DuckDB-value-checked at every scale.  The SAME planner runs over
+    the real physical inventory (input_file_name() on the partitioned
+    scratch layout) in tests/test_plans.py, where the assertions are
+    the plan invariants rather than an oracle (physical file splits are
+    engine-private).  [[compact_small_files]] is the execute half."""
+    ev = load(spark, sf_dir, "events")
+    files = (
+        ev.select(
+            F.col(PARTITION_COL).alias("part"),
+            (F.col("event_id") / COMPACT_BATCH_ROWS).cast("bigint").alias("file_key"),
+        )
+        .groupBy("part", "file_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    return compaction_plan(files, COMPACT_TARGET_ROWS).select(
+        F.col("part").alias("event_type"), "merge_group", "n_files", "n_rows"
     )

@@ -65,13 +65,16 @@ _LOADED = False
 # r6 additions (persisted-index serving paths for hybrid RRF and chunked
 # RAG retrieval, incremental MinHash dedup against a persisted signature
 # index, distributed PageRank on the corpus-scale near-dup graph) — 46+4 =
-# exactly the 50-key budget, so union r1-r6 = the WHOLE registry:
-# certification closes this round.  (Optional re-greens were considered
-# and dropped in favor of full closure; the candidates —
+# exactly the 50-key budget, so union r1-r6 covers every key that existed
+# when the prefix was frozen.  (Optional re-greens were considered and
+# dropped in favor of full closure; the candidates —
 # cdc_lastwrite_materialize, dedup_embedding_lsh — are covered by the
-# in-repo sweep and the bench set.)  Every key also passes the identical
-# in-repo comparison (tests/test_oracle_parity.py), which sweeps all
-# registered keys every round regardless of prefix.
+# in-repo sweep and the bench set.)  Two LATE-r6 additions
+# (layout_compaction_plan, corpus_bpe_fertility_by_lang) land beyond the
+# prefix and queue for the r7 rotation — the same healthy pattern every
+# round has followed.  Every key also passes the identical in-repo
+# comparison (tests/test_oracle_parity.py), which sweeps all registered
+# keys every round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
     # r6 additions (never existed before this round)
     "rag_rrf_persisted_index",

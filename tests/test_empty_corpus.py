@@ -64,6 +64,8 @@ EMPTY_SLICE = [
     "rag_rrf_persisted_index",
     "corpus_rag_persisted_chunks",
     "dedup_minhash_incremental",
+    "layout_compaction_plan",
+    "corpus_bpe_fertility_by_lang",
 ]
 
 

@@ -688,3 +688,53 @@ def test_minhash_incremental_corpus_side_reads_index_parquet(spark):
     assert any("profiles" in l for l in idx), locs
     doc_scans = [l for l in locs if "documents.parquet" in l]
     assert len(doc_scans) <= 1, f"{len(doc_scans)} documents scans: {locs}"
+
+
+def test_compaction_planner_on_real_physical_files(spark):
+    """The SAME planner the oracle-checked modeled-inventory key uses,
+    run over the REAL physical file inventory (input_file_name over the
+    partitioned scratch layout).  Physical splits are engine-private so
+    there is no SQL oracle; the assertions are the plan invariants a
+    compaction job relies on: every file planned exactly once, row
+    totals preserved per partition, merge groups contiguous from 0, and
+    every group smaller than target + the largest single file (first-
+    fit bound — a group only exceeds target by the file that crossed
+    the boundary)."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.plans.layout import (
+        COMPACT_TARGET_ROWS,
+        compaction_plan,
+        read_partitioned_events,
+    )
+
+    ev = read_partitioned_events(spark, SF_DIR_SMOKE)
+    files = (
+        ev.select(
+            F.col("event_type").alias("part"),
+            F.input_file_name().alias("file_key"),
+        )
+        .groupBy("part", "file_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    inventory = files.collect()
+    plan = compaction_plan(files, COMPACT_TARGET_ROWS).collect()
+
+    inv_totals, inv_counts, max_file = {}, {}, {}
+    for r in inventory:
+        inv_totals[r["part"]] = inv_totals.get(r["part"], 0) + r["n_rows"]
+        inv_counts[r["part"]] = inv_counts.get(r["part"], 0) + 1
+        max_file[r["part"]] = max(max_file.get(r["part"], 0), r["n_rows"])
+    assert inv_counts and min(inv_counts.values()) >= 1
+
+    plan_totals, plan_counts, groups = {}, {}, {}
+    for r in plan:
+        p = r["event_type"] if "event_type" in r.__fields__ else r["part"]
+        plan_totals[p] = plan_totals.get(p, 0) + r["n_rows"]
+        plan_counts[p] = plan_counts.get(p, 0) + r["n_files"]
+        groups.setdefault(p, []).append(r["merge_group"])
+        assert r["n_rows"] < COMPACT_TARGET_ROWS + max_file[p]
+    assert plan_totals == inv_totals  # every row planned exactly once
+    assert plan_counts == inv_counts  # every file planned exactly once
+    for p, gs in groups.items():
+        assert sorted(gs) == list(range(len(gs)))  # contiguous from 0
