@@ -150,6 +150,12 @@ def _shingles(
         # Same SQL text the oracle's {filter} clause uses — keeps the
         # composed-pipeline subsets bit-identical across engines.
         d = d.where(F.expr(predicate))
+    return _shingles_of(d, max_doc_freq=max_doc_freq)
+
+
+def _shingles_of(d: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
+    """`_shingles` over an ALREADY-LOADED documents frame — the form a
+    foreachBatch micro-batch hands us (see stream_incremental_dedup)."""
     t = spread_small_scan(d).select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
     toks = F.col("_toks")
     k = SHINGLE_K
@@ -535,7 +541,16 @@ def _mh_profile(
     from ONE partial+final aggregation over the distinct shingle ids —
     the relation both the full-corpus LSH and the incremental index
     build share."""
-    sh = _shingles(spark, sf_dir, predicate=predicate)
+    d = load(spark, sf_dir, "documents")
+    if predicate is not None:
+        d = d.where(F.expr(predicate))
+    return _mh_profile_of(d)
+
+
+def _mh_profile_of(docs: DataFrame) -> DataFrame:
+    """`_mh_profile` over an already-loaded documents frame (the
+    foreachBatch micro-batch form)."""
+    sh = _shingles_of(docs)
     doc_sids = sh.select(
         "doc_id", _feature_id(F.col("shingle")).alias("sid")
     ).distinct()
@@ -815,6 +830,19 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted integer arrays, so parquet round-trip is exact and the
     output is bit-identical to an inline two-sided run (the same
     oracle certifies both sides from scratch)."""
+    idx_prof, idx_bands = _read_mh_index(spark, _mh_index_path(spark, sf_dir))
+
+    # Batch side: profile feeds both the probe and the verify join —
+    # batch-sized, so one eager lineage cut materializes it.
+    newp = _mh_profile(
+        spark, sf_dir, predicate=f"doc_id % {INCR_MOD} = {INCR_REM}"
+    ).localCheckpoint(eager=True)
+    return _probe_mh_index(newp, idx_prof, idx_bands).orderBy("new_doc", "dup_doc")
+
+
+def _mh_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture version) the persisted MinHash-LSH index
+    over the non-cohort corpus; return its directory."""
     import os
 
     from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
@@ -834,7 +862,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two Spark writes each left one inside their subdirectory.
         open(os.path.join(p, "_SUCCESS"), "w").close()
 
-    path = materialize_once(sf_dir, "mh_index", _build)
+    return materialize_once(sf_dir, "mh_index", _build)
+
+
+def _read_mh_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """The two persisted index relations, renamed for the probe join."""
     idx_prof = spark.read.parquet(f"{path}/profiles").select(
         F.col("doc_id").alias("dup_doc"),
         F.col("n_sh").alias("nb"),
@@ -843,12 +875,16 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_bands = spark.read.parquet(f"{path}/bands").select(
         F.col("doc_id").alias("dup_doc"), "band", "band_sig"
     )
+    return idx_prof, idx_bands
 
-    # Batch side: profile feeds both the probe and the verify join —
-    # batch-sized, so one eager lineage cut materializes it.
-    newp = _mh_profile(
-        spark, sf_dir, predicate=f"doc_id % {INCR_MOD} = {INCR_REM}"
-    ).localCheckpoint(eager=True)
+
+def _probe_mh_index(
+    newp: DataFrame, idx_prof: DataFrame, idx_bands: DataFrame
+) -> DataFrame:
+    """Probe a persisted MinHash index with a batch's profiles: bucket
+    collisions on (band, band_sig), exact Jaccard verification against
+    the colliding index docs only.  Shared by the one-shot batch key
+    and the per-micro-batch foreachBatch of the streaming twin."""
     new_bands = newp.select(
         F.col("doc_id").alias("new_doc"),
         F.posexplode(_mh_band_sigs()).alias("band", "band_sig"),
@@ -873,11 +909,99 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        verified.where(jac >= JACCARD_THRESHOLD)
-        .select("new_doc", "dup_doc", F.round(jac, 4).alias("jaccard"))
-        .orderBy("new_doc", "dup_doc")
+    return verified.where(jac >= JACCARD_THRESHOLD).select(
+        "new_doc", "dup_doc", F.round(jac, 4).alias("jaccard")
     )
+
+
+STREAM_DEDUP_SLICES = 4  # staged cohort files = streaming micro-batches
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle="{INCR}",  # bound below: the batch key's oracle certifies the stream
+    tags=("llm", "dedup", "minhash", "incremental", "streaming"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE STREAMING twin of [[dedup_minhash_incremental]] — the
+    reference's actual operating shape (a consumer incrementally
+    processing an unbounded feed) applied to near-dedup: the new-doc
+    cohort arrives as a real Structured Streaming file source in
+    STREAM_DEDUP_SLICES micro-batches (maxFilesPerTrigger=1 over range-
+    split slices), and each foreachBatch signs ONLY its micro-batch and
+    probes the same persisted MinHash index, appending verified pairs
+    to an accumulator.  Because every new doc lives in exactly one
+    micro-batch and pairs are keyed by new_doc, the drained union
+    equals the one-shot batch probe — so the batch key's DuckDB oracle
+    certifies the streaming path end-to-end (same device as the other
+    stream/batch twins).
+
+    Scale shape: per-micro-batch cost is O(batch + collisions) — the
+    property that makes CONTINUOUS dedup affordable: the corpus is
+    touched only at index-build time, never per batch.  At 100 TB this
+    is the nightly/streaming ingest dedup tier: index refresh is a
+    scheduled rebuild; arrival batches probe parquet."""
+    import tempfile
+    import uuid
+
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    idx_prof, idx_bands = _read_mh_index(spark, _mh_index_path(spark, sf_dir))
+
+    def _write_slices(p: str) -> None:
+        (
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % INCR_MOD == INCR_REM)
+            .repartitionByRange(STREAM_DEDUP_SLICES, "doc_id")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    slices = materialize_once(sf_dir, "mh_stream_slices", _write_slices)
+    schema = spark.read.parquet(slices).schema
+
+    run = f"{tempfile.gettempdir()}/spark_graft_stream_dedup_{spark.sparkContext.applicationId}_{uuid.uuid4().hex}"
+    out_dir, ckpt = f"{run}/out", f"{run}/ckpt"
+    # Seed the accumulator with an empty frame so the post-drain read
+    # has a schema even when no micro-batch finds a pair (or the corpus
+    # is empty and the stream has zero batches).
+    spark.createDataFrame(
+        [], "new_doc bigint, dup_doc bigint, jaccard double"
+    ).write.mode("overwrite").parquet(out_dir)
+
+    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        newp = _mh_profile_of(batch_df).localCheckpoint(eager=True)
+        _probe_mh_index(newp, idx_prof, idx_bands).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+        .writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).orderBy("new_doc", "dup_doc")
+
+
+def _bind_stream_incremental_oracle() -> None:
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["stream_incremental_dedup"]
+    object.__setattr__(
+        spec,
+        "oracle",
+        spec.oracle.replace(
+            "{INCR}", _REGISTRY["dedup_minhash_incremental"].oracle
+        ),
+    )
+
+
+_bind_stream_incremental_oracle()
 
 
 COS_NEARDUP_THRESHOLD = 0.35

@@ -66,6 +66,7 @@ EMPTY_SLICE = [
     "dedup_minhash_incremental",
     "layout_compaction_plan",
     "corpus_bpe_fertility_by_lang",
+    "stream_incremental_dedup",
 ]
 
 
