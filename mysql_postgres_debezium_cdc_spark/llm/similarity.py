@@ -1573,3 +1573,90 @@ def ann_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: the contrastive-training data op.
+# ---------------------------------------------------------------------------
+
+HN_QUERIES = 30  # anchors: vec_id < HN_QUERIES
+HN_K = 5  # hard negatives mined per anchor
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id < {HN_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neg_id, label AS neg_label,
+             embedding::DOUBLE[] AS c_emb
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, neg_id, neg_label,
+             ROUND(LIST_DOT_PRODUCT(q_emb, c_emb) /
+                   (SQRT(LIST_DOT_PRODUCT(q_emb, q_emb)) *
+                    SQRT(LIST_DOT_PRODUCT(c_emb, c_emb))), 4) AS cos_sim
+      FROM q JOIN c ON neg_id <> q_id AND neg_label <> q_label
+    ),
+    ranked AS (
+      SELECT q_id, neg_id, neg_label, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, neg_id) AS rk
+      FROM scored
+    )
+    SELECT q_id, rk, neg_id, neg_label, cos_sim
+    FROM ranked WHERE rk <= {HN_K}
+    ORDER BY q_id, rk
+    """,
+    tags=("llm", "similarity", "training"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: for each anchor
+    (the fixed vec_id < HN_QUERIES slice), the HN_K most-similar
+    vectors with a DIFFERENT label — the near-miss negatives a
+    retrieval/embedding trainer pairs with each anchor so the loss
+    pushes on the actual decision boundary instead of easy random
+    negatives (the curation step behind every dense-retriever recipe).
+
+    Scale shape is the brute-force ANN's (fixed-size anchor slice
+    broadcast, candidate side streams once, WindowGroupLimit keeps
+    per-anchor state at k rows); the label inequality rides the same
+    streamed pass as a cheap residual predicate.  At corpus scale the
+    candidate stream swaps for the IVF/PQ shortlist exactly as
+    [[ann_ivfpq_topk]] does for top-k — mining is retrieval with a
+    label filter.  Ranks order by the ROUNDED similarity (4dp) with
+    neg_id tie-break in BOTH engines, the ann-family determinism
+    contract."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        _as_double("embedding").alias("q_emb"),
+        _norm(_as_double("embedding")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        _as_double("embedding").alias("c_emb"),
+        _norm(_as_double("embedding")).alias("c_nrm"),
+    )
+    cs = cosine_from_norms(
+        _dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm"), F.col("c_nrm")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neg_id") != F.col("q_id"))
+            & (F.col("neg_label") != F.col("q_label"))
+        )
+        .select("q_id", "neg_id", "neg_label", F.round(cs, 4).alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= HN_K)
+        .select("q_id", "rk", "neg_id", "neg_label", "cos_sim")
+        .orderBy("q_id", "rk")
+    )

@@ -67,6 +67,7 @@ EMPTY_SLICE = [
     "layout_compaction_plan",
     "corpus_bpe_fertility_by_lang",
     "stream_incremental_dedup",
+    "embedding_hard_negatives",
 ]
 
 

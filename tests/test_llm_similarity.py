@@ -119,3 +119,29 @@ def test_rag_persisted_chunks_bit_identical_to_inline(spark):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, persisted.collect())
     )
+
+
+def test_hard_negatives_are_cross_label_and_rank_monotone(spark):
+    """Every mined negative carries a label different from its anchor's,
+    ranks are dense 1..K per anchor, and similarity is non-increasing
+    in rank (ties broken by neg_id, so equal-cos rows may interleave
+    ids but never increase cos)."""
+    from mysql_postgres_debezium_cdc_spark.llm.similarity import HN_K, HN_QUERIES
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    rows = all_queries()["embedding_hard_negatives"].fn(spark, SF_DIR_ORACLE).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, SF_DIR_ORACLE, "embeddings").select("vec_id", "label").collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] == labels[r["neg_id"]]
+        assert r["neg_label"] != labels[r["q_id"]]
+        by_q.setdefault(r["q_id"], []).append((r["rk"], r["cos_sim"]))
+    assert len(by_q) == HN_QUERIES
+    for q, pairs in by_q.items():
+        pairs.sort()
+        assert [rk for rk, _ in pairs] == list(range(1, HN_K + 1))
+        sims = [s for _, s in pairs]
+        assert sims == sorted(sims, reverse=True)
