@@ -2239,3 +2239,94 @@ def _bind_fertility_oracle() -> None:
 
 
 _bind_fertility_oracle()
+
+
+# Classic UTF-8-decoded-as-Latin-1 marker sequences (the ftfy repair
+# targets): 'Ã'/'Â' lead bytes, 'â€' punctuation family, 'ï¿' (U+FFFD
+# mis-decoded).  Counted as substring occurrences via the length-diff
+# device so both engines count identically with no regex dialect risk.
+_MOJIBAKE_MARKERS = ("Ã", "Â", "â€", "ï¿")
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+@register(
+    "text_encoding_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             LEN(text) - LEN(REPLACE(text, chr(65533), '')) AS n_repl,
+             {" + ".join(
+                 f"(LEN(text) - LEN(REPLACE(text, '{m}', ''))) // {len(m)}"
+                 for m in _MOJIBAKE_MARKERS
+             )} AS n_moji,
+             LEN(text) - LEN(REGEXP_REPLACE(text, '{_CTRL_RE}', '', 'g'))
+               AS n_ctrl
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl + n_moji + n_ctrl > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect,
+           CAST(SUM(n_repl) AS BIGINT) AS n_replacement_chars,
+           CAST(SUM(n_moji) AS BIGINT) AS n_mojibake_markers,
+           CAST(SUM(n_ctrl) AS BIGINT) AS n_control_chars
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text", "quality", "encoding"),
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING-QUALITY audit per source: counts of U+FFFD replacement
+    characters, classic UTF-8-as-Latin-1 mojibake marker sequences
+    ('Ã'/'Â' lead bytes, 'â€' punctuation, 'ï¿'), and raw C0 control
+    characters — the ftfy-style triage every web-scraped corpus runs
+    before filtering, rolled up to the source level so a broken
+    upstream decoder shows as one hot row.  (The clean synthetic
+    fixture scores all-zero by construction; the injected-corruption
+    fixture test in tests/test_short_doc_edges.py gives the counters
+    teeth — each marker class detected, clean docs untouched.)
+
+    Scale shape: one narrow scan — every counter is string arithmetic
+    (substring length-diff, one anchored regex) inside whole-stage
+    codegen, and the rollup is a map-side-combining groupBy on the
+    bounded source key.  Marker counting uses the length-diff device
+    instead of regex alternation so Spark's Java regex and DuckDB's
+    RE2 cannot disagree on a dialect corner."""
+    d = load(spark, sf_dir, "documents")
+
+    def count_marker(m: str):
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m))))
+            / len(m)
+        ).cast("bigint")
+
+    n_moji = None
+    for m in _MOJIBAKE_MARKERS:
+        n_moji = count_marker(m) if n_moji is None else n_moji + count_marker(m)
+    n_repl = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("�"))
+    )
+    n_ctrl = F.length("text") - F.length(
+        F.regexp_replace("text", _CTRL_RE, "")
+    )
+    per_doc = d.select(
+        "source",
+        n_repl.cast("bigint").alias("n_repl"),
+        n_moji.alias("n_moji"),
+        n_ctrl.cast("bigint").alias("n_ctrl"),
+    )
+    suspect = F.when(
+        F.col("n_repl") + F.col("n_moji") + F.col("n_ctrl") > 0, 1
+    ).otherwise(0)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(suspect).cast("bigint").alias("n_suspect"),
+            F.sum("n_repl").cast("bigint").alias("n_replacement_chars"),
+            F.sum("n_moji").cast("bigint").alias("n_mojibake_markers"),
+            F.sum("n_ctrl").cast("bigint").alias("n_control_chars"),
+        )
+        .orderBy("source")
+    )

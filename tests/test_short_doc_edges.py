@@ -95,3 +95,60 @@ def test_novelty_emits_no_partial_grams(spark, short_doc_dir):
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[4]["n_grams"] == 1
     assert by_id[5]["n_grams"] == 8  # 10 tokens -> 10-3+1 distinct grams
+
+
+MOJI_DOCS = [
+    (0, "perfectly clean ascii text"),
+    (1, "bad decode Ã©tÃ© here"),        # 2 'Ã' mojibake markers
+    (2, "smart quote â€™ and dash â€”"),  # 2 'â€' markers
+    (3, "lost bytes �� end"),   # 2 replacement chars
+    (4, "bell \x07 and nul-ish \x1f"),    # 2 control chars
+    (5, "mixed Ã‚Â badness �"),      # 1 'Ã' + 2 'Â' + 1 replacement
+]
+
+
+@pytest.fixture(scope="module")
+def moji_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("moji_sf")
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR_ORACLE}/{t}.parquet")
+        if t == "documents":
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in MOJI_DOCS], pa.int64()),
+                    "text": pa.array([s for _, s in MOJI_DOCS], pa.string()),
+                    "lang": pa.array(["en"] * len(MOJI_DOCS), pa.string()),
+                    "source": pa.array(
+                        ["clean", "web", "web", "ocr", "ocr", "web"], pa.string()
+                    ),
+                    "n_chars": pa.array([len(s) for _, s in MOJI_DOCS], pa.int64()),
+                }
+            ).cast(schema.remove_metadata())
+        else:
+            tbl = schema.empty_table()
+        pq.write_table(tbl, str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_encoding_quality_detects_injected_corruption(spark, moji_dir):
+    """Each marker class is counted exactly on the corrupted fixture,
+    clean docs stay clean, and the DuckDB oracle agrees on the same
+    bytes (the cross-engine string-length contract)."""
+    spec = all_queries()["text_encoding_quality"]
+    sdf = spec.fn(spark, moji_dir)
+    duck = duck_connection(moji_dir).execute(spec.oracle).df()
+    assert compare(sdf, duck) == []
+
+    by_src = {r["source"]: r for r in sdf.collect()}
+    assert by_src["clean"]["n_suspect"] == 0
+    assert by_src["clean"]["n_mojibake_markers"] == 0
+    # web: doc1 (2 'Ã') + doc2 (2 'â€') + doc5 ("Ã‚Â" = Ã + U+201A + Â
+    # -> 1 'Ã' + 1 'Â'), and doc5 carries 1 replacement char
+    assert by_src["web"]["n_docs"] == 3
+    assert by_src["web"]["n_suspect"] == 3
+    assert by_src["web"]["n_mojibake_markers"] == 2 + 2 + 2
+    assert by_src["web"]["n_replacement_chars"] == 1
+    # ocr: doc3 (2 replacement) + doc4 (2 control)
+    assert by_src["ocr"]["n_suspect"] == 2
+    assert by_src["ocr"]["n_replacement_chars"] == 2
+    assert by_src["ocr"]["n_control_chars"] == 2
