@@ -244,3 +244,127 @@ def embedding_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFra
         .where(F.col("rk") <= CORR_TOP_N)
         .orderBy("rk")
     )
+
+
+@register(
+    "embedding_label_centroid_separation",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, label, i AS dim, emb[i] AS val
+      FROM v, LATERAL (SELECT UNNEST(RANGE(1, LEN(emb) + 1)) AS i)
+    ),
+    cent AS (
+      SELECT label, dim, AVG(val) AS c FROM dims GROUP BY label, dim
+    ),
+    cnorm AS (
+      SELECT label, SQRT(SUM(c * c)) AS cn FROM cent GROUP BY label
+    ),
+    vnorm AS (
+      SELECT vec_id, SQRT(SUM(val * val)) AS vn FROM dims GROUP BY vec_id
+    ),
+    vdot AS (
+      SELECT d.vec_id, d.label, SUM(d.val * ce.c) AS dot
+      FROM dims d JOIN cent ce ON ce.label = d.label AND ce.dim = d.dim
+      GROUP BY d.vec_id, d.label
+    ),
+    within AS (
+      SELECT vd.label, AVG(vd.dot / (vn.vn * cn.cn)) AS within_cos
+      FROM vdot vd
+      JOIN vnorm vn ON vn.vec_id = vd.vec_id
+      JOIN cnorm cn ON cn.label = vd.label
+      GROUP BY vd.label
+    ),
+    cpair AS (
+      SELECT a.label AS la, b.label AS lb, SUM(a.c * b.c) AS dot
+      FROM cent a JOIN cent b ON b.dim = a.dim AND b.label <> a.label
+      GROUP BY a.label, b.label
+    ),
+    between_cos AS (
+      SELECT p.la AS label,
+             AVG(p.dot / (na.cn * nb.cn)) AS between_cos
+      FROM cpair p
+      JOIN cnorm na ON na.label = p.la
+      JOIN cnorm nb ON nb.label = p.lb
+      GROUP BY p.la
+    )
+    SELECT w.label,
+           ROUND(w.within_cos, 4) AS within_cos,
+           ROUND(b.between_cos, 4) AS between_cos,
+           ROUND(w.within_cos - b.between_cos, 4) AS separation
+    FROM within w JOIN between_cos b ON b.label = w.label
+    ORDER BY w.label
+    """,
+    tags=("llm", "embedding", "eval"),
+)
+def embedding_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-centroid SEPARATION score per label: mean cosine of each
+    vector to its own label centroid (cohesion) minus the mean cosine
+    between that centroid and every other label's centroid
+    (contrast) — the scalar embedding-quality report a training
+    pipeline tracks across checkpoint exports alongside
+    [[ann_knn_label_eval]] (kNN probes decision quality at the sample
+    level; this measures the geometry directly, and is the quantity
+    SemDeDup-style pruning and hard-negative mining both lean on).
+    On the synthetic fixture labels are independent of the vectors, so
+    separation sits near zero — the expected null reading.
+
+    Scale shape: centroids come from ONE map-side-combining (label,
+    dim) aggregate — |labels|·dims rows out of a corpus-sized scan —
+    and everything downstream (norms, per-vector dots, the pairwise
+    centroid grid) is bounded by |labels| and dims, not the corpus.
+    Float parity: IEEE sums whose in-group order differs between
+    engines; every reported number rounds 4dp from the unrounded
+    intermediates (separation computed BEFORE rounding), the
+    kmeans/divergence contract."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dims = e.select("vec_id", "label", F.posexplode("emb").alias("dim", "val"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    cnorm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    vnorm = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    vdot = (
+        dims.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    within = (
+        vdot.join(vnorm, "vec_id")
+        .join(cnorm, "label")
+        .select("label", (F.col("dot") / (F.col("vn") * F.col("cn"))).alias("cos"))
+        .groupBy("label")
+        .agg(F.avg("cos").alias("within_cos"))
+    )
+    a = cent.select(F.col("label").alias("la"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "dim", F.col("c").alias("cb"))
+    cpair = (
+        a.join(b, "dim")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = cnorm.select(F.col("label").alias("la"), F.col("cn").alias("cna"))
+    nb = cnorm.select(F.col("label").alias("lb"), F.col("cn").alias("cnb"))
+    between = (
+        cpair.join(na, "la")
+        .join(nb, "lb")
+        .select("la", (F.col("dot") / (F.col("cna") * F.col("cnb"))).alias("cos"))
+        .groupBy("la")
+        .agg(F.avg("cos").alias("between_cos"))
+        .withColumnRenamed("la", "label")
+    )
+    return (
+        within.join(between, "label")
+        .select(
+            "label",
+            F.round("within_cos", 4).alias("within_cos"),
+            F.round("between_cos", 4).alias("between_cos"),
+            F.round(F.col("within_cos") - F.col("between_cos"), 4).alias("separation"),
+        )
+        .orderBy("label")
+    )

@@ -132,3 +132,75 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_residual"
         ),
     ).orderBy("doc_id")
+
+
+K_ANON_THRESHOLD = 5  # groups below this size are re-identification risks
+K_ANON_LEN_BUCKET = 100  # n_chars bucket width in the quasi-identifier
+
+
+@register(
+    "dq_k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT lang, source, n_chars // {K_ANON_LEN_BUCKET} AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents
+      GROUP BY 1, 2, 3
+    ),
+    banded AS (
+      SELECT CASE WHEN group_size = 1 THEN 'unique'
+                  WHEN group_size < {K_ANON_THRESHOLD} THEN 'small'
+                  ELSE 'anonymous' END AS risk_band,
+             group_size
+      FROM qi
+    )
+    SELECT risk_band,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(MAX(group_size) AS BIGINT) AS max_group
+    FROM banded
+    GROUP BY risk_band
+    ORDER BY risk_band
+    """,
+    tags=("governance", "privacy", "quality"),
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over the release quasi-identifiers: every
+    (lang, source, length-bucket) combination is an equivalence class a
+    re-identification attack can pivot on; classes below
+    K_ANON_THRESHOLD members — and especially singletons — mean a
+    document's metadata alone may identify its author.  The audit
+    reports document and group counts per risk band, the number a
+    release checklist gates on before publishing a corpus datasheet
+    (complements [[text_pii_redaction]], which scrubs content, and
+    [[cdc_gdpr_scrub]], which erases subjects: this one measures the
+    METADATA side channel).
+
+    Scale shape: one map-side-combining groupBy on the bounded QI key
+    space, then a constant-size rollup over the group-size relation —
+    the corpus is touched once and nothing downstream scales with it."""
+    d = load(spark, sf_dir, "documents")
+    qi = (
+        d.select(
+            "lang",
+            "source",
+            (F.col("n_chars") / K_ANON_LEN_BUCKET).cast("bigint").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    )
+    band = (
+        F.when(F.col("group_size") == 1, "unique")
+        .when(F.col("group_size") < K_ANON_THRESHOLD, "small")
+        .otherwise("anonymous")
+    )
+    return (
+        qi.select(band.alias("risk_band"), "group_size")
+        .groupBy("risk_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("group_size").cast("bigint").alias("n_docs"),
+            F.max("group_size").cast("bigint").alias("max_group"),
+        )
+        .orderBy("risk_band")
+    )

@@ -68,6 +68,9 @@ EMPTY_SLICE = [
     "corpus_bpe_fertility_by_lang",
     "stream_incremental_dedup",
     "embedding_hard_negatives",
+    "dq_k_anonymity_audit",
+    "embedding_label_centroid_separation",
+    "text_encoding_quality",
 ]
 
 
