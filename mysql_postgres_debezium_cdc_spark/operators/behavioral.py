@@ -905,3 +905,78 @@ def events_seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame
     return flagged.select(
         "event_type", "n_hours", F.col("mad_r").alias("mad_residual"), "n_anomalous"
     ).orderBy("event_type")
+
+
+_DISORDER_LATE_1_US = 60 * 1_000_000  # 1-minute lateness band
+_DISORDER_LATE_2_US = 600 * 1_000_000  # 10-minute lateness band
+
+
+@register(
+    "events_disorder_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type,
+             GREATEST(
+               COALESCE(MAX(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 epoch_us(ts)) - epoch_us(ts), 0) AS delay_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN delay_us > {_DISORDER_LATE_1_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+           CAST(SUM(CASE WHEN delay_us > {_DISORDER_LATE_2_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+           CAST(MAX(delay_us) // 1000000 AS BIGINT) AS max_delay_s
+    FROM arr
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("behavioral", "streaming", "observability"),
+)
+def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME DISORDER audit — the measurement that SIZES a
+    watermark: for each event, its lateness versus the maximum event
+    time its OWN key had already emitted in arrival order (event_id —
+    the synth stream's delivery order, and Kafka's per-key guarantee:
+    order holds within a key's partition, so the per-key frontier is
+    the honest disorder yardstick, exactly the per-key-per-partition
+    contract the CDC property family pins).  Reported per event type:
+    how many events arrived >1 min / >10 min behind their key's
+    frontier, and the worst delay — the histogram a streaming team
+    reads before choosing `withWatermark` bounds (too tight drops the
+    n_late tail; too loose holds state).  Complements the window
+    twins, which ASSUME a watermark; this measures what it should be.
+
+    Scale shape: the frontier is a per-key running MAX — a keyed
+    window over (user_id, event_id), the same partitioning every
+    sessionizer here uses (no global ordering anywhere); the rollup is
+    a map-side-combining groupBy on the bounded event_type key."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    delay = F.greatest(
+        F.coalesce(F.max("t_us").over(w), F.col("t_us")) - F.col("t_us"), F.lit(0)
+    )
+    return (
+        ev.select("event_type", delay.alias("delay_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("delay_us") > _DISORDER_LATE_1_US, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_1m"),
+            F.sum(F.when(F.col("delay_us") > _DISORDER_LATE_2_US, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late_10m"),
+            F.floor(F.max("delay_us") / 1_000_000).cast("bigint").alias("max_delay_s"),
+        )
+        .orderBy("event_type")
+    )

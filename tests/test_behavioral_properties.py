@@ -93,3 +93,60 @@ def test_chunked_sessionizer_equals_single_window(spark):
     b = all_queries()["events_sessionize_gap_chunked"].fn(spark, SF_DIR_ORACLE)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_disorder_audit_measures_injected_lateness(spark, tmp_path):
+    """events_disorder_audit on a synthesized DISORDERED arrival: user 1
+    emits ts [0s, +300s, +120s, +1200s] in event_id order (event 2 is
+    180s behind the frontier: 1-minute band only), user 2 emits [0s,
+    +3600s, +900s] (2700s late: counts in both bands); user 3 is in
+    order.  Counts and the max delay must match the hand computation,
+    and the DuckDB oracle must agree on the same fixture."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import TABLES
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.parity import compare, duck_connection
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [  # (event_id, user_id, offset_s)
+        (0, 1, 0), (1, 1, 300), (2, 1, 120), (3, 1, 1200),
+        (4, 2, 0), (5, 2, 3600), (6, 2, 900),
+        (7, 3, 0), (8, 3, 60), (9, 3, 120),
+    ]
+    base = tmp_path / "disorder_sf"
+    base.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR_ORACLE}/{t}.parquet")
+        if t == "events":
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [t0 + dt.timedelta(seconds=r[2]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows), pa.string()),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ).cast(schema.remove_metadata())
+        else:
+            tbl = schema.empty_table()
+        pq.write_table(tbl, str(base / f"{t}.parquet"))
+
+    spec = all_queries()["events_disorder_audit"]
+    sdf = spec.fn(spark, str(base))
+    assert compare(sdf, duck_connection(str(base)).execute(spec.oracle).df()) == []
+    r = {x["event_type"]: x for x in sdf.collect()}["click"]
+    # user 1: event 2 is 180s late (>60s, not >600s); user 2: event 6 is
+    # 2700s late (both bands); user 3 in order.
+    assert r["n_events"] == 10
+    assert r["n_late_1m"] == 2
+    assert r["n_late_10m"] == 1
+    assert r["max_delay_s"] == 2700

@@ -71,6 +71,7 @@ EMPTY_SLICE = [
     "dq_k_anonymity_audit",
     "embedding_label_centroid_separation",
     "text_encoding_quality",
+    "events_disorder_audit",
 ]
 
 
