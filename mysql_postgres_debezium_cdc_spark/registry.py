@@ -69,12 +69,15 @@ _LOADED = False
 # when the prefix was frozen.  (Optional re-greens were considered and
 # dropped in favor of full closure; the candidates —
 # cdc_lastwrite_materialize, dedup_embedding_lsh — are covered by the
-# in-repo sweep and the bench set.)  Two LATE-r6 additions
-# (layout_compaction_plan, corpus_bpe_fertility_by_lang) land beyond the
-# prefix and queue for the r7 rotation — the same healthy pattern every
-# round has followed.  Every key also passes the identical in-repo
-# comparison (tests/test_oracle_parity.py), which sweeps all registered
-# keys every round regardless of prefix.
+# in-repo sweep and the bench set.)  Eight LATE-r6 additions land beyond
+# the prefix and queue for the r7 rotation — the same healthy pattern
+# every round has followed: layout_compaction_plan,
+# corpus_bpe_fertility_by_lang, stream_incremental_dedup,
+# embedding_hard_negatives, text_encoding_quality, dq_k_anonymity_audit,
+# embedding_label_centroid_separation, events_disorder_audit.  Every key
+# also passes the identical in-repo comparison
+# (tests/test_oracle_parity.py), which sweeps all registered keys every
+# round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
     # r6 additions (never existed before this round)
     "rag_rrf_persisted_index",
