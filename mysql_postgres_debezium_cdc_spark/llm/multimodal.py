@@ -233,3 +233,94 @@ def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_BYTES = 64
+FRAME_EVERY_NTH = 4
+
+
+@register(
+    "multimodal_frame_sample",
+    # The fan-out runs through mapInPandas (Python, not SQL), but the
+    # frame geometry is pure integer arithmetic over the payload bytes,
+    # so the oracle regenerates it with RANGE + SUBSTRING (ASCII corpus:
+    # chars <-> UTF-8 bytes 1:1, pinned by multimodal_metadata's md5)
+    # and md5-fingerprints each frame's bytes — the driver value-checks
+    # the whole Arrow fan-out path, offsets and content both.
+    oracle=f"""
+    WITH offs AS (
+      SELECT doc_id, text, LEN(text) AS n,
+             UNNEST(RANGE(0, GREATEST(LEN(text), 1),
+                          {FRAME_BYTES * FRAME_EVERY_NTH})) AS frame_offset
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_offset // {FRAME_BYTES * FRAME_EVERY_NTH} AS INT)
+             AS frame_no,
+           CAST(frame_offset AS BIGINT) AS frame_offset,
+           MD5(SUBSTRING(text, CAST(frame_offset AS INT) + 1, {FRAME_BYTES}))
+             AS frame_md5
+    FROM offs
+    ORDER BY doc_id, frame_no
+    """,
+    tags=("llm", "multimodal", "mapinpandas"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads, driver-certified: one
+    payload row fans out to 0..n fixed-width frames (every {FRAME_EVERY_NTH}th
+    {FRAME_BYTES}-byte chunk with its offset) inside the Arrow batch via
+    ``sample_frames`` — the exact Spark shape real video frame
+    extraction uses (ffmpeg seek+decode replaces the chunker; schema,
+    fan-out, and partitioning are unchanged).
+
+    Scale shape: narrow mapInPandas — no shuffle, no collect; output
+    cardinality is bytes/stride per doc, and Arrow batch size bounds
+    executor memory however large a single payload is relative to the
+    batch.  Frames leave as md5 fingerprints here so the value check
+    pins CONTENT, not just geometry."""
+    frames = sample_frames(
+        media_table(spark, sf_dir), frame_bytes=FRAME_BYTES, every_nth=FRAME_EVERY_NTH
+    )
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        "frame_offset",
+        F.md5(F.col("frame")).alias("frame_md5"),
+    ).orderBy("doc_id", "frame_no")
+
+
+RESIZE_FACTOR = 4
+
+
+@register(
+    "multimodal_resize_decimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(text) AS BIGINT) AS orig_bytes,
+           CAST(LEN(LIST_AGGREGATE(
+             [text[i] FOR i IN RANGE(1, LEN(text) + 1, {RESIZE_FACTOR})],
+             'string_agg', '')) AS BIGINT) AS resized_bytes,
+           MD5(LIST_AGGREGATE(
+             [text[i] FOR i IN RANGE(1, LEN(text) + 1, {RESIZE_FACTOR})],
+             'string_agg', '')) AS resized_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "mapinpandas"),
+)
+def multimodal_resize_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stand-in over opaque payloads, driver-certified:
+    ``resize_media`` keeps every {RESIZE_FACTOR}th byte per payload
+    (PIL's resize drops in for the decimator on a real cluster — same
+    one-row-per-row Arrow pass, payload rewritten in place, no
+    shuffle).  Output pins both the size arithmetic and the md5 of the
+    decimated bytes, so the value check certifies the rewrite content.
+    Composability is the point: the decimated payload feeds
+    [[multimodal_frame_sample]] and the featurizer unchanged."""
+    resized = resize_media(media_table(spark, sf_dir), factor=RESIZE_FACTOR)
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        "resized_bytes",
+        F.md5(F.col("payload")).alias("resized_md5"),
+    ).orderBy("doc_id")

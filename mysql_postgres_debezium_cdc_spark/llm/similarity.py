@@ -178,6 +178,73 @@ def ann_cosine_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_THRESHOLD = 0.3  # cosine radius for range search
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+    scored AS (
+      SELECT q_id, c_id,
+             ROUND(LIST_DOT_PRODUCT(q_emb, c_emb) /
+                   (SQRT(LIST_DOT_PRODUCT(q_emb, q_emb)) *
+                    SQRT(LIST_DOT_PRODUCT(c_emb, c_emb))), 4) AS cos_sim
+      FROM q JOIN c ON q_id <> c_id
+    ),
+    hits AS (SELECT * FROM scored WHERE cos_sim >= {RANGE_THRESHOLD})
+    SELECT q_id, c_id, cos_sim,
+           CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_in_radius
+    FROM hits
+    ORDER BY q_id, c_id
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL neighbors with cosine >= 0.3 per query
+    vector, plus the per-query hit count — the "find everything similar"
+    complement to top-k, the primitive behind near-dup candidate recall
+    checks and contrastive positive mining.
+
+    Scale shape: identical to ``ann_bruteforce_topk`` — the bounded
+    query set broadcasts, the candidate scan streams (one narrow pass,
+    no shuffle until the final hit-set window/sort, whose size is the
+    RESULT cardinality, not the corpus).  At web scale the same
+    predicate drops onto the LSH- or IVF-pruned candidate stream
+    (``ann_lsh_topk`` / ``ann_ivf_topk``) unchanged — range search is
+    just top-k with the rank filter swapped for a similarity filter.
+
+    Float parity: the filter applies to the ROUNDED (4dp) cosine in
+    both engines so the radius boundary cannot flicker on the last
+    float bit; same contract as the top-k family's rounded outputs."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double("embedding").alias("q_emb"),
+        _norm(_as_double("embedding")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        _as_double("embedding").alias("c_emb"),
+        _norm(_as_double("embedding")).alias("c_nrm"),
+    )
+    cs = cosine_from_norms(_dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm"), F.col("c_nrm"))
+    hits = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(cs, 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= RANGE_THRESHOLD)
+    )
+    w = Window.partitionBy("q_id")
+    return hits.withColumn(
+        "n_in_radius", F.count(F.lit(1)).over(w).cast("bigint")
+    ).orderBy("q_id", "c_id")
+
+
 # Band geometry (retuned r5): precision/bucket-width comes from BITS
 # (64 signatures per table keeps the expected bucket far under the
 # scale path's default width cap), recall from TABLES.  The r5

@@ -276,3 +276,97 @@ def corpus_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", "rk", "n_in_group")
         .orderBy("lang", "rk")
     )
+
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, ' '), t -> LEN(t) > 0) AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(
+               0.5 * (LIST_SUM([LEN(t) FOR t IN toks]) * 1.0 / LEN(toks))
+               + 2.0 * (1.0 - LEN(LIST_DISTINCT(toks)) * 1.0 / LEN(toks))
+               + LOG2(LEN(toks) + 1), 4) AS difficulty
+      FROM feats WHERE LEN(toks) > 0
+    ),
+    cuts AS (
+      SELECT QUANTILE_CONT(difficulty, 0.25) AS p25,
+             QUANTILE_CONT(difficulty, 0.50) AS p50,
+             QUANTILE_CONT(difficulty, 0.75) AS p75
+      FROM scored
+    )
+    SELECT s.doc_id, s.difficulty,
+           1 + CAST(s.difficulty > c.p25 AS INT)
+             + CAST(s.difficulty > c.p50 AS INT)
+             + CAST(s.difficulty > c.p75 AS INT) AS phase,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY 1 + CAST(s.difficulty > c.p25 AS INT)
+                          + CAST(s.difficulty > c.p50 AS INT)
+                          + CAST(s.difficulty > c.p75 AS INT)
+             ORDER BY s.difficulty, s.doc_id) AS BIGINT) AS curriculum_rank
+    FROM scored s CROSS JOIN cuts c
+    ORDER BY phase, curriculum_rank
+    """,
+    tags=("llm", "corpus", "curriculum"),
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning order: score each document's difficulty from
+    purely LOCAL features (mean word length, inverted type-token ratio,
+    log doc length — longer, more repetitive, longer-worded docs rank
+    harder), cut the corpus into quartile phases, and number documents
+    within each phase easy-to-hard — the deterministic ordering pass a
+    curriculum trainer feeds its sampler.
+
+    Scale shape: the feature pass is a narrow map (higher-order array
+    functions on the token list — NO explode, no shuffle); the quartile
+    cuts are ONE exact-percentile aggregate collapsing to 3 broadcast
+    scalars (the [[corpus_length_bucketed_batches]] device — bucket by
+    precomputed boundaries instead of a global NTILE, which would
+    single-partition the sort); the within-phase row_number is a 4-key
+    window, partition-parallel after a 4-key exchange.  At 10^10 docs
+    the phase window gets the same shard-prefix treatment documented on
+    the batch op — the output contract (phase, rank) is unchanged.
+
+    Determinism: difficulty rounds to 4dp BEFORE the quantile cuts and
+    comparisons, so both engines interpolate the same values; rank ties
+    break on unique doc_id; exact QUANTILE_CONT/percentile midpoints
+    interpolate identically (the agg_percentiles contract)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    n_toks = F.size(toks)
+    difficulty = F.round(
+        0.5 * (sum_len * 1.0 / n_toks)
+        + 2.0 * (1.0 - F.size(F.array_distinct(toks)) * 1.0 / n_toks)
+        + F.log2(n_toks + 1),
+        4,
+    )
+    scored = d.select("doc_id", difficulty.alias("difficulty")).where(n_toks > 0)
+    cuts = scored.agg(
+        F.percentile("difficulty", 0.25).alias("p25"),
+        F.percentile("difficulty", 0.50).alias("p50"),
+        F.percentile("difficulty", 0.75).alias("p75"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("difficulty") > F.col("p25")).cast("int")
+        + (F.col("difficulty") > F.col("p50")).cast("int")
+        + (F.col("difficulty") > F.col("p75")).cast("int")
+    )
+    w = Window.partitionBy("phase").orderBy("difficulty", "doc_id")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "difficulty", phase.alias("phase"))
+        .withColumn("curriculum_rank", F.row_number().over(w).cast("bigint"))
+        .orderBy("phase", "curriculum_rank")
+    )

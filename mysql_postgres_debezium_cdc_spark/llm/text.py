@@ -2330,3 +2330,73 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_unique_chars
+      FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n AS n_chars, t.n_unique_chars,
+           ROUND(-SUM((c.c * 1.0 / t.n) * LOG2(c.c * 1.0 / t.n)), 4)
+             AS char_entropy
+    FROM counts c JOIN tot t ON t.doc_id = c.doc_id
+    GROUP BY t.doc_id, t.n, t.n_unique_chars
+    ORDER BY t.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap
+    garbage/repetition signal the big corpus filters (CCNet, Gopher)
+    cut on: natural prose sits around 4-4.5 bits/char, while
+    binary-as-text, padding runs, and keyboard mash fall far outside
+    the band in either direction.  Complements the token-level
+    [[text_repetition_ratio]] and [[text_gopher_quality_flags]]:
+    entropy sees sub-token junk those miss.
+
+    Scale shape: ONE explode pass (narrow — no shuffle until the
+    (doc, char) groupBy, which map-side-combines to at most
+    |alphabet| rows per doc per partition), then doc-sized relations
+    throughout.  The alphabet bound (~100 for ASCII corpora) means the
+    per-doc state is constant-sized — this is the textbook case where
+    the exploded groupBy beats carrying a per-doc map in memory.
+
+    Float parity: counts and totals are exact BIGINTs; entropy terms
+    are log-valued (never exact decimals), so the 4dp round sits far
+    from any boundary — the [[text_source_divergence]] contract."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), ""), lambda c: F.length(c) > 0)).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_chars"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_unique_chars")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_unique_chars",
+            "char_entropy",
+        )
+        .orderBy("doc_id")
+    )

@@ -784,3 +784,90 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Count-Min sketch geometry: D independent hash rows x W counters.
+# Hash_j(u) = ((a_j * u + b_j) % P) % W with P Mersenne-31 and a_j/b_j
+# derived from the row index by the same Weyl-style mixed congruence the
+# LSH hyperplanes use (llm/similarity.py) — pure BIGINT arithmetic both
+# engines evaluate bit-identically, which is what makes a sketch plan
+# value-checkable end-to-end.  u <= ~2^21 and a_j < 2^31 keep a_j*u
+# inside BIGINT.
+CMS_D = 4
+CMS_W = 64
+CMS_P = 2147483647
+CMS_TOP = 10
+_CMS_A = "((j * 8191 + 1) * 2654435761 % 2147483647)"
+_CMS_B = "((j * 524287 + 97) % 2147483647)"
+_CMS_CELL = f"(({_CMS_A} * user_id + {_CMS_B}) % {CMS_P}) % {CMS_W}"
+
+
+@register(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT c.user_id, c.true_cnt, j, {_CMS_CELL} AS cell
+      FROM counts c CROSS JOIN (SELECT UNNEST(RANGE(0, {CMS_D})) AS j)
+    ),
+    sketch AS (
+      SELECT j, cell, CAST(SUM(true_cnt) AS BIGINT) AS v
+      FROM cells GROUP BY j, cell
+    ),
+    top AS (
+      SELECT user_id, true_cnt FROM counts
+      ORDER BY true_cnt DESC, user_id LIMIT {CMS_TOP}
+    )
+    SELECT t.user_id, t.true_cnt,
+           CAST(MIN(s.v) AS BIGINT) AS cms_est,
+           CASE WHEN MIN(s.v) >= t.true_cnt THEN 1 ELSE 0 END AS no_undercount
+    FROM top t
+    JOIN cells h ON h.user_id = t.user_id
+    JOIN sketch s ON s.j = h.j AND s.cell = h.cell
+    GROUP BY t.user_id, t.true_cnt
+    ORDER BY t.true_cnt DESC, t.user_id
+    """,
+    tags=("agg", "sketch", "mergeable"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, built as a MERGEABLE
+    relational aggregate: per-key partial counts combine map-side, each
+    key fans out to D (row, cell) coordinates, and the sketch is a
+    groupBy(j, cell) SUM — cell-wise addition, which is exactly the CMS
+    merge operator, so Spark's partial aggregation IS the distributed
+    sketch union (one executor's sketch + another's = the sum the
+    shuffle computes).  The sketch relation is D x W = {CMS_D}x{CMS_W}
+    rows REGARDLESS of corpus size — at 100 TB the data pass is one
+    map-side-combined count and an O(D·W) broadcastable summary, the
+    same constant-memory contract as [[agg_heavy_hitters_mg]] and
+    [[agg_hll_sketch_mergeable]].
+
+    The output queries the sketch for the top-{CMS_TOP} true-frequency
+    keys: estimate = min over the D cells (classic CMS point query),
+    with the true count alongside and the CMS no-undercount guarantee
+    (est >= true, always) pinned as a checked column.  Deterministic by
+    construction — hash constants are engine-portable arithmetic, no
+    RNG — so the DuckDB oracle rebuilds the identical sketch and the
+    value hash certifies the whole estimate, not just its shape."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    cells = counts.select(
+        "user_id",
+        "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"),
+    ).withColumn("cell", F.expr(_CMS_CELL))
+    sketch = cells.groupBy("j", "cell").agg(F.sum("true_cnt").cast("bigint").alias("v"))
+    top = counts.orderBy(F.desc("true_cnt"), F.asc("user_id")).limit(CMS_TOP)
+    return (
+        top.join(cells.select("user_id", "j", "cell"), "user_id")
+        .join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("user_id", "true_cnt")
+        .agg(
+            F.min("v").cast("bigint").alias("cms_est"),
+            F.when(F.min("v") >= F.first("true_cnt"), 1).otherwise(0).alias("no_undercount"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+    )

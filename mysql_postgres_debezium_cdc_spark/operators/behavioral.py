@@ -980,3 +980,102 @@ def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CPD_W = 24  # two-sample window width (hours) on each side
+CPD_THRESHOLD = 0.8  # |shift| in per-type stddev units
+
+
+@register(
+    "events_changepoint_window",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, (epoch_us(ts) // 1000000 // 3600) * 3600 AS bucket_s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, STDDEV_SAMP(cnt) AS sd, COUNT(*) AS n
+      FROM hourly GROUP BY event_type
+    ),
+    w AS (
+      SELECT h.event_type, h.bucket_s, h.cnt, st.sd, st.n,
+             ROW_NUMBER() OVER win AS rn,
+             AVG(h.cnt) OVER (
+               win ROWS BETWEEN {CPD_W} PRECEDING AND 1 PRECEDING
+             ) AS before_avg,
+             AVG(h.cnt) OVER (
+               win ROWS BETWEEN CURRENT ROW AND {CPD_W - 1} FOLLOWING
+             ) AS after_avg
+      FROM hourly h JOIN st ON st.event_type = h.event_type
+      WINDOW win AS (PARTITION BY h.event_type ORDER BY h.bucket_s)
+    )
+    SELECT event_type, bucket_s, cnt,
+           ROUND(before_avg, 4) AS before_avg,
+           ROUND(after_avg, 4) AS after_avg,
+           ROUND((after_avg - before_avg) / sd, 4) AS shift_score
+    FROM w
+    WHERE rn > {CPD_W} AND rn <= n - {CPD_W - 1}
+      AND ABS(ROUND((after_avg - before_avg) / sd, 4)) >= {CPD_THRESHOLD}
+    ORDER BY event_type, bucket_s
+    """,
+    tags=("behavioral", "timeseries", "changepoint"),
+)
+def events_changepoint_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection on the hourly event-rate series via the
+    two-sample sliding-window statistic: at each hour, compare the mean
+    rate of the NEXT {CPD_W} hours against the PREVIOUS {CPD_W}, in
+    units of the per-type stddev; hours where the normalized shift
+    clears {CPD_THRESHOLD} are level-shift candidates.  This is the
+    window-expressible cousin of CUSUM — the running-reset recurrence
+    CUSUM needs is sequential, while the two-window statistic is a pair
+    of frame aggregates Catalyst plans as ONE window sort, so it
+    distributes (and backfills historical series) for free.
+
+    Scale shape: the corpus pass is the hourly pre-aggregation
+    (map-side combine to |types| x hours rows); the window partitions
+    by event_type — bounded parallelism per type, but the windowed
+    relation is calendar-sized, not event-sized, so a single partition
+    per type holds years of hours comfortably.  Edge hours without a
+    full window on both sides are excluded (rn bounds), so every score
+    compares equal-width samples.
+
+    Float parity: counts are exact BIGINTs; frame AVG and the stddev
+    divide evaluate with identical expression shape in both engines,
+    and the flag threshold applies to the ROUNDED (4dp) score so the
+    boundary cannot flicker on the last float bit."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket_s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    st = hourly.groupBy("event_type").agg(
+        F.stddev_samp("cnt").alias("sd"), F.count(F.lit(1)).alias("n")
+    )
+    win = Window.partitionBy("event_type").orderBy("bucket_s")
+    scored = (
+        hourly.join(st, "event_type")
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("before_avg", F.avg("cnt").over(win.rowsBetween(-CPD_W, -1)))
+        .withColumn("after_avg", F.avg("cnt").over(win.rowsBetween(0, CPD_W - 1)))
+        .withColumn(
+            "shift_score",
+            F.round((F.col("after_avg") - F.col("before_avg")) / F.col("sd"), 4),
+        )
+    )
+    return (
+        scored.where(
+            (F.col("rn") > CPD_W)
+            & (F.col("rn") <= F.col("n") - (CPD_W - 1))
+            & (F.abs(F.col("shift_score")) >= CPD_THRESHOLD)
+        )
+        .select(
+            "event_type",
+            "bucket_s",
+            "cnt",
+            F.round("before_avg", 4).alias("before_avg"),
+            F.round("after_avg", 4).alias("after_avg"),
+            "shift_score",
+        )
+        .orderBy("event_type", "bucket_s")
+    )

@@ -22,7 +22,7 @@ the graph whose size class demands it.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
@@ -286,6 +286,113 @@ def graph_pagerank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select(
             F.col("node").alias("doc_id"),
             (F.round(F.col("pr"), 6) + F.lit(0.0)).alias("pagerank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-iteration synchronous label propagation over the
+    near-dup doc graph (same CTE-unroll + embedded certified pair SQL
+    as the PageRank oracle)."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _CC_PAIRS_SQL
+
+    base = f"""
+    WITH pairs AS ({_CC_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    for k in range(LPA_ITERS):
+        base += f""",
+    votes{k} AS (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN l{k} l ON l.node = e.src
+      GROUP BY e.dst, l.lbl
+    ),
+    l{k + 1} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+        FROM votes{k}
+      ) WHERE rk = 1
+    )"""
+    return base + f"""
+    SELECT l.node AS doc_id, CAST(l.lbl AS BIGINT) AS community,
+           CAST(COUNT(*) OVER (PARTITION BY l.lbl) AS BIGINT) AS community_size
+    FROM l{LPA_ITERS} l
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "iterative", "distributed"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA_ITERS fixed rounds) over the
+    corpus-scale near-dup document graph — community detection as the
+    canonical-group refinement over [[dedup_connected_components]]: CC
+    answers "reachable at all", LPA's majority vote splits weakly
+    bridged clusters into densely connected communities (the structure
+    a canonical-doc picker or a per-cluster sampler actually wants).
+
+    Deterministic variant: every node starts as its own label; each
+    round every node adopts the MOST FREQUENT neighbor label, ties
+    broken toward the smallest — no RNG, no asynchronous order
+    dependence, so a fixed-round unrolled SQL oracle value-checks the
+    distributed loop exactly.
+
+    Scale shape mirrors [[graph_pagerank_distributed]]: the symmetrized
+    edge relation materializes ONCE (eager localCheckpoint); each round
+    is one edge⋈label equi-join + a (node, label) count that combines
+    map-side + one argmax-by-struct aggregate — all relations are
+    edge- or node-sized, never collected, and superseded label
+    generations are released each round.  The vote argmax uses max_by
+    over (count, -label): Spark computes it in one aggregate pass
+    where the oracle needs a rank-and-filter window."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    nodes = labels.select("node")
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("lbl")
+    return (
+        labels.withColumn("community_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").cast("bigint").alias("community"),
+            "community_size",
         )
         .orderBy("doc_id")
     )

@@ -277,3 +277,81 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     ).orderBy("c_nationkey", "c_custkey")
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, anchor,
+             CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(d) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+           STRFTIME(MIN(streak_start) FILTER (
+             WHERE streak_days = (SELECT MAX(i2.streak_days) FROM islands i2
+                                  WHERE i2.user_id = islands.user_id)
+           ), '%Y-%m-%d') AS longest_start
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "gaps-islands", "behavioral"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, group consecutive active DAYS into
+    streaks via the classic date-minus-row_number anchor (consecutive
+    days share an anchor; any gap shifts it), then report streak count,
+    longest streak, and the earliest start date among longest streaks
+    (deterministic tie-break).
+
+    Scale shape: one shuffle on user_id serves BOTH the distinct-day
+    dedup and the window sort (same partitioning key, so Catalyst
+    reuses the exchange); everything after the anchor is a per-user
+    aggregation over island rows, whose cardinality is bounded by
+    active days per user, not events.  No global window — the r3 NTILE
+    lesson holds."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("d").alias("streak_start"),
+    )
+    w_user = Window.partitionBy("user_id")
+    return (
+        islands.withColumn("max_streak", F.max("streak_days").over(w_user))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("streak_days").cast("bigint").alias("longest_streak"),
+            F.date_format(
+                F.min(
+                    F.when(
+                        F.col("streak_days") == F.col("max_streak"),
+                        F.col("streak_start"),
+                    )
+                ),
+                "yyyy-MM-dd",
+            ).alias("longest_start"),
+        )
+        .orderBy("user_id")
+    )
