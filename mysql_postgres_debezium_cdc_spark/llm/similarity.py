@@ -1727,3 +1727,341 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rk", "neg_id", "neg_label", "cos_sim")
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval + MMR diversified re-ranking.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+
+
+@register(
+    "rag_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl FROM d),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM d, UNNEST(toks) AS u(tok)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    qterms AS (
+      SELECT doc_id AS q_doc, UNNEST(LIST_DISTINCT(toks)) AS tok FROM d
+      WHERE doc_id % {RAG_QUERY_MOD} = {RAG_QUERY_REM}
+        AND doc_id < {RAG_QUERY_CAP}
+    ),
+    contrib AS (
+      SELECT q.q_doc, t.doc_id,
+             CAST(ROUND(
+               LN(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c
+      FROM qterms q
+      JOIN tf t ON t.tok = q.tok AND t.doc_id <> q.q_doc
+      JOIN df f ON f.tok = q.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT q_doc, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT q_doc, doc_id AS hit_doc, score_micro, rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_doc ORDER BY score_micro DESC, doc_id) AS rk
+      FROM scores
+    )
+    WHERE rk <= {BM25_TOPK}
+    ORDER BY q_doc, rk
+    """,
+    tags=("llm", "retrieval", "bm25"),
+)
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Sparck Jones, the Lucene
+    default): per query document, the top-{BM25_TOPK} corpus documents
+    by Okapi BM25 with k1={BM25_K1}, b={BM25_B} — the full-weighted
+    retriever the [[rag_rrf_fusion]] lexical arm approximates with raw
+    term overlap.  idf = ln(1 + (N - df + ½)/(df + ½)), tf saturated
+    and length-normalized against the corpus average document length.
+
+    Scale shape: the corpus passes are the inverted-index builds — tf
+    per (doc, term) with doc length carried in the grouping key (no
+    second dl join on the fact side) and the vocab-sized df roll-up,
+    both map-side combined.  The query cohort is the fixed-size RRF
+    batch, so q-term relations broadcast; df joins the BROADCAST query
+    terms BEFORE touching the posting lists, so only query-term
+    postings flow into scoring.  At 100 TB: identical — posting-list
+    equi-joins, candidate relation sized by postings of query terms,
+    never the corpus.
+
+    Exactness: each term's contribution rounds to integer MICRO-units
+    (never near the .5 grid — idf·tfn is log-valued) and the document
+    score is a BIGINT SUM of those integers, so summation order cannot
+    perturb the hash (the raw-double-sum trap the registry determinism
+    rules pin).  avgdl is an exact-integer-sum / count in both
+    engines."""
+    base = _rrf_tokenized(spark, sf_dir)
+    dl = base.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    is_q = (F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM) & (
+        F.col("doc_id") < RAG_QUERY_CAP
+    )
+    qterms = base.where(is_q).select(
+        F.col("doc_id").alias("q_doc"),
+        F.explode(F.array_distinct("toks")).alias("tok"),
+    )
+    # Only query-term posting rows reach scoring: df joins the broadcast
+    # query terms first, then the posting-list join keys on tok.
+    q_with_df = F.broadcast(qterms.join(df_rel, "tok"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(q_with_df, "tok")
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_doc",
+            "doc_id",
+            F.round(idf * tfn * 1000000).cast("bigint").alias("c"),
+        )
+    )
+    scores = contrib.groupBy("q_doc", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= BM25_TOPK)
+        .select("q_doc", F.col("doc_id").alias("hit_doc"), "score_micro", "rk")
+        .orderBy("q_doc", "rk")
+    )
+
+
+MMR_POOL = 10  # relevance shortlist depth per query
+MMR_K = 5  # diversified picks reported
+MMR_LAMBDA_NUM = 7  # λ = 0.7 as exact integer weights: 7·rel − 3·maxsim
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: seed with the top-relevance candidate, then
+    MMR_K-1 argmax rounds over integer ten-thousandth scores."""
+    lam, div = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    base = f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+    scored AS (
+      SELECT q_id, c_id,
+             CAST(ROUND(LIST_DOT_PRODUCT(q_emb, c_emb) /
+                   (SQRT(LIST_DOT_PRODUCT(q_emb, q_emb)) *
+                    SQRT(LIST_DOT_PRODUCT(c_emb, c_emb))) * 10000) AS BIGINT)
+               AS rel_i
+      FROM q JOIN c ON q_id <> c_id
+    ),
+    short AS (
+      SELECT q_id, c_id, rel_i, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY rel_i DESC, c_id) AS rk
+      FROM scored QUALIFY rk <= {MMR_POOL}
+    ),
+    pairs AS (
+      SELECT s1.q_id, s1.c_id AS c_a, s2.c_id AS c_b,
+             CAST(ROUND(LIST_DOT_PRODUCT(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]) /
+                   (SQRT(LIST_DOT_PRODUCT(ea.embedding::DOUBLE[],
+                                          ea.embedding::DOUBLE[])) *
+                    SQRT(LIST_DOT_PRODUCT(eb.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[])))
+                   * 10000) AS BIGINT) AS sim_i
+      FROM short s1
+      JOIN short s2 ON s2.q_id = s1.q_id AND s2.c_id <> s1.c_id
+      JOIN embeddings ea ON ea.vec_id = s1.c_id
+      JOIN embeddings eb ON eb.vec_id = s2.c_id
+    ),
+    sel1 AS (
+      SELECT q_id, c_id, 1 AS pick_order, rel_i,
+             CAST({lam} * rel_i AS BIGINT) AS mmr_i
+      FROM short WHERE rk = 1
+    ),
+    rem1 AS (SELECT q_id, c_id, rel_i FROM short WHERE rk > 1)"""
+    for t in range(2, MMR_K + 1):
+        base += f""",
+    score{t} AS (
+      SELECT r.q_id, r.c_id, r.rel_i,
+             CAST({lam} * r.rel_i - {div} * MAX(p.sim_i) AS BIGINT) AS mmr_i
+      FROM rem{t - 1} r
+      JOIN pairs p ON p.q_id = r.q_id AND p.c_a = r.c_id
+      JOIN sel{t - 1} s ON s.q_id = p.q_id AND s.c_id = p.c_b
+      GROUP BY r.q_id, r.c_id, r.rel_i
+    ),
+    pick{t} AS (
+      SELECT q_id, c_id, {t} AS pick_order, rel_i, mmr_i FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY mmr_i DESC, rel_i DESC, c_id) AS rr
+        FROM score{t}
+      ) WHERE rr = 1
+    ),
+    sel{t} AS (
+      SELECT q_id, c_id, pick_order, rel_i, mmr_i FROM sel{t - 1}
+      UNION ALL SELECT q_id, c_id, pick_order, rel_i, mmr_i FROM pick{t}
+    ),
+    rem{t} AS (
+      SELECT r.q_id, r.c_id, r.rel_i FROM rem{t - 1} r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pick{t} p WHERE p.q_id = r.q_id AND p.c_id = r.c_id
+      )
+    )"""
+    return base + f"""
+    SELECT q_id, c_id, CAST(pick_order AS INT) AS pick_order, rel_i, mmr_i
+    FROM sel{MMR_K}
+    ORDER BY q_id, pick_order
+    """
+
+
+@register(
+    "ann_mmr_diversified",
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "rerank", "iterative"),
+)
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    from each query's exact top-{MMR_POOL} relevance shortlist, greedily
+    pick {MMR_K} results maximizing λ·relevance − (1−λ)·max-similarity-
+    to-already-picked (λ=0.7) — the diversity re-rank a RAG serving
+    layer runs so five near-duplicate passages don't fill the context
+    window.  Pick order, relevance, and the MMR objective are all in
+    the output.
+
+    Scale shape: the CORPUS-sized stage is the relevance shortlist
+    (broadcast queries × streamed scan, the [[ann_bruteforce_topk]]
+    plan — or the LSH/IVF pruned variants, unchanged); everything after
+    operates on |Q|·{MMR_POOL} rows.  The greedy loop is inherently
+    sequential in k, so it runs as {MMR_K - 1} tiny DataFrame rounds
+    (argmax window per query, all queries in parallel per round) with
+    eager checkpoints keeping the plan shallow — never a driver-side
+    collect of candidates.
+
+    Exactness: the greedy compares INTEGER scores — cosines round to
+    ten-thousandths (the 4dp family contract) and λ applies as exact
+    integer weights (7·rel − 3·maxsim) — so the argmax cannot flicker
+    on a float bit; ties break on (rel, c_id)."""
+    lam, div = MMR_LAMBDA_NUM, 10 - MMR_LAMBDA_NUM
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double("embedding").alias("q_emb"),
+        _norm(_as_double("embedding")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        _as_double("embedding").alias("c_emb"),
+        _norm(_as_double("embedding")).alias("c_nrm"),
+    )
+    cs = cosine_from_norms(
+        _dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm"), F.col("c_nrm")
+    )
+    w_rel = Window.partitionBy("q_id").orderBy(F.desc("rel_i"), F.asc("c_id"))
+    short = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cs * 10000).cast("bigint").alias("rel_i"),
+            "c_emb",
+            "c_nrm",
+        )
+        .withColumn("rk", F.row_number().over(w_rel))
+        .where(F.col("rk") <= MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    s1 = short.select("q_id", F.col("c_id").alias("c_a"), "c_emb", "c_nrm")
+    s2 = short.select(
+        "q_id",
+        F.col("c_id").alias("c_b"),
+        F.col("c_emb").alias("b_emb"),
+        F.col("c_nrm").alias("b_nrm"),
+    )
+    pair_cs = cosine_from_norms(
+        _dot(F.col("c_emb"), F.col("b_emb")), F.col("c_nrm"), F.col("b_nrm")
+    )
+    pairs = (
+        s1.join(s2, "q_id")
+        .where(F.col("c_a") != F.col("c_b"))
+        .select(
+            "q_id", "c_a", "c_b", F.round(pair_cs * 10000).cast("bigint").alias("sim_i")
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = short.where(F.col("rk") == 1).select(
+        "q_id",
+        "c_id",
+        F.lit(1).alias("pick_order"),
+        "rel_i",
+        (F.lit(lam) * F.col("rel_i")).cast("bigint").alias("mmr_i"),
+    )
+    rem = short.where(F.col("rk") > 1).select("q_id", "c_id", "rel_i")
+    w_pick = Window.partitionBy("q_id").orderBy(
+        F.desc("mmr_i"), F.desc("rel_i"), F.asc("c_id")
+    )
+    for t in range(2, MMR_K + 1):
+        # Pair rows whose "other end" is already selected, renamed to the
+        # candidate's key so both joins are unambiguous name-equijoins.
+        to_selected = pairs.join(
+            sel.select(F.col("q_id"), F.col("c_id").alias("c_b")),
+            ["q_id", "c_b"],
+        ).select("q_id", F.col("c_a").alias("c_id"), "sim_i")
+        scored = (
+            rem.join(to_selected, ["q_id", "c_id"])
+            .groupBy("q_id", "c_id", "rel_i")
+            .agg(F.max("sim_i").alias("mx"))
+            .withColumn(
+                "mmr_i",
+                (F.lit(lam) * F.col("rel_i") - F.lit(div) * F.col("mx")).cast(
+                    "bigint"
+                ),
+            )
+        )
+        pick = (
+            scored.withColumn("rr", F.row_number().over(w_pick))
+            .where(F.col("rr") == 1)
+            .select("q_id", "c_id", F.lit(t).alias("pick_order"), "rel_i", "mmr_i")
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        rem = rem.join(
+            pick.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+    return sel.select(
+        "q_id", "c_id", F.col("pick_order").cast("int").alias("pick_order"),
+        "rel_i", "mmr_i",
+    ).orderBy("q_id", "pick_order")

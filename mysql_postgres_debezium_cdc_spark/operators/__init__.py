@@ -6,6 +6,7 @@ from mysql_postgres_debezium_cdc_spark.operators import (  # noqa: F401
     filters,
     graphs,
     joins,
+    mining,
     pivots,
     setops,
     subqueries,

@@ -1079,3 +1079,126 @@ def events_changepoint_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_s")
     )
+
+
+# Deterministic variant assignment: a multiplicative hash folded through
+# an odd prime modulus BEFORE the %2 — a bare (user_id * odd) % 2 would
+# just be user_id's parity, correlating the arms with any id-structured
+# behavior.  Conversion = "any purchase over 150": the fixture's plain
+# any-purchase rate saturates at 1.0, which zeroes the pooled-variance
+# denominator (sqrt(p(1-p)) = 0) — a degenerate experiment, not a metric.
+AB_HASH_MUL = 2654435761
+AB_HASH_MOD = 97
+AB_CONV_VALUE = 150
+
+
+@register(
+    "events_ab_test_eval",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(((user_id * {AB_HASH_MUL}) % {AB_HASH_MOD}) % 2 AS INT)
+               AS variant,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                            AND value > {AB_CONV_VALUE} THEN 1 ELSE 0 END)
+                  AS INT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM users GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS conv_a,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_b
+      FROM arms
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(conv_a * 1.0 / n_a, 4) AS rate_a,
+           ROUND(conv_b * 1.0 / n_b, 4) AS rate_b,
+           ROUND(
+             (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score,
+           CASE WHEN ABS(ROUND(
+             (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4)) >= 1.96
+           THEN 1 ELSE 0 END AS significant_95
+    FROM wide
+    """,
+    tags=("behavioral", "experiment", "abtest"),
+)
+def events_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split deterministically into two
+    arms (multiplicative hash of user_id — the assignment an
+    experimentation platform derives from a stable unit id, no RNG so
+    both engines agree), arm conversion = "user has a purchase over
+    {AB_CONV_VALUE}", and the two-proportion pooled z-test with a 95%
+    significance flag — the end-of-experiment scorecard computed
+    entirely in-warehouse.
+
+    Scale shape: ONE user_id-keyed aggregation over the fact table
+    (map-side combined; conversion is a per-user MAX, not a join), then
+    a 2-row arm roll-up and 1-row scalar arithmetic — the corpus pass
+    is a single shuffle and everything after is constant-sized.  At
+    100 TB the per-user relation is |users|-sized, the standard funnel
+    cardinality.
+
+    Float parity: counts are exact BIGINTs; rates and the z statistic
+    are computed with the identical expression tree in both engines and
+    rounded 4dp (quotients of large co-prime integers — never an exact
+    decimal boundary); the significance flag tests the ROUNDED z so the
+    cutoff cannot flicker."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("converted")
+    ).select(
+        (((F.col("user_id") * AB_HASH_MUL) % AB_HASH_MOD) % 2)
+        .cast("int")
+        .alias("variant"),
+        "converted",
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = F.round(
+        (rate_a - rate_b)
+        / F.sqrt(pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+        4,
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 4).alias("rate_a"),
+        F.round(rate_b, 4).alias("rate_b"),
+        z.alias("z_score"),
+        F.when(F.abs(z) >= 1.96, 1).otherwise(0).alias("significant_95"),
+    )

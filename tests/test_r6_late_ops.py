@@ -170,3 +170,109 @@ def test_changepoint_scores_symmetric_windows(spark):
             assert r.after_avg > r.before_avg
         else:
             assert r.after_avg < r.before_avg
+
+
+# --- second late-r6 batch: mining / retrieval / experiment ops -------------
+
+
+def test_basket_lift_arithmetic(spark):
+    """Lift is the exact integer (co*N*1e6) div (cnt_a*cnt_b), and
+    co-occurrence is bounded by each brand's own order count."""
+    rows = _run(spark, "basket_affinity_pairs", SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.lift_ppm == (r.co_orders * r.n_orders * 1000000) // (
+            r.cnt_a * r.cnt_b
+        )
+        assert r.co_orders <= min(r.cnt_a, r.cnt_b) <= r.n_orders
+
+
+def test_skyline_frontier_sound_and_complete(spark):
+    """No frontier point dominates another (soundness) and every
+    non-frontier part is dominated by some frontier part (completeness)
+    — checked against the raw part table."""
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    frontier = [
+        (r.price_cents, r.p_size)
+        for r in _run(spark, "skyline_pareto_parts", SF_DIR_SMOKE).collect()
+    ]
+    assert frontier
+    for p1, s1 in frontier:
+        for p2, s2 in frontier:
+            dominates = p1 <= p2 and s1 >= s2 and (p1 < p2 or s1 > s2)
+            assert not dominates, ((p1, s1), (p2, s2))
+    pts = [
+        (int(round(r.p_retailprice * 100)), r.p_size)
+        for r in load(spark, SF_DIR_SMOKE, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    fset = set(frontier)
+    for p, s in pts:
+        if (p, s) in fset:
+            continue
+        assert any(
+            fp <= p and fs >= s and (fp < p or fs > s) for fp, fs in fset
+        ), (p, s)
+
+
+def test_ab_test_arms_partition_users(spark):
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    r = _run(spark, "events_ab_test_eval", SF_DIR_ORACLE).collect()[0]
+    n_users = (
+        load(spark, SF_DIR_ORACLE, "events").select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert 0 < r.conv_a < r.n_a and 0 < r.conv_b < r.n_b  # non-degenerate
+    if r.z_score > 0:
+        assert r.rate_a > r.rate_b
+    elif r.z_score < 0:
+        assert r.rate_a < r.rate_b
+
+
+def test_bm25_hits_share_terms_with_query(spark):
+    """Positive BM25 score implies lexical overlap; ranks contiguous."""
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    hits = _run(spark, "rag_bm25_topk", SF_DIR_SMOKE).collect()
+    assert hits
+    toks = {
+        r.doc_id: set(r.text.split(" "))
+        for r in load(spark, SF_DIR_SMOKE, "documents").collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in hits:
+        assert r.score_micro > 0
+        assert toks[r.q_doc] & toks[r.hit_doc], (r.q_doc, r.hit_doc)
+        per_q.setdefault(r.q_doc, []).append(r.rk)
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_mmr_picks_refine_relevance_shortlist(spark):
+    """MMR picks come from the top-MMR_POOL relevance shortlist, pick 1
+    is the relevance argmax, and the pick set is duplicate-free with
+    exactly MMR_K picks per query."""
+    from mysql_postgres_debezium_cdc_spark.llm.similarity import MMR_K, MMR_POOL
+
+    picks = _run(spark, "ann_mmr_diversified", SF_DIR_ORACLE).collect()
+    short: dict[int, list] = {}
+    for r in _run(spark, "ann_bruteforce_topk", SF_DIR_ORACLE).collect():
+        short.setdefault(r.q_id, []).append((r.c_id, r.cos_sim))
+    by_q: dict[int, list] = {}
+    for r in picks:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(short)
+    for q, rows in by_q.items():
+        assert len(rows) == MMR_K
+        ids = [r.c_id for r in rows]
+        assert len(set(ids)) == MMR_K
+        first = next(r for r in rows if r.pick_order == 1)
+        # bruteforce top-1 (rounded 4dp == rel_i/10000 ordering)
+        assert first.c_id == short[q][0][0]
+        assert first.mmr_i == 7 * first.rel_i
+        # every pick's relevance is within the top-POOL of its query
+        rels = sorted((r.rel_i for r in rows), reverse=True)
+        assert len(rels) <= MMR_POOL
