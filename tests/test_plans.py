@@ -738,3 +738,111 @@ def test_compaction_planner_on_real_physical_files(spark):
     assert plan_counts == inv_counts  # every file planned exactly once
     for p, gs in groups.items():
         assert sorted(gs) == list(range(len(gs)))  # contiguous from 0
+
+
+# --- late-r6 batch plan audits ---------------------------------------------
+
+
+def test_range_search_is_broadcast_scan_no_smj(spark):
+    """ann_range_search: bounded query set broadcasts against the
+    streamed candidate scan (nested-loop: the q_id<>c_id predicate has
+    no equi-key); the only shuffle is over the HIT set (result-sized),
+    never a sort-merge of the corpus."""
+    r = _plan(spark, "ann_range_search")
+    assert "BroadcastNestedLoopJoin" in r.text
+    assert r.n_sortmerge_joins == 0, r.ops
+
+
+def test_cms_sketch_relation_broadcasts(spark):
+    """agg_countmin_sketch: the D x W sketch is constant-sized, so its
+    join back to the probe keys must broadcast; per-key counts combine
+    map-side before any exchange."""
+    r = _plan(spark, "agg_countmin_sketch")
+    assert r.n_broadcast_joins >= 1
+    assert "HashAggregate" in r.text
+
+
+def test_ab_test_is_single_user_shuffle_no_joins(spark):
+    """events_ab_test_eval: one user_id-keyed aggregation pass over the
+    fact table and constant-sized arithmetic after — no joins of any
+    kind, and no shuffle beyond the user rollup + 2-row arm rollup."""
+    r = _plan(spark, "events_ab_test_eval")
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    assert r.n_shuffles <= 2, r.ops
+
+
+def test_frame_sample_is_narrow_map(spark):
+    """multimodal_frame_sample: the Arrow fan-out is shuffle-free; the
+    only exchange is the presentation sort."""
+    r = _plan(spark, "multimodal_frame_sample")
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    assert r.n_shuffles <= 1, r.ops
+    assert "ArrowEvalPython" in r.text or "MapInPandas" in r.text
+
+
+def test_curriculum_cuts_broadcast_not_ntile(spark):
+    """corpus_curriculum_order: the quartile boundaries join as a 1-row
+    broadcast (nested-loop cross of 3 scalars) — never a global NTILE
+    window; the only windows are partitioned by phase."""
+    r = _plan(spark, "corpus_curriculum_order")
+    assert "BroadcastNestedLoopJoin" in r.text
+    assert "ntile(" not in r.text.replace("percentile(", "")
+    assert "hashpartitioning(phase" in r.text
+    assert r.n_sortmerge_joins == 0, r.ops
+
+
+def test_skyline_windows_are_bucket_partitioned(spark):
+    """skyline_pareto_parts: corpus-sized windows partition by bucket /
+    price (hash-parallel); the bucket prefix-max relation joins back as
+    a broadcast.  The only UNpartitioned window runs on the tiny
+    bucket-level relation, never on part rows directly."""
+    r = _plan(spark, "skyline_pareto_parts")
+    assert r.n_broadcast_joins >= 1
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert "hashpartitioning(bucket" in r.text or "hashpartitioning(price_cents" in r.text
+
+
+def test_basket_small_sides_broadcast(spark):
+    """basket_affinity_pairs: brand counts and the 1-row total join the
+    brands^2-sized pair relation as broadcasts; the okey self-join is
+    the only fact-sized exchange pair."""
+    r = _plan(spark, "basket_affinity_pairs")
+    assert r.n_broadcast_joins >= 3, r.ops
+
+
+def test_bm25_query_side_broadcasts_and_aggs_combine(spark):
+    """rag_bm25_topk: query terms (with their df rows) and the 1-row
+    corpus stats reach the posting-list join as broadcasts; tf/df
+    builds are map-side-combining hash aggregates."""
+    r = _plan(spark, "rag_bm25_topk")
+    assert r.n_broadcast_joins >= 1
+    assert "BroadcastNestedLoopJoin" in r.text  # 1-row stats cross join
+    assert "HashAggregate" in r.text
+
+
+def test_mmr_and_lpa_never_collect_to_driver(spark):
+    """The iterative ops' returned plans read eagerly-checkpointed RDDs
+    — never a LocalTableScan (which would mean a driver-side collect of
+    the working relation)."""
+    for key in ("ann_mmr_diversified", "graph_label_propagation"):
+        r = _plan(spark, key)
+        assert "LocalTableScan" not in r.text, key
+        assert "ExistingRDD" in r.text, key
+
+
+def test_char_entropy_is_two_aggregate_passes(spark):
+    """text_char_entropy: the exploded (doc, char) groupBy combines
+    map-side; everything after is doc-sized.  Shuffle budget: counts
+    agg, totals agg, the doc_id join, and the final rollup."""
+    r = _plan(spark, "text_char_entropy")
+    assert "HashAggregate" in r.text
+    assert r.n_shuffles <= 5, r.ops
+
+
+def test_changepoint_windows_partition_by_type(spark):
+    """events_changepoint_window: the corpus pass is the hourly
+    pre-aggregation; both frame averages ride ONE window sort
+    partitioned by event_type — never a global window."""
+    r = _plan(spark, "events_changepoint_window")
+    assert "hashpartitioning(event_type" in r.text
+    assert r.ops.count("Window") <= 1, r.ops
