@@ -2400,3 +2400,104 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Literal substring patterns spanning three orders of selectivity at
+# sf0.1 (270 / 298 / 11 / 8 matching docs) — the probe set for the
+# trigram-index search below.
+TRIGRAM_PATTERNS = (
+    "merge batch",
+    "window stream",
+    "query big query",
+    "sort table window",
+)
+
+
+def _pattern_values_sql() -> str:
+    return ", ".join(f"('{p}')" for p in TRIGRAM_PATTERNS)
+
+
+@register(
+    "text_trigram_substring_search",
+    # The ORACLE is the textbook definition — a full-scan CONTAINS over
+    # every (pattern, document) pair.  The ENGINE answers from a trigram
+    # inverted index instead; the value hash proves index+verify equals
+    # the definition.
+    oracle=f"""
+    WITH pats(pattern) AS (VALUES {_pattern_values_sql()})
+    SELECT p.pattern, d.doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY p.pattern) AS BIGINT)
+             AS n_matching_docs
+    FROM pats p JOIN documents d ON CONTAINS(d.text, p.pattern)
+    ORDER BY pattern, doc_id
+    """,
+    tags=("llm", "text", "search", "index"),
+)
+def text_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search (`LIKE '%pattern%'`) answered from a TRIGRAM
+    inverted index — the pg_trgm / code-search-index technique: a doc
+    can contain the pattern only if it contains every one of the
+    pattern's character trigrams, so the index join prunes the corpus
+    to a candidate set and the expensive contains() verify touches
+    candidates only.  At 100 TB a raw substring scan reads everything
+    for every query; the trigram index is built once (this plan's
+    distinct-explode stage — in production it persists, the
+    [[rag_rrf_persisted_index]] pattern) and each query's cost is its
+    posting-list intersection, sized by the RAREST trigram's postings.
+
+    Scale shape: the index build is one narrow explode + distinct
+    (map-side combined); pattern trigrams BROADCAST (patterns are a
+    fixed query batch); the candidate intersection is a count-equality
+    groupBy on (pattern, doc) — no corpus-sized shuffle carries text;
+    only verified candidates rejoin the document table (doc_id
+    equi-join) for the contains() check.
+
+    The four registered patterns span 270 → 8 matching docs at sf0.1,
+    so the value check certifies both the dense and the sparse end;
+    false candidates (trigrams present, substring absent — possible
+    because the index is a SET of trigrams with no positions) are
+    killed by the verify, which the DuckDB full-scan oracle proves."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    # substring with a dynamic start needs expr form; build via transform
+    index = (
+        d.where(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    )
+                )
+            ).alias("tg"),
+        )
+    )
+    pat_rows = []
+    for p in TRIGRAM_PATTERNS:
+        grams = sorted({p[i : i + 3] for i in range(len(p) - 2)})
+        pat_rows.append((p, grams, len(grams)))
+    pats = spark.createDataFrame(
+        pat_rows, "pattern string, grams array<string>, n_grams int"
+    )
+    ptg = pats.select("pattern", "n_grams", F.explode("grams").alias("tg"))
+    candidates = (
+        index.join(F.broadcast(ptg), "tg")
+        .groupBy("pattern", "doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .where(F.col("n_present") == F.col("n_grams"))
+        .select("pattern", "doc_id")
+    )
+    verified = (
+        candidates.join(d.select("doc_id", "text"), "doc_id")
+        .where(F.expr("contains(text, pattern)"))
+        .select("pattern", "doc_id")
+    )
+    w = Window.partitionBy("pattern")
+    return (
+        verified.withColumn(
+            "n_matching_docs", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .orderBy("pattern", "doc_id")
+    )

@@ -846,3 +846,12 @@ def test_changepoint_windows_partition_by_type(spark):
     r = _plan(spark, "events_changepoint_window")
     assert "hashpartitioning(event_type" in r.text
     assert r.ops.count("Window") <= 1, r.ops
+
+
+def test_trigram_search_patterns_broadcast_into_index(spark):
+    """text_trigram_substring_search: pattern trigrams broadcast into
+    the posting join; the intersection is a map-side-combining count
+    aggregate; only candidates rejoin the document text."""
+    r = _plan(spark, "text_trigram_substring_search")
+    assert r.n_broadcast_joins >= 1
+    assert "HashAggregate" in r.text

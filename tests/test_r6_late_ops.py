@@ -276,3 +276,19 @@ def test_mmr_picks_refine_relevance_shortlist(spark):
         # every pick's relevance is within the top-POOL of its query
         rels = sorted((r.rel_i for r in rows), reverse=True)
         assert len(rels) <= MMR_POOL
+
+
+def test_trigram_search_equals_direct_scan(spark):
+    """Index+verify must return exactly the docs a direct substring
+    scan finds — soundness (contains really holds) and completeness
+    (no containing doc pruned away by the index)."""
+    from mysql_postgres_debezium_cdc_spark.llm.text import TRIGRAM_PATTERNS
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    out: dict[str, set] = {}
+    for r in _run(spark, "text_trigram_substring_search", SF_DIR_SMOKE).collect():
+        out.setdefault(r.pattern, set()).add(r.doc_id)
+    docs = load(spark, SF_DIR_SMOKE, "documents").collect()
+    for p in TRIGRAM_PATTERNS:
+        truth = {r.doc_id for r in docs if p in r.text}
+        assert out.get(p, set()) == truth, p
