@@ -871,3 +871,140 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_cnt"), F.asc("user_id"))
     )
+
+
+# Equi-width histogram-quantile sketch geometry: $100-wide buckets over
+# integer cents.  The bucket-count relation is the SKETCH — cell-wise
+# SUM-mergeable exactly like [[agg_countmin_sketch]]'s rows, so Spark's
+# partial aggregation is the distributed sketch union.
+HQ_BUCKET_CENTS = 10000
+HQ_QUANTILES = (25, 50, 90, 99)  # integer percents
+
+
+@register(
+    "agg_quantile_histogram_sketch",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ),
+    hist AS (
+      SELECT c // {HQ_BUCKET_CENTS} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (
+               ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+      FROM hist
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in HQ_QUANTILES)}]) AS q_pct),
+    targets AS (
+      SELECT q_pct, n, (n * q_pct + 99) // 100 AS target_rank
+      FROM qs CROSS JOIN n
+    ),
+    est AS (
+      SELECT t.q_pct, t.n, t.target_rank, c.bucket,
+             c.bucket * {HQ_BUCKET_CENTS} * 1000
+               + ({HQ_BUCKET_CENTS} * 1000 * (t.target_rank - c.cum_prev)) // c.cnt
+               AS est_millicents
+      FROM targets t JOIN cum c
+        ON c.cum_prev < t.target_rank AND c.cum_prev + c.cnt >= t.target_rank
+    ),
+    exact AS (
+      SELECT 25 AS q_pct, QUANTILE_CONT(c, 0.25) AS exact_cents FROM cents
+      UNION ALL SELECT 50, QUANTILE_CONT(c, 0.50) FROM cents
+      UNION ALL SELECT 90, QUANTILE_CONT(c, 0.90) FROM cents
+      UNION ALL SELECT 99, QUANTILE_CONT(c, 0.99) FROM cents
+    )
+    SELECT e.q_pct, e.n, e.target_rank, e.bucket, e.est_millicents,
+           x.exact_cents,
+           ROUND(ABS(e.est_millicents / 1000.0 - x.exact_cents), 4)
+             AS err_cents
+    FROM est e JOIN exact x ON x.q_pct = e.q_pct
+    ORDER BY e.q_pct
+    """,
+    tags=("agg", "sketch", "percentile", "mergeable"),
+)
+def agg_quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from an equi-width histogram SKETCH, with the
+    exact percentile alongside as a self-evaluation — the
+    fixed-memory-quantiles pattern for data whose range is known (money,
+    latencies with a cap): bucket counts are one map-side-combined
+    aggregate, the sketch is range/width rows however big the corpus,
+    merging two sketches is cell-wise addition, and any quantile reads
+    off the cumulative counts with within-bucket linear interpolation.
+    Contrast with [[agg_approx_percentile]] (t-digest: unknown range,
+    relative-accuracy) — the histogram wins when the domain is fixed
+    because reads are exact-rank-bounded: the target ORDER STATISTIC
+    provably lies in the chosen bucket, so error ≤ one bucket width
+    plus interpolation-definition skew.
+
+    Scale shape: ONE corpus pass (narrow map to bucket + partial agg);
+    the cumulative window runs on the bucket relation (range/width ≈
+    hundreds of rows — the [[skyline_pareto_parts]] tiny-relation
+    pattern); quantile targets and the 1-row total broadcast.  The
+    EXACT percentile column is the eval baseline (full per-group sort,
+    same caveat as agg_percentiles) — production reads skip it and pay
+    only the sketch.
+
+    Exactness: counts/targets/interpolation are pure BIGINT arithmetic
+    (floor-divided millicents); the exact percentile follows the
+    established cross-engine interpolation contract (quarter-grid
+    decimals at these q values), and err keeps every digit at 4dp."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    hist = li.groupBy(F.expr(f"c DIV {HQ_BUCKET_CENTS}").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+    )
+    n = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in HQ_QUANTILES], "q_pct int")
+    targets = qs.crossJoin(F.broadcast(n)).withColumn(
+        "target_rank", F.expr("(n * q_pct + 99) DIV 100")
+    )
+    est = targets.join(
+        F.broadcast(cum),
+        (F.col("cum_prev") < F.col("target_rank"))
+        & (F.col("cum_prev") + F.col("cnt") >= F.col("target_rank")),
+    ).withColumn(
+        "est_millicents",
+        F.expr(
+            f"bucket * {HQ_BUCKET_CENTS} * 1000"
+            f" + ({HQ_BUCKET_CENTS} * 1000 * (target_rank - cum_prev)) DIV cnt"
+        ),
+    )
+    exact_row = li.agg(
+        *[
+            F.percentile("c", F.lit(q / 100.0)).alias(f"x{q}")
+            for q in HQ_QUANTILES
+        ]
+    )
+    exact = exact_row.select(
+        F.expr(
+            "stack({}, {}) AS (q_pct, exact_cents)".format(
+                len(HQ_QUANTILES),
+                ", ".join(f"{q}, x{q}" for q in HQ_QUANTILES),
+            )
+        )
+    )
+    return (
+        est.join(F.broadcast(exact), "q_pct")
+        .select(
+            "q_pct",
+            "n",
+            "target_rank",
+            "bucket",
+            "est_millicents",
+            "exact_cents",
+            F.round(
+                F.abs(F.col("est_millicents") / 1000.0 - F.col("exact_cents")), 4
+            ).alias("err_cents"),
+        )
+        .orderBy("q_pct")
+    )

@@ -855,3 +855,14 @@ def test_trigram_search_patterns_broadcast_into_index(spark):
     r = _plan(spark, "text_trigram_substring_search")
     assert r.n_broadcast_joins >= 1
     assert "HashAggregate" in r.text
+
+
+def test_quantile_sketch_is_one_corpus_pass(spark):
+    """agg_quantile_histogram_sketch: the sketch build is a single
+    map-side-combined aggregate; the cumulative window and quantile
+    targets operate on the bucket relation only.  The exact-percentile
+    eval column is the only other corpus touch."""
+    r = _plan(spark, "agg_quantile_histogram_sketch")
+    assert "HashAggregate" in r.text
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins + r.text.count("BroadcastNestedLoopJoin") >= 2

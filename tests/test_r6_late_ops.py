@@ -292,3 +292,26 @@ def test_trigram_search_equals_direct_scan(spark):
     for p in TRIGRAM_PATTERNS:
         truth = {r.doc_id for r in docs if p in r.text}
         assert out.get(p, set()) == truth, p
+
+
+def test_quantile_sketch_order_statistic_in_bucket(spark):
+    """The defining histogram-sketch guarantee: the target-rank order
+    statistic lies inside the chosen bucket, so the estimate is off by
+    at most one bucket width plus interpolation skew."""
+    from mysql_postgres_debezium_cdc_spark.operators.aggregates import (
+        HQ_BUCKET_CENTS,
+    )
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    cents = sorted(
+        int(round(r.l_extendedprice * 100))
+        for r in load(spark, SF_DIR_ORACLE, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    for r in _run(spark, "agg_quantile_histogram_sketch", SF_DIR_ORACLE).collect():
+        order_stat = cents[r.target_rank - 1]  # 1-indexed rank
+        lo = r.bucket * HQ_BUCKET_CENTS
+        assert lo <= order_stat < lo + HQ_BUCKET_CENTS, (r.q_pct, order_stat, lo)
+        assert lo * 1000 <= r.est_millicents <= (lo + HQ_BUCKET_CENTS) * 1000
+        assert r.err_cents <= 2 * HQ_BUCKET_CENTS
