@@ -866,3 +866,39 @@ def test_quantile_sketch_is_one_corpus_pass(spark):
     assert "HashAggregate" in r.text
     assert r.n_sortmerge_joins == 0, r.ops
     assert r.n_broadcast_joins + r.text.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime semi-join reduction: when a shuffle join's build
+    side carries a selective filter, the optimizer injects a bloom
+    filter (might_contain) into the FACT side's scan subtree, pruning
+    rows before the exchange — the row-level cousin of DPP, and the
+    mechanism that keeps selective fact×fact joins affordable at 100 TB.
+    The application-side size threshold defaults to 10 GB, so the
+    fixture can't trip it organically; this audit lowers it (and closes
+    the broadcast path, which supersedes bloom pruning) scoped to the
+    eagerly-built plan, then restores the session confs."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "0")
+        spark.conf.set(keys[1], "-1")
+        orders = (
+            load(spark, SF_DIR_SMOKE, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load(spark, SF_DIR_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+        r = plan_report(li.join(orders, li.l_orderkey == orders.o_orderkey))
+        assert "might_contain" in r.text, "bloom filter not injected"
+        assert r.n_sortmerge_joins >= 1, r.ops  # broadcast path really closed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
