@@ -426,3 +426,64 @@ def stream_stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("purchase_id", "click_id")
     )
 
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH hourly AS (
+      SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) * 3600
+               AS window_start_s,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_s, event_type, n_events, sum_cents
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY window_start_s
+        ORDER BY n_events DESC, event_type) AS rk
+      FROM hourly
+    )
+    WHERE rk = 1
+    ORDER BY window_start_s
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type per 1-hour tumbling window — the "what's
+    trending each hour" standing query.  The STREAM maintains only the
+    windowed aggregate (per-window per-type counts — the stateful part
+    Structured Streaming handles incrementally, twin-tested in
+    tests/test_streaming.py::test_windowed_topk_stream_equals_batch);
+    the rank-1 selection is a read-time post-pass over the window-keyed
+    aggregate, the standard serving split because a streaming rank
+    would re-emit a window's winner on every update anyway.
+
+    Scale shape: the aggregate is map-side combined to |windows|×|types|
+    rows; the top-k window partitions by window_start_s (hash-parallel,
+    calendar-sized).  Ties break deterministically on event_type; value
+    sums ride as integer cents (thousands of doubles per group — the
+    cross-engine summation-order contract)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    ).select(_win_start_s(), "event_type", "n_events", "sum_cents")
+    w = Window.partitionBy("window_start_s").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("window_start_s", "event_type", "n_events", "sum_cents")
+        .orderBy("window_start_s")
+    )

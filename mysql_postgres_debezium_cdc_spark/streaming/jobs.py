@@ -402,3 +402,25 @@ def user_state_tws(spark: SparkSession, events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def tumbling_cents_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming form of the aggregate under stream_windowed_topk: the
+    stream maintains per-(window, type) counts and integer-cent sums;
+    rank-1 selection happens at read time over the materialized state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )

@@ -299,3 +299,27 @@ def test_stream_stream_left_outer_equals_batch_after_watermark_flush(spark, tmp_
     cols = ("purchase_id", "click_id", "user_id", "purchase_value")
     got = [r for r in rows(out, *cols) if r[0] != 999_999_999]
     assert got == rows(batch, *cols)
+
+
+def test_windowed_topk_stream_equals_batch(spark):
+    """The stream maintains the windowed aggregate; applying the same
+    read-time rank-1 pass over the streamed state must reproduce the
+    registered batch query exactly."""
+    from pyspark.sql import Window
+
+    batch = all_queries()["stream_windowed_topk"].fn(spark, SF_DIR_SMOKE)
+    state = jobs.run_to_memory(
+        spark,
+        jobs.tumbling_cents_agg(jobs.stream_events(spark, SF_DIR_SMOKE)),
+        "t_topk",
+    )
+    w = Window.partitionBy("window_start_s").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    served = (
+        state.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("window_start_s", "event_type", "n_events", "sum_cents")
+    )
+    cols = ("window_start_s", "event_type", "n_events", "sum_cents")
+    assert rows(served, *cols) == rows(batch, *cols)
