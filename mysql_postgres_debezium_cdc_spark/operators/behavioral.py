@@ -1202,3 +1202,111 @@ def events_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         F.when(F.abs(z) >= 1.96, 1).otherwise(0).alias("significant_95"),
     )
+
+
+BUSY_TOPN = 5  # busiest hours kept per event type
+
+
+@register(
+    "join_interval_overlap",
+    # Oracle = the DEFINITION: a range-predicate join (overlap iff
+    # start < hour_end AND hour_start <= end).  The engine answers it
+    # with the grain-bucketed decomposition instead; the value hash
+    # proves decomposition ≡ definition.
+    oracle=f"""
+    WITH sessions AS ({_SESSIONIZE_ORACLE}),
+    bounds AS (
+      SELECT user_id, session_idx, session_start_s,
+             session_start_s + duration_s AS session_end_s
+      FROM sessions
+    ),
+    hourly AS (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_s,
+             CAST(COUNT(*) AS BIGINT) AS hour_cnt
+      FROM events GROUP BY 1, 2
+    ),
+    busy AS (
+      SELECT event_type, hour_s, hour_cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY hour_cnt DESC, hour_s) AS rk
+        FROM hourly
+      ) WHERE rk <= {BUSY_TOPN}
+    )
+    SELECT s.user_id, s.session_idx, s.session_start_s, s.session_end_s,
+           b.event_type, b.hour_s AS busy_hour_s, b.hour_cnt
+    FROM bounds s JOIN busy b
+      ON s.session_start_s < b.hour_s + 3600 AND b.hour_s <= s.session_end_s
+    ORDER BY s.user_id, s.session_idx, b.event_type, b.hour_s
+    """,
+    tags=("join", "interval", "behavioral"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which user sessions were live during the
+    {BUSY_TOPN} busiest hours of each event type — the time-range join
+    behind incident attribution ("who was online during the error
+    storm") and ad-window exposure.  Composes the certified gap
+    sessionizer ([[events_sessionize_gap]]) for the interval side.
+
+    A naive overlap join is a range-predicate theta join — quadratic,
+    and Spark can only nested-loop it.  The engine DECOMPOSES to the
+    hour grain instead: each session explodes into the hour buckets it
+    covers (expansion = duration/grain, the bounded fan-out knob) and
+    the busy side keys by its own hour, turning the theta join into a
+    hash EQUI-join on bucket.  Because busy intervals are exactly
+    hour-aligned, the bucket match IS the overlap predicate — no
+    residual verify, no dedup.  For arbitrary-width right intervals the
+    same shape adds a post-join residual filter (the [[join_range_bucket]]
+    contract).  The DuckDB oracle runs the quadratic definition, so the
+    value check proves the decomposition exact.
+
+    Scale shape: sessions and buckets are narrow derivations; the
+    equi-join shuffles on bucket (hash-parallel, calendar-domain keys);
+    busy is |types|·{BUSY_TOPN} rows and broadcasts."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    sess = (
+        all_queries()["events_sessionize_gap"]
+        .fn(spark, sf_dir)
+        .select(
+            "user_id",
+            "session_idx",
+            "session_start_s",
+            (F.col("session_start_s") + F.col("duration_s")).alias("session_end_s"),
+        )
+    )
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_s"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("hour_cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("hour_cnt"), F.asc("hour_s"))
+    busy = (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BUSY_TOPN)
+        .select("event_type", "hour_s", "hour_cnt", (F.col("hour_s") / 3600).cast("bigint").alias("bucket"))
+    )
+    exploded = sess.select(
+        "user_id",
+        "session_idx",
+        "session_start_s",
+        "session_end_s",
+        F.explode(
+            F.sequence(
+                F.expr("session_start_s DIV 3600"), F.expr("session_end_s DIV 3600")
+            )
+        ).alias("bucket"),
+    )
+    return (
+        exploded.join(F.broadcast(busy), "bucket")
+        .select(
+            "user_id",
+            "session_idx",
+            "session_start_s",
+            "session_end_s",
+            "event_type",
+            F.col("hour_s").alias("busy_hour_s"),
+            "hour_cnt",
+        )
+        .orderBy("user_id", "session_idx", "event_type", "busy_hour_s")
+    )

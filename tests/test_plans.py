@@ -902,3 +902,13 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    """join_interval_overlap: the overlap theta-predicate must reach
+    Catalyst as a bucket EQUI-join (hash-joinable) with the tiny busy
+    side broadcast — never a nested-loop range join."""
+    r = _plan(spark, "join_interval_overlap")
+    assert r.n_broadcast_joins >= 1
+    assert "BroadcastNestedLoopJoin" not in r.text
+    assert "CartesianProduct" not in r.text

@@ -315,3 +315,32 @@ def test_quantile_sketch_order_statistic_in_bucket(spark):
         assert lo <= order_stat < lo + HQ_BUCKET_CENTS, (r.q_pct, order_stat, lo)
         assert lo * 1000 <= r.est_millicents <= (lo + HQ_BUCKET_CENTS) * 1000
         assert r.err_cents <= 2 * HQ_BUCKET_CENTS
+
+
+def test_interval_overlap_equals_quadratic_definition(spark):
+    """The bucket decomposition must equal the direct range-predicate
+    join recomputed from its two certified inputs."""
+    sess = {
+        (r.user_id, r.session_idx): (r.session_start_s, r.session_start_s + r.duration_s)
+        for r in _run(spark, "events_sessionize_gap", SF_DIR_SMOKE).collect()
+    }
+    out = {
+        (r.user_id, r.session_idx, r.event_type, r.busy_hour_s)
+        for r in _run(spark, "join_interval_overlap", SF_DIR_SMOKE).collect()
+    }
+    busy = {
+        (r.event_type, r.busy_hour_s)
+        for r in _run(spark, "join_interval_overlap", SF_DIR_SMOKE)
+        .select("event_type", "busy_hour_s")
+        .collect()
+    }
+    # soundness + completeness against the definition, restricted to the
+    # busy hours the output itself names (the busy set is part of the
+    # oracle-checked contract)
+    expected = {
+        (u, sidx, et, h)
+        for (u, sidx), (s, e) in sess.items()
+        for (et, h) in busy
+        if s < h + 3600 and h <= e
+    }
+    assert out == expected
