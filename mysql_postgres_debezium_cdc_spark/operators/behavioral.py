@@ -1310,3 +1310,112 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx", "event_type", "busy_hour_s")
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(epoch_us(ts)) // 1000000 AS t_max FROM events
+    ),
+    rfm AS (
+      SELECT user_id,
+             CAST((a.t_max - MAX(epoch_us(ts)) // 1000000) // 86400 AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS monetary_cents
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id, a.t_max
+    ),
+    cuts AS (
+      SELECT QUANTILE_CONT(recency_days, 0.5) AS r_med,
+             QUANTILE_CONT(frequency, 0.5) AS f_med,
+             QUANTILE_CONT(monetary_cents, 0.5) AS m_med
+      FROM rfm
+    ),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             CASE WHEN recency_days <= c.r_med THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency > c.f_med THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents > c.m_med THEN 2 ELSE 1 END AS m_score
+      FROM rfm CROSS JOIN cuts c
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score DESC, f_score DESC, m_score DESC
+    """,
+    tags=("behavioral", "segmentation", "rfm"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-base cut: per user, days since last activity, event count,
+    and purchase spend; each dimension split at its corpus median into
+    hi/lo, yielding the 8 canonical segments (2-2-2 = champions,
+    1-1-1 = lost, etc.) with size and revenue per segment.
+
+    Scale shape: ONE user_id-keyed aggregation over the fact table
+    (map-side combined), then median cuts via the broadcast-scalar
+    device ([[corpus_curriculum_order]] — one exact-percentile
+    aggregate collapsing to 3 scalars, never a global NTILE), a narrow
+    scoring map, and an 8-row rollup.  The anchor timestamp (corpus
+    max) is a 1-row broadcast, so "recency" is reproducible, not
+    wall-clock-dependent.
+
+    Exactness: recency/frequency/monetary are pure BIGINTs (floor-
+    divided days, integer cents); medians follow the established
+    cross-engine interpolation contract and the hi/lo comparisons are
+    BIGINT-vs-median with half-integer medians at worst — a .5 boundary
+    sits BETWEEN integers, so the comparison cannot flicker."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / 1_000_000).cast("bigint").alias("t_s"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    anchor = ev.agg(F.max("t_s").alias("t_max"))
+    rfm = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "t_max")
+        .agg(
+            F.max("t_s").alias("last_s"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .select(
+            "user_id",
+            F.expr("(t_max - last_s) DIV 86400").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    cuts = rfm.agg(
+        F.percentile("recency_days", 0.5).alias("r_med"),
+        F.percentile("frequency", 0.5).alias("f_med"),
+        F.percentile("monetary_cents", 0.5).alias("m_med"),
+    )
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "monetary_cents",
+        F.when(F.col("recency_days") <= F.col("r_med"), 2).otherwise(1).alias("r_score"),
+        F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).alias("f_score"),
+        F.when(F.col("monetary_cents") > F.col("m_med"), 2).otherwise(1).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+        .orderBy(F.desc("r_score"), F.desc("f_score"), F.desc("m_score"))
+    )

@@ -344,3 +344,25 @@ def test_interval_overlap_equals_quadratic_definition(spark):
         if s < h + 3600 and h <= e
     }
     assert out == expected
+
+
+def test_rfm_segments_partition_users(spark):
+    """The 8 RFM segments partition the user base, and segment revenue
+    sums to total purchase revenue."""
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+    import pyspark.sql.functions as G
+
+    rows_out = _run(spark, "events_rfm_segmentation", SF_DIR_ORACLE).collect()
+    ev = load(spark, SF_DIR_ORACLE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    total_cents = (
+        ev.where(G.col("event_type") == "purchase")
+        .agg(G.sum(G.round(G.col("value") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert sum(r.n_users for r in rows_out) == n_users
+    assert sum(r.segment_cents for r in rows_out) == total_cents
+    assert all(
+        r.r_score in (1, 2) and r.f_score in (1, 2) and r.m_score in (1, 2)
+        for r in rows_out
+    )
