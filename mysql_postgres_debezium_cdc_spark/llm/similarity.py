@@ -1786,6 +1786,7 @@ BM25_TOPK = 5
     ORDER BY q_doc, rk
     """,
     tags=("llm", "retrieval", "bm25"),
+    bench=True,
 )
 def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (Robertson-Sparck Jones, the Lucene
