@@ -72,6 +72,26 @@ EMPTY_SLICE = [
     "embedding_label_centroid_separation",
     "text_encoding_quality",
     "events_disorder_audit",
+    # late-r6 additions
+    "ann_range_search",
+    "agg_countmin_sketch",
+    "window_gaps_islands",
+    "events_changepoint_window",
+    "text_char_entropy",
+    "corpus_curriculum_order",
+    "multimodal_frame_sample",
+    "multimodal_resize_decimate",
+    "graph_label_propagation",
+    "basket_affinity_pairs",
+    "skyline_pareto_parts",
+    "rag_bm25_topk",
+    "ann_mmr_diversified",
+    "text_trigram_substring_search",
+    "agg_quantile_histogram_sketch",
+    "stream_windowed_topk",
+    "join_interval_overlap",
+    "events_rfm_segmentation",
+    "events_ab_test_eval",
 ]
 
 
