@@ -1419,3 +1419,109 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("r_score"), F.desc("f_score"), F.desc("m_score"))
     )
+
+
+MARKOV_TEST_MOD = 5  # transitions whose source event_id % 5 == 0 are held out
+
+
+@register(
+    "events_markov_next_eval",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    transitions AS (
+      SELECT event_id, event_type AS from_type, next_type AS to_type,
+             CASE WHEN event_id % {MARKOV_TEST_MOD} = 0 THEN 1 ELSE 0 END
+               AS is_test
+      FROM ordered WHERE next_type IS NOT NULL
+    ),
+    train AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM transitions WHERE is_test = 0 GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT from_type, to_type AS predicted_next, n AS n_train_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY from_type ORDER BY n DESC, to_type) AS rk
+        FROM train
+      ) WHERE rk = 1
+    )
+    SELECT t.from_type, m.predicted_next, m.n_train_votes,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.to_type = m.predicted_next
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN t.to_type = m.predicted_next
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS accuracy
+    FROM transitions t
+    JOIN model m ON m.from_type = t.from_type
+    WHERE t.is_test = 1
+    GROUP BY t.from_type, m.predicted_next, m.n_train_votes
+    ORDER BY t.from_type
+    """,
+    tags=("behavioral", "markov", "eval"),
+)
+def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction EVALUATED: hold out every {MARKOV_TEST_MOD}th
+    transition (deterministic event_id split — reproducible, no RNG),
+    fit the argmax first-order Markov predictor on the rest (ties break
+    to the lexically-smallest next type), and score held-out accuracy
+    per source state — the train/fit/evaluate loop a sequence-model
+    data pipeline runs, expressed as one relational plan so a data
+    change that degrades the model FAILS the value gate like the
+    recall evals ([[ann_ivf_recall_eval]]).
+
+    Scale shape: one LEAD window keyed by user derives transitions
+    (same pass as [[events_markov_transition]]); train counts collapse
+    to the |types|² relation; the fitted model is |types| rows and
+    BROADCASTS into the test-side scoring join; the eval rollup is
+    |types|-sized.  Nothing beyond the one windowed corpus pass scales
+    with events.
+
+    Exactness: counts and votes are BIGINTs; accuracy is a quotient of
+    counts rounded 4dp (denominators are arbitrary test counts, not
+    decimal powers)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.select(
+            "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .withColumn(
+            "is_test",
+            F.when(F.col("event_id") % MARKOV_TEST_MOD == 0, 1).otherwise(0),
+        )
+    )
+    train = (
+        transitions.where(F.col("is_test") == 0)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_fit = Window.partitionBy("from_type").orderBy(F.desc("n"), F.asc("to_type"))
+    model = (
+        train.withColumn("rk", F.row_number().over(w_fit))
+        .where(F.col("rk") == 1)
+        .select(
+            "from_type",
+            F.col("to_type").alias("predicted_next"),
+            F.col("n").alias("n_train_votes"),
+        )
+    )
+    hit = F.when(F.col("to_type") == F.col("predicted_next"), 1).otherwise(0)
+    return (
+        transitions.where(F.col("is_test") == 1)
+        .join(F.broadcast(model), "from_type")
+        .groupBy("from_type", "predicted_next", "n_train_votes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )

@@ -12,6 +12,7 @@ partitioning the corpus, frame geometry arithmetic.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from mysql_postgres_debezium_cdc_spark.registry import all_queries
 from tests.conftest import SF_DIR_ORACLE, SF_DIR_SMOKE
@@ -366,3 +367,27 @@ def test_rfm_segments_partition_users(spark):
         r.r_score in (1, 2) and r.f_score in (1, 2) and r.m_score in (1, 2)
         for r in rows_out
     )
+
+
+def test_markov_eval_counts_consistent(spark):
+    """Eval bookkeeping: per source state, 0 <= n_correct <= n_test,
+    accuracy = n_correct/n_test at 4dp, and the held-out transitions
+    counted across states equal the deterministic split size."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        MARKOV_TEST_MOD,
+    )
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+    out = _run(spark, "events_markov_next_eval", SF_DIR_ORACLE).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.n_correct <= r.n_test
+        assert abs(r.accuracy - round(r.n_correct / r.n_test, 4)) < 1e-9
+    ev = load(spark, SF_DIR_ORACLE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n_test_truth = (
+        ev.select("event_id", F.lead("event_type").over(w).alias("nt"))
+        .where(F.col("nt").isNotNull() & (F.col("event_id") % MARKOV_TEST_MOD == 0))
+        .count()
+    )
+    assert sum(r.n_test for r in out) == n_test_truth
