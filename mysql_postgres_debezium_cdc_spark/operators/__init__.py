@@ -9,6 +9,7 @@ from mysql_postgres_debezium_cdc_spark.operators import (  # noqa: F401
     mining,
     pivots,
     setops,
+    stats,
     subqueries,
     topk,
     tpch,

@@ -1,0 +1,350 @@
+"""Statistical analytics: OLS regression, chi-square independence,
+mergeable moments sketch, weighted median.
+
+Reference parity: the reference's analytical surface is plain
+scan/project SQL (SURVEY.md §2.1 Q1, `consumer/src/main/resources/`);
+these are §2.2 extension operators — the statistics a warehouse
+downstream of the CDC pipeline computes for experiment analysis and
+data profiling.
+
+Determinism posture (the repo's float-parity contract): every operator
+here reduces to **exact integer sufficient statistics** first —
+BIGINT sums of cents / quantities / counts — and derives the floating
+result from those exact sums in a fixed expression tree.  Double
+summation order can then no longer differ between Spark and DuckDB, so
+the value hash is stable without leaning on coarse rounding.
+
+Scale notes (100 TB): all four are single-pass groupBy aggregations
+with map-side partial aggregation; the shuffled relation is
+|groups| × a handful of BIGINT columns.  The weighted median adds one
+per-group sort (window) over the distinct-value relation, which is
+orders of magnitude smaller than the fact table.  The 4th power sum of
+a bounded integer (quantity ≤ 50) stays within BIGINT up to ~1.4e6
+rows per group at 50^4; beyond that the engine would widen to
+DECIMAL(38,0) — noted on the operator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+
+
+@register(
+    "stats_regression_by_group",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT)                                   AS n,
+             SUM(CAST(l_quantity AS BIGINT))                            AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))          AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT))        AS sxy,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT))        AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0, 6)
+             AS slope,
+           ROUND((sy - sx * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+                 / n / 100.0, 6)
+             AS intercept,
+           ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS r2
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("stats", "agg"),
+)
+def stats_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS of extendedprice (y) on quantity (x).
+
+    Instead of `regr_slope`/`regr_intercept` builtins (whose internal
+    accumulation order differs between engines), both sides aggregate
+    the five EXACT integer power sums (price in cents) and derive
+    slope / intercept / r² from them in one fixed expression — the
+    closed-form normal equations.  The sums are exact BIGINTs; the
+    derived products are formed in DOUBLE (n·syy overflows BIGINT) —
+    IEEE ops over identical exact inputs in an identical expression
+    tree, so still deterministic across engines.  Mergeable-sketch
+    shape: the sums combine associatively, so map-side partial
+    aggregation does most of the work and the shuffle carries
+    |groups| rows.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y_cents"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("y_cents") * F.col("y_cents")).alias("syy"),
+    )
+    dn, dsx = F.col("n").cast("double"), F.col("sx").cast("double")
+    dsy = F.col("sy").cast("double")
+    cov_n = dn * F.col("sxy") - dsx * F.col("sy")  # n·Σxy − Σx·Σy
+    varx_n = dn * F.col("sxx") - dsx * F.col("sx")
+    vary_n = dn * F.col("syy") - dsy * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / varx_n / 100.0, 6).alias("slope"),
+        F.round((F.col("sy") - F.col("sx") * (cov_n / varx_n)) / F.col("n") / 100.0, 6).alias(
+            "intercept"
+        ),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS rk, o_orderstatus AS ck,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY rk, ck
+    ),
+    rt AS (SELECT rk, SUM(o) AS r_tot FROM obs GROUP BY rk),
+    ct AS (SELECT ck, SUM(o) AS c_tot FROM obs GROUP BY ck),
+    n  AS (SELECT SUM(o) AS grand FROM obs),
+    cells AS (
+      SELECT obs.rk, obs.ck,
+             POWER(obs.o - CAST(rt.r_tot * ct.c_tot AS DOUBLE) / n.grand, 2)
+               / (CAST(rt.r_tot * ct.c_tot AS DOUBLE) / n.grand) AS term
+      FROM obs JOIN rt USING (rk) JOIN ct USING (ck) CROSS JOIN n
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           ROUND(SUM(term), 4) AS chi2,
+           ROUND(SQRT(SUM(term) / ((SELECT grand FROM n)
+                 * LEAST((SELECT COUNT(*) FROM rt) - 1,
+                         (SELECT COUNT(*) FROM ct) - 1))), 6) AS cramers_v
+    FROM cells
+    """,
+    tags=("stats", "agg"),
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    status (plus Cramér's V effect size).
+
+    Contingency counts are exact BIGINTs; each cell term is derived
+    from them in a fixed expression.  The final SUM over cells is a
+    double sum, but the cell count is |priorities|×|statuses| (15) —
+    a constant-size relation at any fact-table scale — so 4dp rounding
+    absorbs ordering noise.  Shape at 100 TB: one groupBy over the
+    facts, then arithmetic on a constant-size relation.
+    """
+    obs = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("rk"), F.col("o_orderstatus").alias("ck")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rt = obs.groupBy("rk").agg(F.sum("o").alias("r_tot"))
+    ct = obs.groupBy("ck").agg(F.sum("o").alias("c_tot"))
+    n = obs.agg(F.sum("o").alias("grand"))
+    cells = (
+        obs.join(rt, "rk").join(ct, "ck").crossJoin(F.broadcast(n)).select(
+            (
+                F.pow(
+                    F.col("o") - (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("grand"),
+                    F.lit(2),
+                )
+                / ((F.col("r_tot") * F.col("c_tot")).cast("double") / F.col("grand"))
+            ).alias("term"),
+            "grand",
+        )
+    )
+    n_r = rt.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_c = ct.agg(F.count(F.lit(1)).alias("n_cols"))
+    return (
+        cells.groupBy("grand")
+        .agg(F.sum("term").alias("chi2_raw"))
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("bigint").alias("dof"),
+            F.round("chi2_raw", 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (
+                        F.col("grand")
+                        * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "agg_moments_sketch",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT)                  AS n,
+             SUM(CAST(l_quantity AS BIGINT))           AS s1,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT))         AS s2,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT))         AS s3,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT))         AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(s3 AS BIGINT) AS s3, CAST(s4 AS BIGINT) AS s4,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
+             AS variance,
+           ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * POWER(CAST(s1 AS DOUBLE) / n, 3))
+                 / POWER(CAST(s2 AS DOUBLE) / n
+                         - POWER(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6)
+             AS skewness,
+           ROUND((CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * POWER(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * POWER(CAST(s1 AS DOUBLE) / n, 4))
+                 / POWER(CAST(s2 AS DOUBLE) / n
+                         - POWER(CAST(s1 AS DOUBLE) / n, 2), 2) - 3, 6)
+             AS excess_kurtosis
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "sketch"),
+)
+def agg_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch: exact raw power sums s1..s4 per group,
+    with mean / variance / skewness / excess kurtosis derived from them.
+
+    The sketch IS the BIGINT tuple (n, s1..s4): it merges by addition,
+    so map-side combine reduces each partition to |groups| rows before
+    the shuffle — the same mergeability contract as the HLL and
+    histogram sketches (`agg_hll_sketch_mergeable`,
+    `agg_quantile_histogram_sketch`).  Population (biased) moment
+    formulas on both sides.  BIGINT bound: quantity ≤ 50 ⇒ s4 grows at
+    6.25e6/row, overflowing past ~1.4e12 rows per group; at that scale
+    widen s3/s4 to DECIMAL(38,0) (same algebra).
+    """
+    q = F.col("l_quantity").cast("bigint")
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", q.alias("q"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+            F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+            F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+        )
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.round(m1, 6).alias("mean"),
+        F.round(m2 - m1 * m1, 6).alias("variance"),
+        F.round((m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4))
+            / F.pow(var, 2)
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH vals AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v_cents,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY l_returnflag, v_cents
+    ),
+    cum AS (
+      SELECT l_returnflag, v_cents,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v_cents) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM vals
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(v_cents) / 100.0, 2) AS weighted_median,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of extendedprice weighted by quantity, per group
+    (lower weighted median: smallest v with cum_weight ≥ half total).
+
+    The decision `2·cum ≥ total` is pure BIGINT comparison on exact
+    cents/quantities — no float anywhere until the final /100 display
+    cast, so parity is bit-exact.  Shape: pre-aggregate to distinct
+    (group, value) pairs first (collapses the fact table), then one
+    window pass over that much smaller relation — the same
+    two-phase discipline as `agg_salted_two_phase`.
+    """
+    vals = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v_cents"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("l_returnflag", "v_cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    part = Window.partitionBy("l_returnflag")
+    cum = vals.select(
+        "l_returnflag",
+        "v_cents",
+        F.sum("w").over(part.orderBy("v_cents")).alias("cw"),
+        F.sum("w").over(part).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("v_cents") / 100.0, 2).alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
