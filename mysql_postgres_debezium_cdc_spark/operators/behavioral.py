@@ -1525,3 +1525,238 @@ def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+@register(
+    "events_rate_ratio_test",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN 1 END)
+                  AS BIGINT) AS n1,
+             CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)
+                  AS BIGINT) AS n2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           ROUND(CAST(n2 AS DOUBLE) / n1, 6) AS rate_ratio,
+           ROUND((n2 - CAST(n1 AS DOUBLE)) / SQRT(CAST(n1 + n2 AS DOUBLE)), 4)
+             AS z_score
+    FROM counts ORDER BY event_type
+    """,
+    tags=("behavioral", "stats"),
+)
+def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate comparison between two equal-exposure halves of the
+    month (conditional test: under H0 the period-2 share of n1+n2 is
+    Binomial(1/2), giving z = (n2−n1)/√(n1+n2)).
+
+    The fixture spans 2024-01-01..30, so the literal midpoint split
+    gives 15-day exposures on both sides.  Counts are exact BIGINTs;
+    the ratio and z are single fixed-tree double expressions over them,
+    so parity is bit-stable.  Shape at 100 TB: one conditional groupBy
+    over the fact stream — the same one-pass contract as
+    `events_ab_test_eval`."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("ts") >= cut, 1)).cast("bigint").alias("n2"),
+    )
+    return counts.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias("rate_ratio"),
+        F.round(
+            (F.col("n2") - F.col("n1").cast("double"))
+            / F.sqrt((F.col("n1") + F.col("n2")).cast("double")),
+            4,
+        ).alias("z_score"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_top_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS nxt,
+             LEAD(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || nxt || '>' || nxt2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq WHERE nxt2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+    tags=("behavioral", "window"),
+)
+def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths (clickstream trigram analysis): each
+    user's event sequence slides a length-3 window via LEAD, then a
+    global count ranks the paths.
+
+    Determinism: the per-user order is (ts, event_id) — event_id breaks
+    ts ties — and the top-20 has a total order (count desc, path asc).
+    Shape at 100 TB: one user-keyed window shuffle (users are millions,
+    no hot key), then a path-keyed groupBy whose cardinality is
+    |event_types|³ — tiny regardless of fact volume."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        seq.where(F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "events_dau_wau_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT CAST(s.day AS VARCHAR) AS day,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily d WHERE d.day = s.day)
+             AS dau,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau7,
+           ROUND((SELECT COUNT(*) FROM daily d WHERE d.day = s.day)
+                 * 1.0 / COUNT(DISTINCT u.user_id), 4) AS stickiness
+    FROM days s
+    JOIN daily u ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+    GROUP BY s.day ORDER BY s.day
+    """,
+    tags=("behavioral", "window"),
+)
+def events_dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day (plus DAU/WAU stickiness).
+
+    Rolling COUNT(DISTINCT) cannot ride a window frame, so the engine
+    uses the standard decomposition: dedup the facts to (day, user)
+    once, then a bounded range join (each user-day lands in at most 7
+    calendar frames — a fixed 7x expansion, NOT quadratic) feeds a
+    distinct count per frame.  The calendar spine side is tiny, so the
+    join broadcasts at any fact scale; the dedup is the only fact-sized
+    shuffle."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = daily.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    spine = daily.select("day").distinct()
+    wau = (
+        spine.alias("s")
+        .join(
+            daily.alias("u"),
+            F.col("u.day").between(F.date_sub(F.col("s.day"), 6), F.col("s.day")),
+        )
+        .groupBy(F.col("s.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("wau7"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau7",
+            F.round(F.col("dau") * 1.0 / F.col("wau7"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS first_signup_us
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT p.user_id,
+             MIN(epoch_us(e.ts)) - p.first_signup_us AS delta_us
+      FROM per_user p
+      JOIN events e ON e.user_id = p.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) > p.first_signup_us
+      GROUP BY p.user_id, p.first_signup_us
+    ),
+    ranked AS (
+      SELECT delta_us,
+             ROW_NUMBER() OVER (ORDER BY delta_us, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted,
+           (SELECT ROUND(AVG(delta_us) / 3.6e9, 4) FROM conv) AS avg_hours,
+           (SELECT ROUND(MIN(delta_us) / 3.6e9, 4) FROM conv) AS min_hours,
+           (SELECT ROUND(MAX(delta_us) / 3.6e9, 4) FROM conv) AS max_hours,
+           ROUND(MIN(delta_us) / 3.6e9, 4) AS median_hours
+    FROM ranked WHERE rn * 2 >= n
+    """,
+    tags=("behavioral", "funnel"),
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (first signup → first subsequent
+    purchase): count, mean, min/max, and lower median in hours.
+
+    All statistics derive from EXACT integer microsecond deltas; the
+    median is the rank-based lower median (smallest delta with
+    2·rank ≥ n, tie-broken by user_id) — the same exact-integer
+    selection rule as `agg_weighted_median`, so no float percentile
+    interpolation can diverge between engines.  Shape: user-keyed
+    aggregate, user-keyed join, then a global rank over the CONVERTED
+    cohort only (users who bought — orders of magnitude smaller than
+    the fact table; if that cohort were fact-sized the rank would move
+    to the chunked-ntile decomposition used by `window_ntile`)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_signup_us"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    conv = (
+        purchases.join(per_user, "user_id")
+        .where(F.col("t_us") > F.col("first_signup_us"))
+        .groupBy("user_id", "first_signup_us")
+        .agg((F.min("t_us") - F.col("first_signup_us").cast("bigint")).alias("delta_us"))
+        .select("user_id", F.col("delta_us").cast("bigint").alias("delta_us"))
+    )
+    ranked = conv.select(
+        "delta_us",
+        F.row_number().over(Window.orderBy("delta_us", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    hours = lambda c: F.round(c / F.lit(3.6e9), 4)  # noqa: E731
+    stats = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        hours(F.avg("delta_us")).alias("avg_hours"),
+        hours(F.min("delta_us")).alias("min_hours"),
+        hours(F.max("delta_us")).alias("max_hours"),
+    )
+    median = (
+        ranked.where(F.col("rn") * 2 >= F.col("n"))
+        .agg(hours(F.min("delta_us")).alias("median_hours"))
+    )
+    return stats.crossJoin(F.broadcast(median))

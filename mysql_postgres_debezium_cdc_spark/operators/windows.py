@@ -355,3 +355,76 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY day
+    ),
+    framed AS (
+      SELECT day, LIST_SORT(LIST(rev_cents) OVER w) AS vals
+      FROM daily
+      WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(LEN(vals) AS BIGINT) AS n_in_frame,
+           ((vals[(LEN(vals) + 1) // 2] + vals[LEN(vals) // 2 + 1] + 1) // 2)
+             / 100.0 AS moving_median_rev
+    FROM framed ORDER BY day
+    """,
+    tags=("window", "stats"),
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving median of daily revenue.
+
+    Spark has no MEDIAN window aggregate, so the engine builds it from
+    primitives: collect the RANGE frame into an array (≤7 elements — a
+    calendar frame, bounded by construction), sort it, and take the
+    middle element (odd) or the even-count midpoint.  Revenue is
+    pre-aggregated to exact integer cents per day and the midpoint is
+    resolved ENTIRELY in integer space — (lo+hi+1)//2, half-up to whole
+    cents — because an even frame's mean lands on a .5 cent, i.e. a
+    .005 dollar, the exact double-rounding boundary the cross-scale
+    sweep has caught before (PLANS.md).  The oracle mirrors the same
+    list/sort/index arithmetic instead of DuckDB's MEDIAN.
+
+    Scale shape: the fact-sized work is the daily pre-aggregation
+    (map-side combined groupBy); the window runs over the CALENDAR-
+    sized relation.  The global ORDER BY day window is a single task,
+    acceptable only because |days| is calendar-bounded — the same
+    justification as `events_changepoint_window`."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    frame = daily.select(
+        "day",
+        F.array_sort(F.collect_list("rev_cents").over(w)).alias("vals"),
+    )
+    n = F.size("vals")
+    mid_hi = F.element_at("vals", (n / 2 + 1).cast("int"))  # upper middle
+    mid_lo = F.element_at("vals", ((n + 1) / 2).cast("int"))  # lower middle
+    # exact integer half-up to whole cents, THEN one exact-input double
+    # division for display — no .005 double boundary can form.  The
+    # intermediate (lo+hi+1)/2 is double but exact: cents sums sit far
+    # below 2^53, so floor() recovers the true integer.
+    med_cents = F.floor((mid_lo + mid_hi + 1) / 2)
+    return frame.select(
+        F.col("day").cast("string").alias("day"),
+        n.cast("bigint").alias("n_in_frame"),
+        (med_cents / F.lit(100.0)).alias("moving_median_rev"),
+    ).orderBy("day")
