@@ -396,3 +396,130 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 17  # doc_id % MOD == 0 → seed (deterministic, engine-agnostic)
+
+
+def _bfs_oracle() -> str:
+    """Recursive-CTE BFS over the near-dup doc graph: UNION (not UNION
+    ALL) dedups (node, hop) rows each step, so the walk is frontier-
+    sized — ≤ (hops+1)·|nodes| rows total — not path-enumerating
+    (which would be exponential inside dup cliques)."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _CC_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk AS (
+      SELECT DISTINCT src AS node, 0 AS hop FROM edges
+      WHERE src % {BFS_SEED_MOD} = 0
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < {BFS_MAX_HOPS}
+    )
+    SELECT node AS doc_id, CAST(MIN(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node ORDER BY doc_id
+    """
+
+
+@register(
+    "graph_bfs_reachability",
+    oracle=_bfs_oracle(),
+    tags=("graph", "bfs", "iterative", "distributed"),
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (≤ BFS_MAX_HOPS hops) over the corpus-scale
+    near-dup document graph: every node reachable from the seed set
+    (doc_id ≡ 0 mod 17) with its hop distance — the "blast radius"
+    query a contamination investigation runs when one document in a
+    duplicate cluster is found tainted.
+
+    Distributed shape: classic frontier iteration — each hop is ONE
+    edge⋈frontier equi-join, an anti-join against the visited set, and
+    a distinct; all relations stay keyed by node, nothing is collected.
+    The visited set materializes per hop via eager localCheckpoint
+    (the PageRank loop's iteration discipline: constant-depth plans,
+    superseded generations reclaimed).  The oracle is a recursive CTE
+    with UNION dedup — frontier-sized, not path-enumerating — so both
+    sides compute min-hop BFS levels, and hop counts are exact ints
+    (no float parity concerns at all)."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for k in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.col("node").alias("doc_id"), F.col("hop").cast("bigint").alias("hops")
+    ).orderBy("doc_id")
+
+
+def _degree_oracle() -> str:
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _CC_PAIRS_SQL
+
+    return f"""
+    WITH pairs AS ({_CC_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_degree_oracle(),
+    tags=("graph", "agg"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup document graph — the first
+    diagnostic run on any derived graph (is it a few giant cliques or
+    many small ones?  does a skewed hub need salting downstream?).
+
+    Two map-side-combining aggregates over the symmetrized edge list;
+    the second input is node-sized, the output degree-sized.  Exact
+    integers end to end."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _jaccard_pairs
+
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )

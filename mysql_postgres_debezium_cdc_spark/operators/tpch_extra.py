@@ -669,3 +669,76 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 50000.0, "hi": 200000.0, "status": "F"},
     )
+
+
+@register(
+    "sql_recursive_cte_spine",
+    oracle="""
+    WITH RECURSIVE spine AS (
+      SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+                  AS DATE) AS month_start
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE month_start < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
+                                       AS DATE) FROM orders)
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY month_start
+    )
+    SELECT CAST(s.month_start AS VARCHAR) AS month,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.rev_cents, 0) / CAST(100.0 AS DOUBLE) AS revenue,
+           CAST(SUM(COALESCE(m.rev_cents, 0))
+                OVER (ORDER BY s.month_start) AS BIGINT) / CAST(100.0 AS DOUBLE)
+             AS cumulative_revenue
+    FROM spine s LEFT JOIN monthly m ON m.month_start = s.month_start
+    ORDER BY month
+    """,
+    tags=("sql-api", "recursive-cte"),
+)
+def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free monthly revenue report via a RECURSIVE CTE date spine
+    (Spark 4's `WITH RECURSIVE`) — the idiom that turns "no rows that
+    month" into an explicit zero row, which a naive GROUP BY silently
+    drops and every downstream chart/forecast then mis-reads.
+
+    The recursion generates the month spine (bounded by the data's own
+    min/max — ~80 rows for the 7-year order history, far under
+    `spark.sql.cteRecursionLevelLimit`'s 100 default; a longer horizon
+    would raise the conf or switch to `sequence()`), the fact-sized
+    work is one ordinary monthly groupBy, and the spine⋈monthly join
+    broadcasts the calendar side.  Revenue is exact integer cents; the
+    cumulative window sums BIGINTs over the calendar-sized spine before
+    a single display division, so parity is bit-exact.  Spark and
+    DuckDB run textually identical SQL except for month arithmetic
+    (`add_months` vs `+ INTERVAL`)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine AS (
+          SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+                      AS DATE) AS month_start
+          UNION ALL
+          SELECT add_months(month_start, 1) FROM spine
+          WHERE month_start < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
+                                           AS DATE) FROM orders)
+        ),
+        monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+          FROM orders GROUP BY month_start
+        )
+        SELECT CAST(s.month_start AS STRING) AS month,
+               COALESCE(m.n_orders, 0) AS n_orders,
+               COALESCE(m.rev_cents, 0) / CAST(100.0 AS DOUBLE) AS revenue,
+               CAST(SUM(COALESCE(m.rev_cents, 0))
+                    OVER (ORDER BY s.month_start) AS BIGINT)
+                 / CAST(100.0 AS DOUBLE) AS cumulative_revenue
+        FROM spine s LEFT JOIN monthly m ON m.month_start = s.month_start
+        ORDER BY month
+        """
+    )

@@ -261,3 +261,76 @@ def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderpriority").asc_nulls_first())
     )
+
+
+ORDERS_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        # written as DATE: XML interchange rarely carries sub-day
+        # precision, and DATE round-trips without format negotiation
+        T.StructField("o_orderdate", T.DateType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def xml_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture version) orders as XML (Spark 4's
+    built-in XML source, one <row> element per record); return the
+    path."""
+    return materialize_once(
+        sf_dir,
+        "src_orders_xml",
+        lambda p: load(spark, sf_dir, "orders")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "row")
+        .save(p),
+    )
+
+
+@register(
+    "source_xml_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_order_day,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             / CAST(100.0 AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("source", "xml"),
+)
+def source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate straight off an XML scan (Spark 4 built-in `xml`
+    source, explicit schema — same no-inference rule as every text
+    source here).  Matching the parquet-truth oracle proves
+    long/double/date fidelity through the XML round-trip.  Like the
+    other text sources, PERMISSIVE mode routes malformed elements to
+    `_corrupt_record` rather than failing the scan
+    (tests/test_text_sources.py)."""
+    orders = (
+        spark.read.schema(ORDERS_XML_SCHEMA)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(xml_orders_path(spark, sf_dir))
+    )
+    return (
+        orders.where(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderdate").cast("string").alias("first_order_day"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
