@@ -8,6 +8,7 @@ from mysql_postgres_debezium_cdc_spark.llm import (  # noqa: F401
     embeddings,
     multimodal,
     pii,
+    selection,
     similarity,
     splits,
     text,

@@ -1,0 +1,395 @@
+"""Data-selection and corpus-profiling operators: DSIR importance
+weights, a trained naive-Bayes classifier, lexical diversity, Zipf fit.
+
+These extend the LLM-data family (SURVEY.md §2.2) with the *selection*
+stage of a training-data pipeline: after dedup and quality filtering,
+which documents should be kept/up-weighted to match a target domain
+(DSIR, Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"), and the cheap supervised baseline
+(multinomial naive Bayes) that pipelines like CCNet / GPT-3's
+quality classifier train to score documents at corpus scale.
+
+Shared shape: everything reduces to token-count relations —
+(token)-keyed or (label, token)-keyed exact BIGINT counts aggregated
+once from the token stream with map-side combine — and the models
+(vocab-sized) broadcast back onto the stream.  No model ever collects
+to the driver; the corpus is read a constant number of times.
+
+Float-parity posture: counts are exact; LN / divisions are fixed
+expression trees over exact ints (agree to <1 ulp between engines);
+per-document SUMs of logs accumulate in engine order, so outputs round
+(4-6dp) and every ranking orders by the ROUNDED value with a unique
+tie-break — the same contract as `text_unigram_lm_score` and the
+kmeans family.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mysql_postgres_debezium_cdc_spark.registry import register
+from mysql_postgres_debezium_cdc_spark.sources.parquet import load, spread_small_scan
+
+DSIR_TARGET_LANG = "en"  # the "domain" the importance weights steer toward
+DSIR_TOP_K = 25
+NB_TEST_MOD = 5  # doc_id % 5 == 0 → held-out test split (deterministic)
+
+# Whitespace tokenizer — the module-wide convention established by
+# text_unigram_lm_score / the BPE trainer (llm/text.py): split on ' ',
+# drop empties.
+_TOKS_SQL = """
+    SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                      t -> LENGTH(t) > 0)) AS token
+    FROM documents
+"""
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias(
+            "token"
+        ),
+    )
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tgt_toks AS (
+      SELECT t.token FROM toks t
+      JOIN documents d ON d.doc_id = t.doc_id AND d.lang = '{DSIR_TARGET_LANG}'
+    ),
+    raw_cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_r FROM toks GROUP BY token),
+    tgt_cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t FROM tgt_toks GROUP BY token),
+    consts AS (
+      SELECT CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS n_r,
+             CAST((SELECT COUNT(*) FROM tgt_toks) AS BIGINT) AS n_t,
+             CAST((SELECT COUNT(*) FROM raw_cnt) AS BIGINT) AS v
+    ),
+    w AS (
+      SELECT r.token,
+             LN((COALESCE(t.c_t, 0) + 1) / CAST(c.n_t + c.v AS DOUBLE))
+               - LN((r.c_r + 1) / CAST(c.n_r + c.v AS DOUBLE)) AS lw
+      FROM raw_cnt r LEFT JOIN tgt_cnt t USING (token) CROSS JOIN consts c
+    ),
+    scored AS (
+      SELECT tk.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(w.lw), 6) AS avg_log_ratio
+      FROM toks tk JOIN w USING (token)
+      GROUP BY tk.doc_id
+    )
+    SELECT doc_id, n_tokens, avg_log_ratio
+    FROM scored
+    ORDER BY avg_log_ratio DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+    tags=("llm", "selection", "dsir"),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by its average unigram log-likelihood ratio between a TARGET
+    distribution (here: the '{en}' slice) and the RAW corpus, both
+    Laplace-smoothed over the raw vocabulary — the hashed-n-gram
+    variant of the paper reduces to exactly this with whitespace
+    features.  Top-weighted documents are the ones importance
+    resampling keeps when steering a web crawl toward the target
+    domain.
+
+    Shape at 100 TB: two count aggregations over the token stream (raw
+    and target — the target pass is a semi-join-pushed filter, not a
+    second corpus), a vocab-sized weight relation broadcast back onto
+    the stream, and one per-doc aggregate.  Ranking orders by the
+    ROUNDED average (6dp) with doc_id tie-break on both engines, so
+    log-sum accumulation order cannot reorder the cut."""
+    toks = _toks(spark, sf_dir)
+    lang = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    tgt_toks = toks.join(
+        lang.where(F.col("lang") == DSIR_TARGET_LANG).select("doc_id"), "doc_id"
+    )
+    raw_cnt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
+    tgt_cnt = tgt_toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_t")
+    )
+    consts = raw_cnt.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    ).crossJoin(tgt_cnt.agg(F.sum("c_t").cast("bigint").alias("n_t")))
+    w = (
+        raw_cnt.join(tgt_cnt, "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "token",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("n_t") + F.col("v")).cast("double")
+                )
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.col("v")).cast("double"))
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(w), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lw"), 6).alias("avg_log_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("avg_log_ratio"), "doc_id").limit(DSIR_TOP_K)
+
+
+@register(
+    "ml_naive_bayes_lang",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    labeled AS (
+      SELECT t.doc_id, t.token, d.lang,
+             (t.doc_id % {NB_TEST_MOD} = 0) AS is_test
+      FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    prior AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0 GROUP BY lang
+    ),
+    prior_tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM prior),
+    cnt AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM labeled WHERE NOT is_test GROUP BY lang, token
+    ),
+    nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM cnt GROUP BY lang),
+    vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+              FROM labeled WHERE NOT is_test),
+    test AS (SELECT doc_id, token FROM labeled WHERE is_test),
+    scores AS (
+      SELECT te.doc_id, lg.lang,
+             SUM(LN((COALESCE(c.c, 0) + 1)
+                    / CAST(nl.n_l + vocab.v AS DOUBLE))) AS loglik
+      FROM test te
+      CROSS JOIN langs lg
+      LEFT JOIN cnt c ON c.lang = lg.lang AND c.token = te.token
+      JOIN nl ON nl.lang = lg.lang
+      CROSS JOIN vocab
+      GROUP BY te.doc_id, lg.lang
+    ),
+    posterior AS (
+      SELECT s.doc_id, s.lang,
+             ROUND(s.loglik + LN(p.n_docs / CAST(pt.n AS DOUBLE)), 6) AS score
+      FROM scores s JOIN prior p ON p.lang = s.lang CROSS JOIN prior_tot pt
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM posterior
+    )
+    SELECT d.lang AS true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    WHERE p.rn = 1
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+    tags=("llm", "ml", "classifier"),
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial naive Bayes: fit token likelihoods per lang
+    on the 80% train split (doc_id mod 5 ≠ 0, Laplace α=1), predict the
+    held-out 20%, output the confusion matrix — the cheap supervised
+    scorer corpus pipelines train when a labeled slice exists (the
+    fixture's langs share a vocabulary, so the matrix documents the
+    honest near-chance outcome rather than a fake win; the PLUMBING —
+    train/score/argmax at corpus scale — is the operator under test).
+
+    Model relations: (lang, token) counts, per-lang totals, vocab size,
+    doc priors — all label/vocab-sized and broadcast; the test token
+    stream crosses only the 5-row lang relation (bounded 5× expansion).
+    Argmax is ROW_NUMBER over (rounded score DESC, lang) — the rounded-
+    argmax determinism contract — and the confusion matrix is exact
+    counts."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    toks = _toks(spark, sf_dir)
+    is_test = F.col("doc_id") % NB_TEST_MOD == 0
+    train_toks = toks.where(~is_test).join(docs, "doc_id")
+    cnt = train_toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nl = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_l"))
+    vocab = cnt.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    prior = (
+        docs.where(~is_test)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    prior_tot = prior.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    langs = docs.select("lang").distinct()
+    test = toks.where(is_test)
+    scores = (
+        test.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(cnt), ["lang", "token"], "left")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_l") + F.col("v")).cast("double")
+                )
+            ).alias("loglik")
+        )
+    )
+    posterior = (
+        scores.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(prior_tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.col("loglik") + F.log(F.col("n_docs") / F.col("n").cast("double")), 6
+            ).alias("score"),
+        )
+    )
+    pred = posterior.select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang"))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "corpus_token_type_ratio",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           ROUND(LN(n_types) / LN(n_tokens), 6) AS herdan_c
+    FROM per_doc WHERE n_tokens >= 2
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def corpus_token_type_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and Herdan's C
+    (log-log TTR, the length-robust variant) — the repetitiveness
+    signal quality filters threshold alongside `text_repetition_ratio`
+    (which looks at n-gram repeats; this looks at vocabulary use).
+
+    One groupBy over the token stream; both statistics are fixed
+    expressions over two exact ints.  Docs with <2 tokens are excluded
+    on BOTH sides — ln(1)=0 would put a literal zero in the Herdan
+    denominator (the degenerate-doc lesson from
+    `corpus_span_corruption_plan`, tests/test_short_doc_edges.py)."""
+    per_doc = (
+        _toks(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("token").cast("bigint").alias("n_types"),
+        )
+    )
+    return (
+        per_doc.where(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 6).alias(
+                "ttr"
+            ),
+            F.round(F.log("n_types") / F.log("n_tokens"), 6).alias("herdan_c"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rnk FROM uni
+    ),
+    pts AS (SELECT LN(rnk) AS x, LN(c) AS y FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts
+    )
+    SELECT n AS n_vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ln(frequency) on ln(rank).  Natural text sits near slope −1;
+    a large departure is the canary for boilerplate floods or
+    synthetic/templated content — a whole-corpus health check next to
+    the per-doc quality scores.
+
+    The vocab aggregates once from the token stream (map-side combine);
+    the rank window and the regression sums run over the VOCAB-sized
+    relation.  Rank ties break by token, so ranks are identical across
+    engines; the log-space regression sums are doubles accumulated in
+    engine order over the vocabulary → 4dp rounding (the
+    `text_source_divergence` contract).  Same closed-form normal
+    equations as `stats_regression_by_group`."""
+    uni = (
+        _toks(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = uni.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "token")).alias("rnk"),
+    )
+    pts = ranked.select(F.log("rnk").alias("x"), F.log("c").alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_vocab"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - sx * slope) / n, 4).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
