@@ -6,6 +6,7 @@ no Python UDF appears in any hot path here.
 from mysql_postgres_debezium_cdc_spark.functions import (  # noqa: F401
     arrays_json,
     dates,
+    geo,
     maths,
     strings,
     udfs,

@@ -348,3 +348,130 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "dq_benford_test",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT digit, n,
+           ROUND(n / CAST(total AS DOUBLE), 6) AS obs_p,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+           ROUND(ABS(n / CAST(total AS DOUBLE) - LOG10(1.0 + 1.0 / digit)), 6)
+             AS abs_dev
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+    tags=("dq", "stats"),
+)
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data detector a data-quality sweep runs on any money
+    column (synthetic uniform generators, like this fixture's, fail it
+    loudly; organic transaction data tracks log10(1+1/d)).
+
+    One narrow map (leading digit via integer→string — no float
+    log-bucketing) and a 9-row aggregate; observed shares are exact
+    counts over an exact total, expectations a fixed LOG10 tree."""
+    digits = load(spark, sf_dir, "orders").select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    obs_p = F.col("n") / F.col("total").cast("double")
+    ben_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs_p, 6).alias("obs_p"),
+            F.round(ben_p, 6).alias("benford_p"),
+            F.round(F.abs(obs_p - ben_p), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH vals AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY ROUND(l_extendedprice * 100)) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    q AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn * 4 >= n THEN v END)     AS q1,
+             MIN(CASE WHEN rn * 4 >= 3 * n THEN v END) AS q3,
+             CAST(MIN(n) AS BIGINT) AS n_total
+      FROM vals GROUP BY l_returnflag
+    )
+    SELECT v.l_returnflag,
+           ROUND(q.q1 / CAST(100.0 AS DOUBLE), 2) AS q1,
+           ROUND(q.q3 / CAST(100.0 AS DOUBLE), 2) AS q3,
+           q.n_total,
+           CAST(COUNT(CASE WHEN 2 * v.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                             OR 2 * v.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM vals v JOIN q USING (l_returnflag)
+    GROUP BY v.l_returnflag, q.q1, q.q3, q.n_total
+    ORDER BY v.l_returnflag
+    """,
+    tags=("dq", "stats"),
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per group: rank-based lower quartiles
+    over exact integer cents (smallest v with 4·rank ≥ n / ≥ 3n — the
+    `agg_weighted_median` selection rule) and the 1.5×IQR fences
+    evaluated as 2v < 2q1 − 3·IQR in pure BIGINT, so the half-cent the
+    1.5 multiplier can produce never touches a float.
+
+    Shape: one per-group rank window (the fact-sized shuffle), a
+    group-sized quartile reduce, and a broadcast-back fence count.  On
+    a 100 TB fact table the rank window would switch to the chunked
+    two-phase rank (`window_ntile`'s decomposition); the fence logic is
+    unchanged."""
+    w = Window.partitionBy("l_returnflag")
+    vals = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+    )
+    ranked = vals.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(w.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    q = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") * 4 >= F.col("n"), F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("rn") * 4 >= 3 * F.col("n"), F.col("v"))).alias("q3"),
+        F.min("n").cast("bigint").alias("n_total"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    low = 2 * F.col("v") < 2 * F.col("q1") - 3 * iqr
+    high = 2 * F.col("v") > 2 * F.col("q3") + 3 * iqr
+    return (
+        vals.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3", "n_total")
+        .agg(F.count(F.when(low | high, 1)).cast("bigint").alias("n_outliers"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("q1") / F.lit(100.0), 2).alias("q1"),
+            F.round(F.col("q3") / F.lit(100.0), 2).alias("q3"),
+            "n_total",
+            "n_outliers",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -444,3 +444,83 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(files, COMPACT_TARGET_ROWS).select(
         F.col("part").alias("event_type"), "merge_group", "n_files", "n_rows"
     )
+
+
+SKIP_LO, SKIP_HI = "1997-01-01", "1997-12-31"  # audit predicate: one mid-range ship year
+SKIP_SHARDS = 32
+
+
+@register(
+    "layout_minmax_skipping_audit",
+    oracle=f"""
+    WITH facts AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_day, l_orderkey FROM lineitem
+    ),
+    by_hash AS (
+      SELECT 'hash_orderkey' AS layout, l_orderkey % {SKIP_SHARDS} AS shard,
+             MIN(ship_day) AS lo, MAX(ship_day) AS hi
+      FROM facts GROUP BY shard
+    ),
+    by_range AS (
+      SELECT 'range_shipdate' AS layout,
+             (YEAR(ship_day) * 4 + (MONTH(ship_day) - 1) // 3) % {SKIP_SHARDS}
+               AS shard,
+             MIN(ship_day) AS lo, MAX(ship_day) AS hi
+      FROM facts GROUP BY shard
+    ),
+    shards AS (SELECT * FROM by_hash UNION ALL SELECT * FROM by_range)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(COUNT(CASE WHEN hi < DATE '{SKIP_LO}'
+                             OR lo > DATE '{SKIP_HI}' THEN 1 END) AS BIGINT)
+             AS n_skippable,
+           ROUND(COUNT(CASE WHEN hi < DATE '{SKIP_LO}'
+                              OR lo > DATE '{SKIP_HI}' THEN 1 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS skip_fraction
+    FROM shards GROUP BY layout ORDER BY layout
+    """,
+    tags=("layout", "audit"),
+)
+def layout_minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness audit: per-shard min/max zone maps
+    for two physical layouts of the same facts — key-hash sharding vs
+    ship-date range sharding — scored against a representative year
+    predicate.  This is the planning query run BEFORE committing to a
+    table layout: hash layouts spread every date into every file
+    (zone maps skip ~0%), date-clustered layouts skip all but the
+    matching quarter-shards — the quantified version of the advice in
+    `layout_partition_pruned_scan` / `layout_zorder_cells`.
+
+    One groupBy per layout over the facts (both map-side combined),
+    then arithmetic on the SHARD-sized relations.  Dates and shard ids
+    are exact; the skip test is pure date comparison against literal
+    bounds."""
+    facts = load(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("ship_day"), "l_orderkey"
+    )
+    by_hash = facts.groupBy(
+        (F.col("l_orderkey") % SKIP_SHARDS).alias("shard")
+    ).agg(F.min("ship_day").alias("lo"), F.max("ship_day").alias("hi")).select(
+        F.lit("hash_orderkey").alias("layout"), "shard", "lo", "hi"
+    )
+    quarter = (F.year("ship_day") * 4 + ((F.month("ship_day") - 1) / 3).cast("long"))
+    by_range = facts.groupBy(
+        (quarter % SKIP_SHARDS).alias("shard")
+    ).agg(F.min("ship_day").alias("lo"), F.max("ship_day").alias("hi")).select(
+        F.lit("range_shipdate").alias("layout"), "shard", "lo", "hi"
+    )
+    shards = by_hash.unionAll(by_range)
+    skip = (F.col("hi") < F.lit(SKIP_LO).cast("date")) | (
+        F.col("lo") > F.lit(SKIP_HI).cast("date")
+    )
+    return (
+        shards.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.count(F.when(skip, 1)).cast("bigint").alias("n_skippable"),
+            F.round(
+                F.count(F.when(skip, 1)) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("skip_fraction"),
+        )
+        .orderBy("layout")
+    )

@@ -871,3 +871,87 @@ def cdc_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "as_of")
     )
+
+
+_OFFSET_DIFF_ORACLE = """
+    WITH mid AS (SELECT CAST(MAX(event_id) // 2 AS BIGINT) AS m FROM events),
+    snap_t AS (
+      SELECT user_id,
+             MAX_BY(event_type, event_id) AS last_type,
+             MAX(event_id) AS last_offset
+      FROM events, mid WHERE event_id < mid.m
+      GROUP BY user_id
+    ),
+    snap_end AS (
+      SELECT user_id,
+             MAX_BY(event_type, event_id) AS last_type,
+             MAX(event_id) AS last_offset
+      FROM events
+      GROUP BY user_id
+    ),
+    t AS (SELECT user_id, last_offset FROM snap_t WHERE last_type <> 'error'),
+    e AS (SELECT user_id, last_offset FROM snap_end WHERE last_type <> 'error')
+    SELECT COALESCE(t.user_id, e.user_id) AS id,
+           CASE WHEN t.user_id IS NULL THEN 'insert'
+                WHEN e.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           t.last_offset AS offset_before,
+           e.last_offset AS offset_after
+    FROM t FULL OUTER JOIN e ON e.user_id = t.user_id
+    WHERE t.user_id IS NULL OR e.user_id IS NULL
+       OR t.last_offset <> e.last_offset
+    ORDER BY id
+    """
+
+
+@register(
+    "cdc_offset_range_diff",
+    oracle=_OFFSET_DIFF_ORACLE,
+    tags=("cdc", "audit"),
+)
+def cdc_offset_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two changelog offsets: which keys
+    were inserted / updated / deleted between the state as-of offset T
+    (the changelog midpoint) and the final state — the audit a CDC
+    operator runs to answer "what changed since the last checkpoint?"
+    and to validate a replica restored from an older snapshot.
+
+    Both snapshots materialize through the ENGINE's decode→compact
+    path (the same machinery `cdc_lastwrite_materialize` certifies, so
+    the diff inherits its delete semantics: a key whose last op ≤ T is
+    a delete counts as absent at T).  The diff itself is one keyed
+    FULL OUTER join emitting only changed keys, with before/after
+    offsets as the evidence columns — exact integers end to end.  The
+    oracle reconstructs both snapshots with MAX_BY, proving the
+    engine's two-snapshot compaction equals the declarative
+    definition.  The midpoint T is a 1-row scalar probe (the
+    `_materialize` batching precedent), not data collection."""
+    max_id = load(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
+    mid = int(max_id) // 2  # floor-div, mirroring the oracle's `// 2`
+
+    def snapshot(hi):
+        raw = _events_changelog(spark, sf_dir, None, hi)
+        events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
+        state = apply_changes(None, compact(events, ["id"]), ["id"], ["v"])
+        return state.select("id", F.col(ORDER_COL).alias("last_offset"))
+
+    t = snapshot(mid)
+    e = snapshot(None)
+    joined = t.alias("t").join(e.alias("e"), F.col("t.id") == F.col("e.id"), "full_outer")
+    return (
+        joined.where(
+            F.col("t.id").isNull()
+            | F.col("e.id").isNull()
+            | (F.col("t.last_offset") != F.col("e.last_offset"))
+        )
+        .select(
+            F.coalesce(F.col("t.id"), F.col("e.id")).alias("id"),
+            F.when(F.col("t.id").isNull(), "insert")
+            .when(F.col("e.id").isNull(), "delete")
+            .otherwise("update")
+            .alias("change"),
+            F.col("t.last_offset").alias("offset_before"),
+            F.col("e.last_offset").alias("offset_after"),
+        )
+        .orderBy("id")
+    )
