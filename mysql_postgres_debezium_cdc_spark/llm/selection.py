@@ -101,15 +101,28 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain.
 
     Shape at 100 TB: two count aggregations over the token stream (raw
-    and target — the target pass is a semi-join-pushed filter, not a
-    second corpus), a vocab-sized weight relation broadcast back onto
+    and target — the target pass filters at the parquet scan, before
+    the explode; it reads the target slice, not a second corpus), a
+    vocab-sized weight relation broadcast back onto
     the stream, and one per-doc aggregate.  Ranking orders by the
     ROUNDED average (6dp) with doc_id tie-break on both engines, so
     log-sum accumulation order cannot reorder the cut."""
     toks = _toks(spark, sf_dir)
-    lang = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    tgt_toks = toks.join(
-        lang.where(F.col("lang") == DSIR_TARGET_LANG).select("doc_id"), "doc_id"
+    # target pass: a SECOND scan with the lang predicate pushed into the
+    # parquet reader (cheaper than joining the exploded token stream
+    # against a doc-id list — the filter prunes before the explode)
+    tgt_toks = (
+        spread_small_scan(
+            load(spark, sf_dir, "documents").where(
+                F.col("lang") == DSIR_TARGET_LANG
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+            ).alias("token"),
+        )
     )
     raw_cnt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
     tgt_cnt = tgt_toks.groupBy("token").agg(

@@ -122,18 +122,20 @@ def stats_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT ck, SUM(o) AS c_tot FROM obs GROUP BY ck),
     n  AS (SELECT SUM(o) AS grand FROM obs),
     cells AS (
-      SELECT obs.rk, obs.ck,
+      SELECT obs.rk, obs.ck, n.grand,
              POWER(obs.o - CAST(rt.r_tot * ct.c_tot AS DOUBLE) / n.grand, 2)
                / (CAST(rt.r_tot * ct.c_tot AS DOUBLE) / n.grand) AS term
       FROM obs JOIN rt USING (rk) JOIN ct USING (ck) CROSS JOIN n
     )
+    -- grouped (not global) final aggregate so ZERO input rows yield
+    -- zero output rows in both engines, mirroring the Spark plan
     SELECT CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
              * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
            ROUND(SUM(term), 4) AS chi2,
-           ROUND(SQRT(SUM(term) / ((SELECT grand FROM n)
+           ROUND(SQRT(SUM(term) / (grand
                  * LEAST((SELECT COUNT(*) FROM rt) - 1,
                          (SELECT COUNT(*) FROM ct) - 1))), 6) AS cramers_v
-    FROM cells
+    FROM cells GROUP BY grand
     """,
     tags=("stats", "agg"),
 )

@@ -695,6 +695,7 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (ORDER BY s.month_start) AS BIGINT) / CAST(100.0 AS DOUBLE)
              AS cumulative_revenue
     FROM spine s LEFT JOIN monthly m ON m.month_start = s.month_start
+    WHERE s.month_start IS NOT NULL
     ORDER BY month
     """,
     tags=("sql-api", "recursive-cte"),
@@ -739,6 +740,7 @@ def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OVER (ORDER BY s.month_start) AS BIGINT)
                  / CAST(100.0 AS DOUBLE) AS cumulative_revenue
         FROM spine s LEFT JOIN monthly m ON m.month_start = s.month_start
+        WHERE s.month_start IS NOT NULL
         ORDER BY month
         """
     )

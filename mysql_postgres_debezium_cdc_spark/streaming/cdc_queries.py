@@ -927,7 +927,8 @@ def cdc_offset_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition.  The midpoint T is a 1-row scalar probe (the
     `_materialize` batching precedent), not data collection."""
     max_id = load(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
-    mid = int(max_id) // 2  # floor-div, mirroring the oracle's `// 2`
+    # floor-div, mirroring the oracle's `// 2`; empty changelog → T=0
+    mid = int(max_id) // 2 if max_id is not None else 0
 
     def snapshot(hi):
         raw = _events_changelog(spark, sf_dir, None, hi)

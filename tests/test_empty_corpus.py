@@ -92,6 +92,29 @@ EMPTY_SLICE = [
     "join_interval_overlap",
     "events_rfm_segmentation",
     "events_ab_test_eval",
+    # late-r6 additions, second batch
+    "stats_regression_by_group",
+    "stats_chi_square_independence",
+    "agg_moments_sketch",
+    "agg_weighted_median",
+    "events_rate_ratio_test",
+    "events_top_trigram_paths",
+    "events_dau_wau_rolling",
+    "events_funnel_time_to_convert",
+    "window_moving_median",
+    "graph_bfs_reachability",
+    "graph_degree_distribution",
+    "sql_recursive_cte_spine",
+    "source_xml_scan",
+    "corpus_dsir_importance",
+    "ml_naive_bayes_lang",
+    "corpus_token_type_ratio",
+    "text_zipf_fit",
+    "dq_benford_test",
+    "dq_outlier_iqr",
+    "cdc_offset_range_diff",
+    "layout_minmax_skipping_audit",
+    "geo_haversine_knn",
 ]
 
 

@@ -912,3 +912,163 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark):
     assert r.n_broadcast_joins >= 1
     assert "BroadcastNestedLoopJoin" not in r.text
     assert "CartesianProduct" not in r.text
+
+
+def test_stats_sketches_are_single_pass_partial_aggs(spark):
+    """stats_regression_by_group / agg_moments_sketch / events_rate_ratio_test:
+    one map-side-combined groupBy over the facts, derivation arithmetic
+    on the |groups| relation — no joins, no extra shuffles."""
+    for key in (
+        "stats_regression_by_group",
+        "agg_moments_sketch",
+        "events_rate_ratio_test",
+    ):
+        r = _plan(spark, key)
+        assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, (key, r.ops)
+        assert r.ops.count("HashAggregate") >= 2, (key, r.ops)  # partial+final
+        assert r.n_shuffles <= 2, (key, r.ops)  # agg + presentation sort
+
+
+def test_chi_square_marginals_broadcast(spark):
+    """stats_chi_square_independence: contingency cells are group-sized;
+    the row/column marginals and the grand total join back as
+    broadcasts, never a corpus-sized SMJ."""
+    r = _plan(spark, "stats_chi_square_independence")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins >= 2, r.ops
+
+
+def test_weighted_median_preaggregates_before_window(spark):
+    """agg_weighted_median: the fact table collapses to distinct
+    (group, value) pairs BEFORE the cumulative-weight window — the
+    window never sees raw fact rows, and it is group-partitioned
+    (hash-parallel), not global."""
+    r = _plan(spark, "agg_weighted_median")
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    assert "hashpartitioning(l_returnflag" in r.text
+    # formatted explain prints root-first: the window must appear ABOVE
+    # (before) the scan-nearest HashAggregate that feeds it
+    i_win = r.text.find("Window")
+    i_pre_agg = r.text.rfind("HashAggregate")
+    assert 0 <= i_win < i_pre_agg, "pre-aggregation must feed the window"
+
+
+def test_outlier_iqr_fences_broadcast_back(spark):
+    """dq_outlier_iqr: quartiles reduce to a |groups| relation that
+    joins back onto the fact scan as a broadcast; the rank window is
+    group-partitioned."""
+    r = _plan(spark, "dq_outlier_iqr")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins >= 1, r.ops
+    assert "hashpartitioning(l_returnflag" in r.text
+
+
+def test_trigram_paths_single_user_window_then_tiny_agg(spark):
+    """events_top_trigram_paths: one user-keyed window shuffle; the
+    path groupBy is |event_types|^3-sized with map-side combine."""
+    r = _plan(spark, "events_top_trigram_paths")
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    assert "hashpartitioning(user_id" in r.text
+    assert r.ops.count("HashAggregate") >= 2, r.ops
+
+
+def test_dau_wau_spine_broadcasts_into_range_join(spark):
+    """events_dau_wau_rolling: the calendar spine side of the trailing-
+    window range join broadcasts (BNLJ — no equi-key), so the only
+    fact-sized shuffles are the (day,user) dedup and distinct count."""
+    r = _plan(spark, "events_dau_wau_rolling")
+    assert "BroadcastNestedLoopJoin" in r.text
+    assert r.n_sortmerge_joins == 0, r.ops
+
+
+def test_moving_median_windows_calendar_not_facts(spark):
+    """window_moving_median: daily pre-aggregation precedes the frame
+    window, so the sort/window run on the calendar-sized relation."""
+    r = _plan(spark, "window_moving_median")
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    # root-first text: window above the scan-nearest (feeding) aggregate
+    i_win = r.text.find("Window")
+    i_pre_agg = r.text.rfind("HashAggregate")
+    assert 0 <= i_win < i_pre_agg, "daily rollup must feed the window"
+
+
+def test_bfs_frontier_never_collects(spark):
+    """graph_bfs_reachability: the returned plan reads eagerly-
+    checkpointed RDDs (frontier iteration) — never a LocalTableScan,
+    which would mean the frontier visited the driver."""
+    r = _plan(spark, "graph_bfs_reachability")
+    assert "LocalTableScan" not in r.text
+    assert "ExistingRDD" in r.text
+
+
+def test_degree_distribution_two_combined_aggs(spark):
+    """graph_degree_distribution: symmetrize → per-node degree →
+    degree histogram; both aggregates map-side combine, no joins
+    beyond the pair derivation's own."""
+    r = _plan(spark, "graph_degree_distribution")
+    assert r.ops.count("HashAggregate") >= 4, r.ops
+
+
+def test_recursive_spine_joins_broadcast(spark):
+    """sql_recursive_cte_spine: the recursion produces a calendar-sized
+    relation (UnionLoop); its join to the monthly rollup must broadcast
+    — the fact-sized work is exactly one groupBy."""
+    r = _plan(spark, "sql_recursive_cte_spine")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins >= 1 or "BroadcastNestedLoopJoin" in r.text, r.ops
+
+
+def test_selection_models_broadcast_onto_token_stream(spark):
+    """corpus_dsir_importance / ml_naive_bayes_lang: every model
+    relation (weights, counts, priors, vocab scalars) is vocab- or
+    label-sized and broadcasts; the token stream is never SMJ'd."""
+    for key in ("corpus_dsir_importance", "ml_naive_bayes_lang"):
+        r = _plan(spark, key)
+        assert r.n_sortmerge_joins == 0, (key, r.ops)
+        assert r.n_broadcast_joins >= 2, (key, r.ops)
+
+
+def test_zipf_windows_vocab_not_corpus(spark):
+    """text_zipf_fit: the rank window and regression sums run AFTER the
+    vocab aggregation — the window input is vocab-sized."""
+    r = _plan(spark, "text_zipf_fit")
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    # root-first text: window above the scan-nearest (feeding) aggregate
+    i_win = r.text.find("Window")
+    i_pre_agg = r.text.rfind("HashAggregate")
+    assert 0 <= i_win < i_pre_agg, "vocab rollup must feed the rank window"
+
+
+def test_benford_total_broadcasts(spark):
+    """dq_benford_test: leading-digit extraction is a narrow map; the
+    9-row observed relation crosses the 1-row total as a broadcast."""
+    r = _plan(spark, "dq_benford_test")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert "BroadcastNestedLoopJoin" in r.text or r.n_broadcast_joins >= 1, r.ops
+
+
+def test_skipping_audit_is_two_rollups_no_joins(spark):
+    """layout_minmax_skipping_audit: two map-side-combined shard
+    rollups unioned, then shard-sized arithmetic — joins never
+    appear."""
+    r = _plan(spark, "layout_minmax_skipping_audit")
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    assert "Union" in r.ops, r.ops
+
+
+def test_geo_knn_queries_broadcast_window_per_query(spark):
+    """geo_haversine_knn: the 5-row query relation broadcasts onto one
+    customer scan (BNLJ cross); the top-k window partitions by q_id."""
+    r = _plan(spark, "geo_haversine_knn")
+    assert "BroadcastNestedLoopJoin" in r.text
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert "hashpartitioning(q_id" in r.text
+
+
+def test_offset_diff_snapshots_join_keyed(spark):
+    """cdc_offset_range_diff: the two compacted snapshots meet in a
+    keyed FULL OUTER join (key-sized inputs); the changelog decode
+    stays Arrow/JVM-side — no Python row UDF in the plan."""
+    r = _plan(spark, "cdc_offset_range_diff")
+    assert "FullOuter" in r.text
+    assert "BatchEvalPython" not in r.text, "row-at-a-time Python in CDC path"
