@@ -69,13 +69,21 @@ _LOADED = False
 # when the prefix was frozen.  (Optional re-greens were considered and
 # dropped in favor of full closure; the candidates —
 # cdc_lastwrite_materialize, dedup_embedding_lsh — are covered by the
-# in-repo sweep and the bench set.)  Eight LATE-r6 additions land beyond
+# in-repo sweep and the bench set.)  FIFTY late-r6 additions land beyond
 # the prefix and queue for the r7 rotation — the same healthy pattern
-# every round has followed: layout_compaction_plan,
-# corpus_bpe_fertility_by_lang, stream_incremental_dedup,
-# embedding_hard_negatives, text_encoding_quality, dq_k_anonymity_audit,
-# embedding_label_centroid_separation, events_disorder_audit.  Every key
-# also passes the identical in-repo comparison
+# every round has followed, and they fit the next 50-key sweep exactly:
+# the first late batch (compaction planning, BPE fertility, incremental-
+# dedup streaming twin, hard negatives, encoding quality, k-anonymity,
+# centroid separation, disorder audit), the second (range search, CMS,
+# gaps-islands, changepoint, char entropy, curriculum, frame sample,
+# resize, LPA, basket lift, skyline, BM25, MMR, A/B eval, trigram
+# search, histogram-quantile sketch, windowed top-k, interval join,
+# RFM, Markov next-event eval), and the third (regression / chi-square /
+# moments / weighted-median / IQR / Benford statistics, rate-ratio,
+# trigram paths, DAU-WAU, time-to-convert, moving median, BFS +
+# degree histogram, recursive-CTE spine, XML source, DSIR, naive
+# Bayes, TTR, Zipf, geo k-NN, CDC offset diff, zone-map audit).
+# Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
