@@ -89,6 +89,7 @@ def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT {DSIR_TOP_K}
     """,
     tags=("llm", "selection", "dsir"),
+    bench=True,  # headline: representative token-stream model-broadcast op
 )
 def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): score every document

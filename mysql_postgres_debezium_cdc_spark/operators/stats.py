@@ -86,13 +86,20 @@ def stats_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y_cents"),
     )
+    # Money-bearing sums accumulate in DECIMAL(38,0): the 10× probe
+    # showed Σy² in cents² (~1.6e13/row) overflowing BIGINT past ~575k
+    # rows per group — sf0.1 survives, 10× does not.  DuckDB's SUM
+    # already goes through 128-bit HUGEINT, so only the Spark side
+    # needs widening; quantity sums (≤50/row) stay BIGINT (overflow
+    # horizon ~1e14 rows/group).
+    y_dec = F.col("y_cents").cast("decimal(38,0)")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y_cents").alias("sy"),
+        F.sum(y_dec).alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
-        F.sum(F.col("y_cents") * F.col("y_cents")).alias("syy"),
+        F.sum(F.col("x") * y_dec).alias("sxy"),
+        F.sum(y_dec * y_dec).alias("syy"),
     )
     dn, dsx = F.col("n").cast("double"), F.col("sx").cast("double")
     dsy = F.col("sy").cast("double")
@@ -432,6 +439,7 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY v.l_returnflag
     """,
     tags=("dq", "stats"),
+    bench=True,  # headline: the fact-sized rank window is the cost to watch
 )
 def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier audit per group: rank-based lower quartiles

@@ -713,10 +713,21 @@ def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is one ordinary monthly groupBy, and the spine⋈monthly join
     broadcasts the calendar side.  Revenue is exact integer cents; the
     cumulative window sums BIGINTs over the calendar-sized spine before
-    a single display division, so parity is bit-exact.  Spark and
-    DuckDB run textually identical SQL except for month arithmetic
-    (`add_months` vs `+ INTERVAL`)."""
+    a single display division, so parity is bit-exact.
+
+    Engine-behavior finding (PLANS.md r6): Spark's UnionLoop
+    re-evaluates a scalar subquery in the RECURSIVE member once per
+    iteration — 80 iterations × an orders scan was 15 s of pure
+    re-scanning (DuckDB caches the subquery).  The upper bound
+    therefore binds as a named PARAMETER from a 1-row scalar probe
+    (`sql_api_parameterized`'s device); the anchor's subquery runs
+    once and stays inline.  Warm runtime fell 15 s → <1 s."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    max_month = (
+        load(spark, sf_dir, "orders")
+        .agg(F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("m"))
+        .collect()[0]["m"]
+    )
     return spark.sql(
         """
         WITH RECURSIVE spine AS (
@@ -724,8 +735,7 @@ def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DATE) AS month_start
           UNION ALL
           SELECT add_months(month_start, 1) FROM spine
-          WHERE month_start < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
-                                           AS DATE) FROM orders)
+          WHERE month_start < :max_month
         ),
         monthly AS (
           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
@@ -742,5 +752,6 @@ def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN monthly m ON m.month_start = s.month_start
         WHERE s.month_start IS NOT NULL
         ORDER BY month
-        """
+        """,
+        args={"max_month": max_month},
     )
