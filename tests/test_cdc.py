@@ -460,3 +460,53 @@ def test_unsupported_op_is_dead_lettered_not_dropped(spark):
     assert len(dead) == 1 and dead[0]["_error"] == "unsupported op: t"
     applied = with_change_columns(decoded.where(F.col("_error").isNull()))
     assert applied.count() == 1  # only the insert
+
+
+def test_offset_range_diff_invariants(spark):
+    """cdc_offset_range_diff semantic invariants, checked against
+    independently-computed snapshots at the smoke scale:
+
+    - the diff NEVER reports a key whose (presence, last_offset) is
+      identical in both snapshots;
+    - every key present at the end but absent at T is an 'insert',
+      absent at the end but present at T a 'delete', offset-moved an
+      'update';
+    - a diff between an offset range and itself is empty.
+    """
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import load
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ORDER_COL
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc_queries import (
+        EVENTS_ROW_SCHEMA,
+        _events_changelog,
+    )
+
+    from tests.conftest import SF_DIR_SMOKE
+
+    sf = SF_DIR_SMOKE
+
+    def snapshot(hi):
+        raw = _events_changelog(spark, sf, None, hi)
+        ev = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
+        st = apply_changes(None, compact(ev, ["id"]), ["id"], ["v"])
+        return {r["id"]: r[ORDER_COL] for r in st.collect()}
+
+    max_id = load(spark, sf, "events").agg(F.max("event_id")).collect()[0][0]
+    mid = int(max_id) // 2
+    at_t, at_end = snapshot(mid), snapshot(None)
+
+    diff = {
+        r["id"]: (r["change"], r["offset_before"], r["offset_after"])
+        for r in all_queries()["cdc_offset_range_diff"].fn(spark, sf).collect()
+    }
+    expected = {}
+    for k in at_t.keys() | at_end.keys():
+        if k not in at_t:
+            expected[k] = ("insert", None, at_end[k])
+        elif k not in at_end:
+            expected[k] = ("delete", at_t[k], None)
+        elif at_t[k] != at_end[k]:
+            expected[k] = ("update", at_t[k], at_end[k])
+    assert diff == expected
+    # unchanged keys never appear
+    assert not [k for k in diff if k in at_t and k in at_end and at_t[k] == at_end[k] and diff[k][0] != "update"]

@@ -80,3 +80,41 @@ def test_iqr_quartile_rule_matches_reference_scan(spark, vals):
         F.min(F.when(F.col("rn") * 4 >= 3 * F.col("n"), F.col("v"))).alias("q3"),
     ).collect()[0]
     assert (row["q1"], row["q3"]) == ref_quartiles(vals)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day index
+            st.integers(min_value=-10_000, max_value=10_000),  # rev cents
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_moving_median_frame_matches_reference_scan(spark, days):
+    """The 7-day RANGE frame + integer half-up midpoint rule of
+    `window_moving_median` must equal a single-threaded scan over any
+    sparse daily series (gaps in the calendar shrink the frame — the
+    RANGE semantics a row-based frame would get wrong)."""
+    df = spark.createDataFrame(days, "d bigint, cents bigint")
+    w = Window.orderBy("d").rangeBetween(-6, 0)
+    frame = df.select("d", F.array_sort(F.collect_list("cents").over(w)).alias("vals"))
+    n = F.size("vals")
+    hi = F.element_at("vals", (n / 2 + 1).cast("int"))
+    lo = F.element_at("vals", ((n + 1) / 2).cast("int"))
+    got = {
+        r["d"]: r["m"]
+        for r in frame.select("d", F.floor((lo + hi + 1) / 2).alias("m")).collect()
+    }
+    expected = {}
+    by_day = dict(days)
+    for d in by_day:
+        window_vals = sorted(v for dd, v in by_day.items() if d - 6 <= dd <= d)
+        k = len(window_vals)
+        lo_v = window_vals[(k + 1) // 2 - 1]
+        hi_v = window_vals[k // 2]
+        expected[d] = (lo_v + hi_v + 1) // 2
+    assert got == expected
