@@ -115,3 +115,30 @@ def test_vocab_coverage_completes_with_forced_spill(spark):
         assert spilled == baseline
     finally:
         _restore(spark, saved)
+
+
+def test_iqr_and_weighted_median_complete_under_forced_spill(spark):
+    """The two new rank/cumulative-window statistics finish — with
+    oracle-matching values — when window buffers are forced to disk
+    after 16 rows: the exact memory-pressure path their fact-sized (IQR)
+    and distinct-value-sized (weighted median) windows hit at 100 TB."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.conftest import SF_DIR_SMOKE
+    from tests.parity import compare, duck_connection
+
+    confs = {
+        "spark.sql.windowExecBufferSpillThreshold": "16",
+        "spark.sql.windowExecBufferInMemoryThreshold": "16",
+    }
+    saved = _with_confs(spark, confs)
+    try:
+        con = duck_connection(SF_DIR_SMOKE)
+        try:
+            for key in ("dq_outlier_iqr", "agg_weighted_median"):
+                spec = all_queries()[key]
+                errors = compare(spec.fn(spark, SF_DIR_SMOKE), con.sql(spec.oracle).df())
+                assert not errors, (key, errors[:1])
+        finally:
+            con.close()
+    finally:
+        _restore(spark, saved)
