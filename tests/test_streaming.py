@@ -323,3 +323,24 @@ def test_windowed_topk_stream_equals_batch(spark):
     )
     cols = ("window_start_s", "event_type", "n_events", "sum_cents")
     assert rows(served, *cols) == rows(batch, *cols)
+
+
+def test_rate_ratio_counts_stream_equals_batch(spark):
+    """Live twin of `events_rate_ratio_test`'s corpus-scale stage: the
+    per-type period counts accumulate identically under real streaming
+    execution (complete-mode stateful aggregation).  The z/ratio
+    arithmetic is a constant-size derivation over those counts, so
+    count equality IS result equality."""
+    batch = all_queries()["events_rate_ratio_test"].fn(spark, SF_DIR_SMOKE)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    agg = (
+        jobs.stream_events(spark, SF_DIR_SMOKE)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts") < cut, 1)).cast("bigint").alias("n1"),
+            F.count(F.when(F.col("ts") >= cut, 1)).cast("bigint").alias("n2"),
+        )
+    )
+    stream = jobs.run_to_memory(spark, agg, "t_rate_counts")
+    cols = ("event_type", "n1", "n2")
+    assert rows(stream, *cols) == rows(batch, *cols)
