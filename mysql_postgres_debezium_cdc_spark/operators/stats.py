@@ -415,67 +415,85 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vals AS (
       SELECT l_returnflag,
              CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
-             ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                                ORDER BY ROUND(l_extendedprice * 100)) AS rn,
-             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-      FROM lineitem
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_returnflag, v
+    ),
+    cum AS (
+      SELECT l_returnflag, v, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM vals
     ),
     q AS (
       SELECT l_returnflag,
-             MIN(CASE WHEN rn * 4 >= n THEN v END)     AS q1,
-             MIN(CASE WHEN rn * 4 >= 3 * n THEN v END) AS q3,
+             MIN(CASE WHEN cw * 4 >= n THEN v END)     AS q1,
+             MIN(CASE WHEN cw * 4 >= 3 * n THEN v END) AS q3,
              CAST(MIN(n) AS BIGINT) AS n_total
-      FROM vals GROUP BY l_returnflag
+      FROM cum GROUP BY l_returnflag
     )
-    SELECT v.l_returnflag,
+    SELECT c.l_returnflag,
            ROUND(q.q1 / CAST(100.0 AS DOUBLE), 2) AS q1,
            ROUND(q.q3 / CAST(100.0 AS DOUBLE), 2) AS q3,
            q.n_total,
-           CAST(COUNT(CASE WHEN 2 * v.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
-                             OR 2 * v.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
-                           THEN 1 END) AS BIGINT) AS n_outliers
-    FROM vals v JOIN q USING (l_returnflag)
-    GROUP BY v.l_returnflag, q.q1, q.q3, q.n_total
-    ORDER BY v.l_returnflag
+           CAST(COALESCE(SUM(CASE WHEN 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                                    OR 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                                  THEN c.cnt END), 0) AS BIGINT) AS n_outliers
+    FROM cum c JOIN q USING (l_returnflag)
+    GROUP BY c.l_returnflag, q.q1, q.q3, q.n_total
+    ORDER BY c.l_returnflag
     """,
     tags=("dq", "stats"),
     bench=True,  # headline: the fact-sized rank window is the cost to watch
 )
 def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier audit per group: rank-based lower quartiles
-    over exact integer cents (smallest v with 4·rank ≥ n / ≥ 3n — the
-    `agg_weighted_median` selection rule) and the 1.5×IQR fences
-    evaluated as 2v < 2q1 − 3·IQR in pure BIGINT, so the half-cent the
-    1.5 multiplier can produce never touches a float.
+    """Tukey-fence outlier audit per group: lower quartiles selected by
+    the cumulative-count rule (smallest v with 4·cum_count ≥ n / ≥ 3n —
+    identical to the rank rule on the multiset, and the
+    `agg_weighted_median` device) and the 1.5×IQR fences evaluated as
+    2v < 2q1 − 3·IQR in pure BIGINT, so the half-cent the 1.5
+    multiplier can produce never touches a float.
 
-    Shape: one per-group rank window (the fact-sized shuffle), a
-    group-sized quartile reduce, and a broadcast-back fence count.  On
-    a 100 TB fact table the rank window would switch to the chunked
-    two-phase rank (`window_ntile`'s decomposition); the fence logic is
-    unchanged."""
-    w = Window.partitionBy("l_returnflag")
-    vals = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+    Shape — the 100× probe rewrote this operator: the first version
+    ranked RAW fact rows (row_number per group), and at 100× (60M rows)
+    its three single-task 20M-row partition sorts took 54.8 s.  Now the
+    facts collapse to distinct (group, value) counts FIRST (map-side
+    combined), the cumulative window runs over the distinct-value
+    relation (bounded by price cardinality, not fact count), and the
+    fence count weights each distinct value by its count — no second
+    fact pass at all.  Same 100× probe after the rewrite: 4.9 s."""
+    vals = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    ranked = vals.select(
+    part = Window.partitionBy("l_returnflag")
+    cum = vals.select(
         "l_returnflag",
         "v",
-        F.row_number().over(w.orderBy("v")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+        "cnt",
+        F.sum("cnt").over(part.orderBy("v")).alias("cw"),
+        F.sum("cnt").over(part).alias("n"),
     )
-    q = ranked.groupBy("l_returnflag").agg(
-        F.min(F.when(F.col("rn") * 4 >= F.col("n"), F.col("v"))).alias("q1"),
-        F.min(F.when(F.col("rn") * 4 >= 3 * F.col("n"), F.col("v"))).alias("q3"),
+    q = cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 4 >= F.col("n"), F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("cw") * 4 >= 3 * F.col("n"), F.col("v"))).alias("q3"),
         F.min("n").cast("bigint").alias("n_total"),
     )
     iqr = F.col("q3") - F.col("q1")
     low = 2 * F.col("v") < 2 * F.col("q1") - 3 * iqr
     high = 2 * F.col("v") > 2 * F.col("q3") + 3 * iqr
     return (
-        vals.join(F.broadcast(q), "l_returnflag")
+        cum.join(F.broadcast(q), "l_returnflag")
         .groupBy("l_returnflag", "q1", "q3", "n_total")
-        .agg(F.count(F.when(low | high, 1)).cast("bigint").alias("n_outliers"))
+        .agg(
+            F.coalesce(F.sum(F.when(low | high, F.col("cnt"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
         .select(
             "l_returnflag",
             F.round(F.col("q1") / F.lit(100.0), 2).alias("q1"),
