@@ -562,3 +562,94 @@ def test_replay_converges_over_compaction_gaps(spark, plan):
         state = apply_changes(state, compact(ev, ["id"]), ["id"], ["name"])
     got = {r["id"]: r["name"] for r in state.collect()}
     assert got == oracle_replay(events)
+
+
+def oracle_offset_diff(events, t):
+    """Reference scan for the offset-range diff: replay to offset < t
+    and to the end, then classify keys by (presence, last_offset)."""
+
+    def snap(upto):
+        state: dict[int, int] = {}
+        for off, (op, key, _name) in enumerate(events):
+            if upto is not None and off >= upto:
+                break
+            if op == "d":
+                state.pop(key, None)
+            else:
+                state[key] = off
+        return state
+
+    at_t, at_end = snap(t), snap(None)
+    out = {}
+    for k in at_t.keys() | at_end.keys():
+        if k not in at_t:
+            out[k] = ("insert", None, at_end[k])
+        elif k not in at_end:
+            out[k] = ("delete", at_t[k], None)
+        elif at_t[k] != at_end[k]:
+            out[k] = ("update", at_t[k], at_end[k])
+    return out
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(events=events_strategy, t_frac=st.integers(min_value=0, max_value=4))
+def test_offset_range_diff_equals_reference_classification(spark, events, t_frac):
+    """cdc_offset_range_diff semantics over ANY changelog: materialize
+    snapshots at offset T and at the head through the engine's
+    decode→compact→apply, full-outer-diff them, and the
+    insert/update/delete classification (with before/after offset
+    evidence) must equal the single-threaded replay's.  T sweeps 0,
+    ¼, ½, ¾, all — including the empty-prefix and self-diff edges."""
+    import pyspark.sql.functions as F
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ORDER_COL
+
+    t = len(events) * t_frac // 4 if t_frac < 4 else None
+
+    def snapshot(upto):
+        rows = []
+        for off, (op, key, name) in enumerate(events):
+            if upto is not None and off >= upto:
+                break
+            img = {"id": key, "name": name}
+            env = {
+                "before": img if op == "d" else None,
+                "after": None if op == "d" else img,
+                "source": {"db": "app", "table": "t", "ts_ms": 0},
+                "op": op,
+                "ts_ms": 0,
+            }
+            rows.append((json.dumps(env), off))
+        if not rows:
+            return None
+        batch = spark.createDataFrame(rows, "value string, offset long")
+        ev = with_change_columns(decode_envelope(batch, ROW_SCHEMA))
+        return apply_changes(None, compact(ev, ["id"]), ["id"], ["name"]).select(
+            "id", F.col(ORDER_COL).alias("o")
+        )
+
+    snap_t, snap_end = snapshot(t), snapshot(None)
+    if snap_t is None:
+        got = {r["id"]: ("insert", None, r["o"]) for r in snap_end.collect()}
+    else:
+        j = snap_t.alias("t").join(
+            snap_end.alias("e"), F.col("t.id") == F.col("e.id"), "full_outer"
+        )
+        got = {
+            r["id"]: (r["change"], r["ob"], r["oa"])
+            for r in j.where(
+                F.col("t.id").isNull()
+                | F.col("e.id").isNull()
+                | (F.col("t.o") != F.col("e.o"))
+            )
+            .select(
+                F.coalesce(F.col("t.id"), F.col("e.id")).alias("id"),
+                F.when(F.col("t.id").isNull(), "insert")
+                .when(F.col("e.id").isNull(), "delete")
+                .otherwise("update")
+                .alias("change"),
+                F.col("t.o").alias("ob"),
+                F.col("e.o").alias("oa"),
+            )
+            .collect()
+        }
+    assert got == oracle_offset_diff(events, t)
