@@ -86,13 +86,17 @@ def stats_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y_cents"),
     )
-    # Money-bearing sums accumulate in DECIMAL(38,0): the 10× probe
-    # showed Σy² in cents² (~1.6e13/row) overflowing BIGINT past ~575k
-    # rows per group — sf0.1 survives, 10× does not.  DuckDB's SUM
-    # already goes through 128-bit HUGEINT, so only the Spark side
-    # needs widening; quantity sums (≤50/row) stay BIGINT (overflow
-    # horizon ~1e14 rows/group).
-    y_dec = F.col("y_cents").cast("decimal(38,0)")
+    # Money-bearing sums accumulate in DECIMAL: the 10× probe showed
+    # Σy² in cents² (~1.6e13/row) overflowing BIGINT past ~575k rows
+    # per group — sf0.1 survives, 10× does not.  DuckDB's SUM already
+    # goes through 128-bit HUGEINT, so only the Spark side needs
+    # widening.  Width is a measured choice (100× A/B in PLANS.md):
+    # DECIMAL(18,0) input keeps Spark's compact-long Decimal on the
+    # per-row path — 5.0 s warm at 100× vs 28.2 s for DECIMAL(38,0) —
+    # while the SUM result type (DECIMAL(28,0)) stays exact to ~3e14
+    # rows per group, and ANSI mode errors loudly past that rather
+    # than wrapping.  Quantity sums (≤50/row) stay BIGINT.
+    y_dec = F.col("y_cents").cast("decimal(18,0)")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").alias("sx"),
