@@ -45,9 +45,13 @@ _TOKS_SQL = """
 """
 
 
-def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_small_scan(load(spark, sf_dir, "documents"))
-    return d.select(
+def _toks(spark: SparkSession, sf_dir: str, predicate=None) -> DataFrame:
+    """(doc_id, token) stream; an optional predicate filters DOCUMENTS
+    before the explode, so it pushes into the parquet scan."""
+    d = load(spark, sf_dir, "documents")
+    if predicate is not None:
+        d = d.where(predicate)
+    return spread_small_scan(d).select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) > 0)).alias(
             "token"
@@ -112,19 +116,7 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target pass: a SECOND scan with the lang predicate pushed into the
     # parquet reader (cheaper than joining the exploded token stream
     # against a doc-id list — the filter prunes before the explode)
-    tgt_toks = (
-        spread_small_scan(
-            load(spark, sf_dir, "documents").where(
-                F.col("lang") == DSIR_TARGET_LANG
-            )
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
-            ).alias("token"),
-        )
-    )
+    tgt_toks = _toks(spark, sf_dir, F.col("lang") == DSIR_TARGET_LANG)
     raw_cnt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
     tgt_cnt = tgt_toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_t")
@@ -132,7 +124,14 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = raw_cnt.agg(
         F.sum("c_r").cast("bigint").alias("n_r"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
-    ).crossJoin(tgt_cnt.agg(F.sum("c_t").cast("bigint").alias("n_t")))
+    ).crossJoin(
+        # COALESCE: an empty target slice must give n_t = 0 (the
+        # oracle's COUNT(*) semantics), not a NULL that nulls every
+        # weight downstream
+        tgt_cnt.agg(
+            F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t")
+        )
+    )
     w = (
         raw_cnt.join(tgt_cnt, "token", "left")
         .crossJoin(F.broadcast(consts))
@@ -352,12 +351,19 @@ def corpus_token_type_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
       FROM pts
     )
+    -- degenerate-spectrum guards (NULL, both engines): a 1-token vocab
+    -- zeroes the slope denominator; an all-equal-counts corpus zeroes r2's
     SELECT n AS n_vocab,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
-           ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
-             AS intercept,
-           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+           END AS zipf_slope,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 4)
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+           END AS r2
     FROM s
     """,
     tags=("llm", "text", "stats"),
@@ -396,14 +402,19 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = (n * sxy - sx * sy) / varx_n
+    # degenerate-spectrum guards mirror the oracle: NULL, never an ANSI
+    # divide-by-zero crash (1-token vocab; all-equal token counts)
     return s.select(
         n.alias("n_vocab"),
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round((sy - sx * slope) / n, 4).alias("intercept"),
-        F.round(
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            4,
+        F.when(varx_n != 0, F.round(slope, 4)).alias("zipf_slope"),
+        F.when(varx_n != 0, F.round((sy - sx * slope) / n, 4)).alias("intercept"),
+        F.when(
+            (varx_n != 0) & (vary_n != 0),
+            F.round(
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (varx_n * vary_n), 4
+            ),
         ).alias("r2"),
     )

@@ -1539,7 +1539,8 @@ def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT event_type, n1, n2,
-           ROUND(CAST(n2 AS DOUBLE) / n1, 6) AS rate_ratio,
+           CASE WHEN n1 > 0 THEN ROUND(CAST(n2 AS DOUBLE) / n1, 6) END
+             AS rate_ratio,
            ROUND((n2 - CAST(n1 AS DOUBLE)) / SQRT(CAST(n1 + n2 AS DOUBLE)), 4)
              AS z_score
     FROM counts ORDER BY event_type
@@ -1567,7 +1568,12 @@ def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n1",
         "n2",
-        F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias("rate_ratio"),
+        # NULL (not a crash, not inf) when the type has no period-1
+        # events — ANSI doubles divide-by-zero throws in Spark while
+        # DuckDB returns inf, so BOTH sides must guard identically
+        F.when(
+            F.col("n1") > 0, F.round(F.col("n2").cast("double") / F.col("n1"), 6)
+        ).alias("rate_ratio"),
         F.round(
             (F.col("n2") - F.col("n1").cast("double"))
             / F.sqrt((F.col("n1") + F.col("n2")).cast("double")),

@@ -48,20 +48,26 @@ from mysql_postgres_debezium_cdc_spark.sources.parquet import load
                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT))        AS syy
       FROM lineitem GROUP BY l_returnflag
     )
+    -- degenerate guards (NULL, both engines): constant/singleton x
+    -- zeroes the slope denominator; constant y additionally zeroes r2's
     SELECT l_returnflag,
            n,
-           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0, 6)
-             AS slope,
-           ROUND((sy - sx * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
-                 / n / 100.0, 6)
-             AS intercept,
-           ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-             AS r2
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0 THEN
+             ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100.0, 6)
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0 THEN
+             ROUND((sy - sx * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+                   / n / 100.0, 6)
+           END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) <> 0
+                 AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) <> 0 THEN
+             ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                   / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS r2
     FROM s ORDER BY l_returnflag
     """,
     tags=("stats", "agg"),
@@ -110,14 +116,22 @@ def stats_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = dn * F.col("sxy") - dsx * F.col("sy")  # n·Σxy − Σx·Σy
     varx_n = dn * F.col("sxx") - dsx * F.col("sx")
     vary_n = dn * F.col("syy") - dsy * F.col("sy")
+    # degenerate guards (NULL, both engines): ANSI doubles throw on a
+    # 0.0 divisor where DuckDB returns inf/nan — guard identically
     return s.select(
         "l_returnflag",
         "n",
-        F.round(cov_n / varx_n / 100.0, 6).alias("slope"),
-        F.round((F.col("sy") - F.col("sx") * (cov_n / varx_n)) / F.col("n") / 100.0, 6).alias(
-            "intercept"
-        ),
-        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
+        F.when(varx_n != 0, F.round(cov_n / varx_n / 100.0, 6)).alias("slope"),
+        F.when(
+            varx_n != 0,
+            F.round(
+                (F.col("sy") - F.col("sx") * (cov_n / varx_n)) / F.col("n") / 100.0, 6
+            ),
+        ).alias("intercept"),
+        F.when(
+            (varx_n != 0) & (vary_n != 0),
+            F.round((cov_n * cov_n) / (varx_n * vary_n), 6),
+        ).alias("r2"),
     ).orderBy("l_returnflag")
 
 
@@ -143,9 +157,12 @@ def stats_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
              * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
            ROUND(SUM(term), 4) AS chi2,
-           ROUND(SQRT(SUM(term) / (grand
-                 * LEAST((SELECT COUNT(*) FROM rt) - 1,
-                         (SELECT COUNT(*) FROM ct) - 1))), 6) AS cramers_v
+           CASE WHEN LEAST((SELECT COUNT(*) FROM rt) - 1,
+                           (SELECT COUNT(*) FROM ct) - 1) > 0 THEN
+             ROUND(SQRT(SUM(term) / (grand
+                   * LEAST((SELECT COUNT(*) FROM rt) - 1,
+                           (SELECT COUNT(*) FROM ct) - 1))), 6)
+           END AS cramers_v
     FROM cells GROUP BY grand
     """,
     tags=("stats", "agg"),
@@ -193,15 +210,19 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("bigint").alias("dof"),
             F.round("chi2_raw", 4).alias("chi2"),
-            F.round(
-                F.sqrt(
-                    F.col("chi2_raw")
-                    / (
-                        F.col("grand")
-                        * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
-                    )
+            # a 1xK / Kx1 table has dof 0: NULL effect size, not a crash
+            F.when(
+                F.least(F.col("n_rows") - 1, F.col("n_cols") - 1) > 0,
+                F.round(
+                    F.sqrt(
+                        F.col("chi2_raw")
+                        / (
+                            F.col("grand")
+                            * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                        )
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cramers_v"),
         )
     )
@@ -232,19 +253,23 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
            ROUND(CAST(s2 AS DOUBLE) / n
                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
              AS variance,
-           ROUND((CAST(s3 AS DOUBLE) / n
-                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
-                  + 2 * POWER(CAST(s1 AS DOUBLE) / n, 3))
-                 / POWER(CAST(s2 AS DOUBLE) / n
-                         - POWER(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6)
-             AS skewness,
-           ROUND((CAST(s4 AS DOUBLE) / n
-                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
-                  + 6 * POWER(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
-                  - 3 * POWER(CAST(s1 AS DOUBLE) / n, 4))
-                 / POWER(CAST(s2 AS DOUBLE) / n
-                         - POWER(CAST(s1 AS DOUBLE) / n, 2), 2) - 3, 6)
-             AS excess_kurtosis
+           CASE WHEN CAST(s2 AS DOUBLE) / n
+                     - POWER(CAST(s1 AS DOUBLE) / n, 2) > 0 THEN
+             ROUND((CAST(s3 AS DOUBLE) / n
+                    - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                    + 2 * POWER(CAST(s1 AS DOUBLE) / n, 3))
+                   / POWER(CAST(s2 AS DOUBLE) / n
+                           - POWER(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6)
+           END AS skewness,
+           CASE WHEN CAST(s2 AS DOUBLE) / n
+                     - POWER(CAST(s1 AS DOUBLE) / n, 2) > 0 THEN
+             ROUND((CAST(s4 AS DOUBLE) / n
+                    - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                    + 6 * POWER(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
+                    - 3 * POWER(CAST(s1 AS DOUBLE) / n, 4))
+                   / POWER(CAST(s2 AS DOUBLE) / n
+                           - POWER(CAST(s1 AS DOUBLE) / n, 2), 2) - 3, 6)
+           END AS excess_kurtosis
     FROM s ORDER BY l_returnflag
     """,
     tags=("agg", "stats", "sketch"),
@@ -289,14 +314,20 @@ def agg_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s4",
         F.round(m1, 6).alias("mean"),
         F.round(m2 - m1 * m1, 6).alias("variance"),
-        F.round((m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5), 6).alias(
-            "skewness"
-        ),
-        F.round(
-            (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4))
-            / F.pow(var, 2)
-            - 3,
-            6,
+        # zero-variance (constant/singleton) groups: NULL moments on
+        # both engines instead of an ANSI DIVIDE_BY_ZERO crash
+        F.when(
+            var > 0,
+            F.round((m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5), 6),
+        ).alias("skewness"),
+        F.when(
+            var > 0,
+            F.round(
+                (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4))
+                / F.pow(var, 2)
+                - 3,
+                6,
+            ),
         ).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
 
