@@ -2128,16 +2128,19 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+    # COALESCE every SUM: an empty ingest batch must report zeros (the
+    # oracle's COUNT semantics), not NULLs
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("bigint")  # noqa: E731
     return flags.agg(
         F.count(F.lit(1)).alias("n_new"),
-        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
-        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_true_dup"),
-        F.sum(F.when(F.col("is_cand") & F.col("is_dup"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_caught"),
-        F.sum(F.when(F.col("is_dup") & ~F.col("is_cand"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_missed"),
+        z(F.sum(F.when(F.col("is_cand"), 1).otherwise(0))).alias("n_candidates"),
+        z(F.sum(F.when(F.col("is_dup"), 1).otherwise(0))).alias("n_true_dup"),
+        z(F.sum(F.when(F.col("is_cand") & F.col("is_dup"), 1).otherwise(0))).alias(
+            "n_caught"
+        ),
+        z(F.sum(F.when(F.col("is_dup") & ~F.col("is_cand"), 1).otherwise(0))).alias(
+            "n_missed"
+        ),
     )
 
 

@@ -693,7 +693,10 @@ def cdc_envelope_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return joined.select(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.when(mismatch, 1).otherwise(0)).cast("bigint").alias("n_mismatches"),
+        # COALESCE: SUM over zero rows is NULL, the oracle's literal is 0
+        F.coalesce(F.sum(F.when(mismatch, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_mismatches"),
     )
 
 

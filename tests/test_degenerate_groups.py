@@ -41,6 +41,11 @@ DEGENERATE_KEYS = [
     "corpus_token_type_ratio",
     "text_zipf_fit",
     "dq_benford_test",
+    # pre-existing keys the whole-registry degenerate sweep flagged
+    # (NULL-vs-0 empty aggregates; sketch band below its resolution)
+    "cdc_envelope_encode_roundtrip",
+    "dedup_bloom_incremental",
+    "agg_approx_percentile",
 ]
 
 
