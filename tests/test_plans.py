@@ -955,8 +955,9 @@ def test_weighted_median_preaggregates_before_window(spark):
 
 def test_outlier_iqr_fences_broadcast_back(spark):
     """dq_outlier_iqr: quartiles reduce to a |groups| relation that
-    joins back onto the fact scan as a broadcast; the rank window is
-    group-partitioned."""
+    joins back onto the distinct-value counts as a broadcast; the
+    cumulative-count window (post-100×-rewrite) is group-partitioned
+    and runs over the pre-aggregated value relation, never raw facts."""
     r = _plan(spark, "dq_outlier_iqr")
     assert r.n_sortmerge_joins == 0, r.ops
     assert r.n_broadcast_joins >= 1, r.ops
