@@ -141,16 +141,23 @@ CORR_TOP_N = 20
              COUNT(*) AS n,
              SUM(a.val) AS sx, SUM(b.val) AS sy,
              SUM(a.val * a.val) AS sxx, SUM(b.val * b.val) AS syy,
-             SUM(a.val * b.val) AS sxy
+             SUM(a.val * b.val) AS sxy,
+             MIN(a.val) AS mni, MAX(a.val) AS mxi,
+             MIN(b.val) AS mnj, MAX(b.val) AS mxj
       FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.dim < b.dim
       GROUP BY a.dim, b.dim
     ),
     corr AS (
+      -- exclude CONSTANT dimensions by the EXACT min=max test (no
+      -- summation → bit-identical across engines); their variance term
+      -- is a float-cancellation residual of arbitrary sign, which made
+      -- SQRT throw on a tiny negative (ties-fixture finding)
       SELECT i, j,
              ROUND((n * sxy - sx * sy) /
                    (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 3) + 0.0
                AS corr
       FROM pairs
+      WHERE mxi > mni AND mxj > mnj
     )
     SELECT i, j, corr,
            ROW_NUMBER() OVER (ORDER BY ABS(corr) DESC, i, j) AS rk
@@ -200,6 +207,8 @@ def embedding_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFra
             g = x.T @ x
             s = x.sum(axis=0)
             iu, ju = np.triu_indices(d, k=1)
+            mn = x.min(axis=0)
+            mx = x.max(axis=0)
             yield pd.DataFrame(
                 {
                     "i": iu.astype("int64"),
@@ -210,13 +219,18 @@ def embedding_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFra
                     "sxx": g[iu, iu],
                     "syy": g[ju, ju],
                     "sxy": g[iu, ju],
+                    "mni": mn[iu],
+                    "mxi": mx[iu],
+                    "mnj": mn[ju],
+                    "mxj": mx[ju],
                 }
             )
 
     partials = e.select("embedding").mapInPandas(
         _gram_partials,
         schema="i long, j long, n long, sx double, sy double, "
-        "sxx double, syy double, sxy double",
+        "sxx double, syy double, sxy double, "
+        "mni double, mxi double, mnj double, mxj double",
     )
     pairs = partials.groupBy("i", "j").agg(
         F.sum("n").alias("n"),
@@ -225,7 +239,14 @@ def embedding_dimension_correlation(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("sxx").alias("sxx"),
         F.sum("syy").alias("syy"),
         F.sum("sxy").alias("sxy"),
+        F.min("mni").alias("mni"),
+        F.max("mxi").alias("mxi"),
+        F.min("mnj").alias("mnj"),
+        F.max("mxj").alias("mxj"),
     )
+    # constant-dimension exclusion: exact min=max test, mirroring the
+    # oracle — see the oracle comment (ties-fixture finding)
+    pairs = pairs.where((F.col("mxi") > F.col("mni")) & (F.col("mxj") > F.col("mnj")))
     corr = (
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))

@@ -168,9 +168,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_min_by_max_by",
     oracle="""
+    -- composite (price, key) orderings: bare-price MIN_BY/MAX_BY pick
+    -- arbitrary rows among tied prices (ties-fixture finding)
     SELECT o_orderstatus,
-           MIN_BY(o_orderkey, o_totalprice) AS cheapest_order,
-           MAX_BY(o_orderkey, o_totalprice) AS priciest_order,
+           MIN({'p': o_totalprice, 'k': o_orderkey}).k AS cheapest_order,
+           MAX({'p': o_totalprice, 'k': o_orderkey}).k AS priciest_order,
            ROUND(MIN(o_totalprice), 2) AS min_price,
            ROUND(MAX(o_totalprice), 2) AS max_price
     FROM orders
@@ -180,13 +182,21 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "minmax_by"),
 )
 def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min_by/max_by — the primitive behind CDC last-write-wins compaction."""
+    """min_by/max_by — the primitive behind CDC last-write-wins
+    compaction.  Ordering keys are COMPOSITE (price, orderkey): with a
+    bare price, tied values let each engine return a different row
+    (ties-fixture finding) — the same totality rule every ORDER BY in
+    the registry already follows."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("cheapest_order"),
+            F.max_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("priciest_order"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )

@@ -86,7 +86,11 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_max_by_group",
     oracle="""
-    SELECT user_id, MAX_BY(event_id, ts) AS latest_event_id, COUNT(*) AS n_events
+    -- (ts, event_id) composite ordering: MAX_BY over a bare ts picks an
+    -- ARBITRARY row among tied timestamps and the engines disagree
+    -- (caught by the ties-fixture sweep); event_id totalizes the order
+    SELECT user_id, MAX({'t': ts, 'e': event_id}).e AS latest_event_id,
+           COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
     ORDER BY user_id
@@ -96,12 +100,17 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_max_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-event-per-key via max_by — shuffle-light alternative to the
     window formulation (partial aggregation halves the shuffled volume);
-    this is exactly the CDC compaction primitive (SURVEY §2.1)."""
+    this is exactly the CDC compaction primitive (SURVEY §2.1).  The
+    ordering key is the COMPOSITE (ts, event_id): with a bare ts,
+    max_by picks an arbitrary row among tied timestamps — Kafka-style
+    same-millisecond events made Spark and DuckDB disagree on the
+    ties-fixture sweep (the CDC path itself was never exposed: its
+    ORDER_COL offset is unique by construction)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
         .agg(
-            F.max_by("event_id", "ts").alias("latest_event_id"),
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("latest_event_id"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")

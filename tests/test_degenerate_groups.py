@@ -135,3 +135,115 @@ def test_degenerate_parity(spark, degenerate_dir, name):
     finally:
         con.close()
     assert not errors, errors[:3]
+
+
+TIES_KEYS = [
+    # the three keys the ties sweep caught (fixed: composite orderings /
+    # exact constant-dim exclusion) plus tie-sensitive survivors as guards
+    "topk_max_by_group",
+    "agg_min_by_max_by",
+    "embedding_dimension_correlation",
+    "topk_per_group",
+    "sort_global_limit",
+    "dedup_exact_text",
+    "text_tfidf_topk",
+    "ann_bruteforce_topk",
+    "events_sessionize_gap",
+]
+
+
+@pytest.fixture(scope="module")
+def ties_dir(tmp_path_factory):
+    """Ties-heavy fixture: duplicate texts, identical vectors, identical
+    event timestamps, constant prices — any arg-min/max or top-k whose
+    ordering key is not TOTAL lets each engine pick a different row
+    (the sweep over this fixture caught two bare-ordering MIN_BY/MAX_BY
+    keys and a SQRT-of-negative-variance crash on constant dims)."""
+    import math
+
+    import duckdb as dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("ties_sf")
+
+    def write(name, rows):
+        schema = pq.read_schema(f"{SF_DIR_ORACLE}/{name}.parquet")
+        if rows:
+            cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+            table = pa.Table.from_pydict(cols, schema=schema)
+        else:
+            table = schema.empty_table()
+        pq.write_table(table, str(base / f"{name}.parquet"))
+
+    us = lambda s: s * 1_000_000  # noqa: E731
+    jan = 1704067200
+    write(
+        "events",
+        [
+            {"event_id": i, "ts": us(jan + 3600 * (i % 3)), "user_id": i % 4,
+             "event_type": ["click", "purchase", "signup"][i % 3],
+             "value": 5.0, "props": "{}"}
+            for i in range(120)
+        ],
+    )
+    write(
+        "orders",
+        [
+            {"o_orderkey": i, "o_custkey": i % 5, "o_orderstatus": "FO"[i % 2],
+             "o_totalprice": 500.0, "o_orderdate": us(jan + 86400 * (i % 4)),
+             "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"][i % 3]}
+            for i in range(30)
+        ],
+    )
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red green blue red green blue red green blue red",
+        "spark query engine table column row batch stream join filter",
+        "data data data data data data data data data data",
+    ]
+    write(
+        "documents",
+        [
+            {"doc_id": i, "text": texts[i % 5], "lang": ["en", "fr"][i % 2],
+             "source": f"s{i % 3}", "n_chars": len(texts[i % 5])}
+            for i in range(40)
+        ],
+    )
+
+    def vec(k):
+        raw = [((j * (k + 2)) % 7) - 3.0 for j in range(64)]
+        n = math.sqrt(sum(x * x for x in raw)) or 1.0
+        return [x / n for x in raw]
+
+    write(
+        "embeddings",
+        [{"vec_id": i, "embedding": vec(i % 4), "label": i % 3} for i in range(256)],
+    )
+    # real small dims so dimension joins behave normally
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        dd.sql(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet'))"
+            f" TO '{base}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    write("lineitem", [
+        {"l_orderkey": i // 2, "l_partkey": i % 3 + 1, "l_suppkey": 1,
+         "l_linenumber": i % 2 + 1, "l_quantity": float(10 + (i % 2) * 10),
+         "l_extendedprice": [100.0, 250.0][i % 2], "l_discount": 0.05,
+         "l_tax": 0.02, "l_returnflag": "AR"[i % 2], "l_linestatus": "O",
+         "l_shipdate": us(jan + 86400 * (i % 5))}
+        for i in range(60)
+    ])
+    return str(base)
+
+
+@pytest.mark.parametrize("name", TIES_KEYS)
+def test_ties_parity(spark, ties_dir, name):
+    spec = all_queries()[name]
+    con = duck_connection(ties_dir)
+    try:
+        errors = compare(spec.fn(spark, ties_dir), con.sql(spec.oracle).df())
+    finally:
+        con.close()
+    assert not errors, errors[:3]
