@@ -131,14 +131,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_fake_features",
     # The featurizer runs through mapInPandas (Python, not SQL), but its
     # math is deterministic integer arithmetic over the payload bytes —
-    # so the oracle recomputes it per character (the corpus is ASCII:
-    # chars ↔ UTF-8 bytes 1:1, which multimodal_metadata's md5 check
-    # already pins) and the driver value-checks the whole Arrow path.
+    # so the oracle reconstructs the actual UTF-8 byte stream from the
+    # code points (1-4 bytes per char, the RFC 3629 encoding spelled out
+    # as integer arithmetic) and recomputes the residues per BYTE.  The
+    # unicode-fixture sweep caught the previous per-CHARACTER
+    # formulation, which coincides with bytes only on ASCII corpora.
     oracle="""
     WITH b AS (
       SELECT doc_id,
              CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
-             [UNICODE(text[i]) % 8 FOR i IN RANGE(1, LEN(text) + 1)] AS residues
+             FLATTEN([
+               CASE
+                 WHEN c < 128 THEN [c % 8]
+                 WHEN c < 2048 THEN
+                   [(192 + c // 64) % 8, (128 + c % 64) % 8]
+                 WHEN c < 65536 THEN
+                   [(224 + c // 4096) % 8, (128 + (c // 64) % 64) % 8,
+                    (128 + c % 64) % 8]
+                 ELSE
+                   [(240 + c // 262144) % 8, (128 + (c // 4096) % 64) % 8,
+                    (128 + (c // 64) % 64) % 8, (128 + c % 64) % 8]
+               END
+               FOR c IN [UNICODE(text[i]) FOR i IN RANGE(1, LEN(text) + 1)]
+             ]) AS residues
       FROM documents
     )
     SELECT doc_id, n_bytes,
@@ -247,6 +262,13 @@ FRAME_EVERY_NTH = 4
     # chars <-> UTF-8 bytes 1:1, pinned by multimodal_metadata's md5)
     # and md5-fingerprints each frame's bytes — the driver value-checks
     # the whole Arrow fan-out path, offsets and content both.
+    # KNOWN ORACLE BOUNDARY (unicode-sweep finding): the md5 must hash
+    # the payload BYTES, and this DuckDB build has no md5(BLOB) /
+    # substring(BLOB), so the character formulation is only valid on
+    # ASCII text — exactly what the fixture generator emits.  (The
+    # byte-residue featurizer's oracle was upgraded to true UTF-8 byte
+    # math because it needs no blob hashing; these two stay pinned to
+    # the documented ASCII contract.)
     oracle=f"""
     WITH offs AS (
       SELECT doc_id, text, LEN(text) AS n,

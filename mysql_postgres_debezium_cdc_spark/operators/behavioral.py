@@ -1118,15 +1118,20 @@ AB_CONV_VALUE = 150
         MAX(CASE WHEN variant = 1 THEN n_converted END) AS conv_b
       FROM arms
     )
+    -- degenerate guard (unicode/skew-sweep finding): 0 or 100%% pooled
+    -- conversion zeroes the pooled variance — NULL z, not-significant 0
     SELECT n_a, conv_a, n_b, conv_b,
            ROUND(conv_a * 1.0 / n_a, 4) AS rate_a,
            ROUND(conv_b * 1.0 / n_b, 4) AS rate_b,
-           ROUND(
-             (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
-             / SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
-                    * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score,
-           CASE WHEN ABS(ROUND(
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             ROUND(
+               (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+               / SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 4)
+           END AS z_score,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                 AND ABS(ROUND(
              (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
              / SQRT(((conv_a + conv_b) * 1.0 / (n_a + n_b))
                     * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
@@ -1187,10 +1192,21 @@ def events_ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate_a = F.col("conv_a") * 1.0 / F.col("n_a")
     rate_b = F.col("conv_b") * 1.0 / F.col("n_b")
     pooled = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
-    z = F.round(
-        (rate_a - rate_b)
-        / F.sqrt(pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
-        4,
+    # degenerate guard (unicode/skew-sweep finding): 0 or 100% pooled
+    # conversion zeroes the pooled variance — ANSI would throw where
+    # DuckDB emits inf; both engines now emit NULL z / not-significant
+    conv_t = F.col("conv_a") + F.col("conv_b")
+    n_t = F.col("n_a") + F.col("n_b")
+    defined = (conv_t > 0) & (conv_t < n_t)
+    z = F.when(
+        defined,
+        F.round(
+            (rate_a - rate_b)
+            / F.sqrt(
+                pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        ),
     )
     return wide.select(
         "n_a",

@@ -247,3 +247,100 @@ def test_ties_parity(spark, ties_dir, name):
     finally:
         con.close()
     assert not errors, errors[:3]
+
+
+UNICODE_KEYS = [
+    # keys the unicode/skew sweep exercised hardest: byte-vs-char
+    # semantics, tokenization of multibyte scripts, hash splits under
+    # 90%-one-user skew, and the pooled-variance A/B guard
+    "multimodal_fake_features",
+    "events_ab_test_eval",
+    "text_stats",
+    "text_token_count_regex",
+    "text_lang_id",
+    "corpus_token_type_ratio",
+    "text_zipf_fit",
+    "dedup_exact_text",
+    "events_sessionize_gap",
+    "agg_salted_two_phase",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    """Unicode + skew fixture: CJK / emoji (astral + ZWJ) / RTL / accented
+    text, no purchase conversions (pooled A/B variance = 0), and 90% of
+    events on ONE user.  Caught the per-character byte model in the
+    multimodal oracles and the unguarded pooled-variance z-test."""
+    import math
+
+    import duckdb as dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("unicode_sf")
+
+    def write(name, rows):
+        schema = pq.read_schema(f"{SF_DIR_ORACLE}/{name}.parquet")
+        if rows:
+            cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+            table = pa.Table.from_pydict(cols, schema=schema)
+        else:
+            table = schema.empty_table()
+        pq.write_table(table, str(base / f"{name}.parquet"))
+
+    us = lambda s: s * 1_000_000  # noqa: E731
+    jan = 1704067200
+    write(
+        "events",
+        [
+            {"event_id": i, "ts": us(jan + 97 * i), "user_id": 7 if i % 10 else i,
+             "event_type": ["click", "café", "购买", "signup", "ошибка"][i % 5],
+             "value": round(1.0 + (i % 13) * 0.37, 2), "props": '{"k": 1}'}
+            for i in range(200)
+        ],
+    )
+    texts = [
+        "数据 处理 引擎 分布式 计算 数据 湖 查询 优化 器",
+        "café naïve déjà vu résumé façade garçon éclair crème brûlée",
+        "🚀 rocket 🚀 launch 🧪 test 👩‍🔬 science 🚀 data 🔥🔥",
+        "مرحبا بالعالم هذا نص عربي للاختبار مع كلمات متكررة مرحبا",
+        "ascii words mixed with 中文 and émojis 🎉 and ДАННЫЕ here",
+        "tab\tseparated and  double  spaced   words here",
+    ]
+    write(
+        "documents",
+        [
+            {"doc_id": i, "text": texts[i % 6],
+             "lang": ["zh", "fr", "en", "ar", "ru", "en"][i % 6],
+             "source": f"s{i % 4}", "n_chars": len(texts[i % 6])}
+            for i in range(36)
+        ],
+    )
+
+    def vec(k):
+        raw = [math.sin(0.7 * j * (k + 1)) for j in range(64)]
+        n = math.sqrt(sum(x * x for x in raw)) or 1.0
+        return [x / n for x in raw]
+
+    write(
+        "embeddings",
+        [{"vec_id": i, "embedding": vec(i), "label": i % 3} for i in range(256)],
+    )
+    for t in ("customer", "supplier", "part", "nation", "region", "orders", "lineitem"):
+        dd.sql(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet'))"
+            f" TO '{base}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(base)
+
+
+@pytest.mark.parametrize("name", UNICODE_KEYS)
+def test_unicode_skew_parity(spark, unicode_dir, name):
+    spec = all_queries()[name]
+    con = duck_connection(unicode_dir)
+    try:
+        errors = compare(spec.fn(spark, unicode_dir), con.sql(spec.oracle).df())
+    finally:
+        con.close()
+    assert not errors, errors[:3]
