@@ -143,7 +143,8 @@ def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
       lang,
       source,
       CAST(2 AS INT)     AS n_keys,
-      CONCAT(lang, '|', source) AS joined_vals
+      -- CONCAT_WS skips NULLs like Spark's concat_ws (null-sweep)
+      CONCAT_WS('|', lang, source) AS joined_vals
     FROM documents
     WHERE doc_id < 50
     ORDER BY doc_id

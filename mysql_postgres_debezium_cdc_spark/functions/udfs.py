@@ -154,6 +154,8 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="tok: string, pos: int")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # UNNEST(STRING_SPLIT(NULL)) emits no rows
+                return
             for i, tok in enumerate(text.split(" "), start=1):
                 yield tok, i
 

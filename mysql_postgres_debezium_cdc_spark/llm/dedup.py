@@ -2029,7 +2029,7 @@ _TEXT_HASH_SQL = (
     WITH hashed AS (
       SELECT doc_id, text, {_TEXT_HASH_SQL} AS h,
              doc_id % 10 < 8 AS is_seen
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     pos AS (
       SELECT doc_id, text, is_seen,
@@ -2086,8 +2086,13 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the Horner text hash is the engine-portable integer
     fold (llm/dedup.py:_feature_id), positions are pure modular
     arithmetic (h·31+7 < 2^36, no overflow), and every output is an
-    exact count."""
-    d = spread_small_scan(load(spark, sf_dir, "documents"))
+    exact count.  NULL-text rows are excluded on BOTH sides (a doc with
+    no text is not a dedup candidate; DuckDB's fold of a NULL text
+    degenerates to hash 0 while Spark's propagates NULL — the
+    null-sweep finding)."""
+    d = spread_small_scan(
+        load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
     h = _feature_id(F.col("text"))
     pos = d.select(
         "doc_id",

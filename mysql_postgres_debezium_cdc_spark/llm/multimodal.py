@@ -48,8 +48,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table: text payloads as opaque binary columns.
 
     Stands in for image/audio bytes; the engine treats payloads as
-    opaque either way (SURVEY north star: binary + typed metadata)."""
-    d = load(spark, sf_dir, "documents")
+    opaque either way (SURVEY north star: binary + typed metadata).
+    NULL-text rows are dropped — a media ingest has no row without a
+    payload, and a None payload crashed every downstream Python worker
+    on the null-sweep fixture (oracles mirror the filter)."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return d.select(
         "doc_id",
         F.lit("text/plain").alias("media_type"),
@@ -110,7 +113,7 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
            'text/plain' AS media_type,
            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
            MD5(text) AS payload_md5
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
     tags=("llm", "multimodal"),
@@ -154,7 +157,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                END
                FOR c IN [UNICODE(text[i]) FOR i IN RANGE(1, LEN(text) + 1)]
              ]) AS residues
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, n_bytes,
            CAST(LEN(LIST_FILTER(residues, r -> r = 0)) * 1000000
@@ -274,7 +277,7 @@ FRAME_EVERY_NTH = 4
       SELECT doc_id, text, LEN(text) AS n,
              UNNEST(RANGE(0, GREATEST(LEN(text), 1),
                           {FRAME_BYTES * FRAME_EVERY_NTH})) AS frame_offset
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(frame_offset // {FRAME_BYTES * FRAME_EVERY_NTH} AS INT)
@@ -325,7 +328,7 @@ RESIZE_FACTOR = 4
            MD5(LIST_AGGREGATE(
              [text[i] FOR i IN RANGE(1, LEN(text) + 1, {RESIZE_FACTOR})],
              'string_agg', '')) AS resized_md5
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
     tags=("llm", "multimodal", "mapinpandas"),

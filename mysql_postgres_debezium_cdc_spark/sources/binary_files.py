@@ -50,7 +50,8 @@ def binary_docs_path(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(path, exist_ok=True)
         rows = (
             load(spark, sf_dir, "documents")
-            .where(F.col("doc_id") % _DOC_STRIDE == 0)
+            # a NULL text has no bytes to write — skip (oracle mirrors)
+            .where((F.col("doc_id") % _DOC_STRIDE == 0) & F.col("text").isNotNull())
             .select("doc_id", "text")
             .collect()
         )
@@ -69,7 +70,7 @@ def binary_docs_path(spark: SparkSession, sf_dir: str) -> str:
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            md5(text) AS content_md5
     FROM documents
-    WHERE doc_id % {_DOC_STRIDE} = 0
+    WHERE doc_id % {_DOC_STRIDE} = 0 AND text IS NOT NULL
     ORDER BY doc_id
     """,
     tags=("source", "binary", "multimodal"),

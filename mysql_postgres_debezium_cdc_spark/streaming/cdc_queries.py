@@ -200,7 +200,9 @@ _LASTWRITE_ORACLE = """
     WITH last AS (
       SELECT user_id,
              MAX_BY(event_type, event_id) AS last_type,
-             MAX_BY(value, event_id)      AS last_value,
+             -- struct wrap: bare MAX_BY skips NULL values (null-sweep
+             -- finding) and would resurrect the previous non-null v
+             MAX_BY({'x': value}, event_id).x AS last_value,
              MAX(event_id)                AS last_offset
       FROM events
       GROUP BY user_id
@@ -416,13 +418,16 @@ _IVM_ORACLE = f"""
     WITH last AS (
       SELECT user_id,
              MAX_BY(event_type, event_id) AS last_type,
-             MAX_BY(value, event_id)      AS last_value
+             -- struct wrap: see _LASTWRITE_ORACLE (null-sweep finding)
+             MAX_BY({{'x': value}}, event_id).x AS last_value
       FROM events
       GROUP BY user_id
     )
     SELECT user_id % {_N_AGG_GROUPS} AS grp,
            COUNT(*) AS n_rows,
-           ROUND(SUM(last_value), 2) AS sum_v
+           -- COALESCE: the maintained view sums NULL values as 0 (see
+           -- the engine comment; null-sweep finding)
+           ROUND(SUM(COALESCE(last_value, 0)), 2) AS sum_v
     FROM last
     WHERE last_type <> 'error'
     GROUP BY grp
@@ -471,30 +476,45 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
             F.col(IS_DELETE).alias("is_del"),
             F.col(ORDER_COL),
         )
+        # Presence must be an EXPLICIT flag: testing old_v IS NOT NULL
+        # conflates "key absent" with "key present holding a NULL value"
+        # — the null-sweep caught the view double-counting a key whose
+        # stored v was NULL (no retraction ever fired for it).
         old = (
-            keyed_state.select("id", F.col("v").alias("old_v"))
+            keyed_state.select(
+                "id", F.col("v").alias("old_v"), F.lit(True).alias("was_present")
+            )
             if keyed_state is not None
-            else spark.createDataFrame([], "id long, old_v double")
+            else spark.createDataFrame([], "id long, old_v double, was_present boolean")
         )
         # Per-key delta: retract the old contribution (if the key was in
         # the view), add the new one (unless this event is a delete).
-        joined = batch.join(old, "id", "left")
+        joined = batch.join(old, "id", "left").withColumn(
+            "was_present", F.coalesce(F.col("was_present"), F.lit(False))
+        )
         # Deltas accumulate in DECIMAL: add/retract applies many more FP
         # ops than the oracle's direct SUM, and double drift could flip a
         # ROUND(..., 2) half-cent boundary.  Fixed-point accumulation is
         # exact for 2-decimal inputs; cast back to double at the end.
         dec = "decimal(24,6)"
+        # NULL values contribute 0 to the sum (the view's declared
+        # semantic, mirrored by the oracle's SUM(COALESCE(v, 0))): a
+        # retraction-maintained sum cannot represent SQL's NULL-skipping
+        # without also maintaining a non-null counter.
         deltas = joined.select(
             (F.col("id") % _N_AGG_GROUPS).alias("grp"),
             (
                 F.when(F.col("is_del"), 0).otherwise(1)
-                - F.when(F.col("old_v").isNotNull(), 1).otherwise(0)
+                - F.when(F.col("was_present"), 1).otherwise(0)
             ).alias("d_rows"),
             (
                 F.when(F.col("is_del"), F.lit(0).cast(dec)).otherwise(
-                    F.col("new_v").cast(dec)
+                    F.coalesce(F.col("new_v").cast(dec), F.lit(0).cast(dec))
                 )
-                - F.coalesce(F.col("old_v").cast(dec), F.lit(0).cast(dec))
+                - F.when(
+                    F.col("was_present"),
+                    F.coalesce(F.col("old_v").cast(dec), F.lit(0).cast(dec)),
+                ).otherwise(F.lit(0).cast(dec))
             ).alias("d_sum"),
         ).groupBy("grp").agg(
             F.sum("d_rows").alias("d_rows"), F.sum("d_sum").alias("d_sum")

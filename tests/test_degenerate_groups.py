@@ -344,3 +344,100 @@ def test_unicode_skew_parity(spark, unicode_dir, name):
     finally:
         con.close()
     assert not errors, errors[:3]
+
+
+NULL_KEYS = [
+    # keys the null-sweep caught (all fixed) plus null-sensitive guards
+    "cdc_lastwrite_materialize",
+    "cdc_incremental_convergence",
+    "cdc_incremental_agg_maintenance",
+    "multimodal_metadata",
+    "multimodal_fake_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_decimate",
+    "source_binaryfile_scan",
+    "udtf_tokenize_positions",
+    "fn_map_ops",
+    "dedup_bloom_incremental",
+    "text_stats",
+    "dedup_exact_text",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    """NULL-heavy fixture: NULL event values/props, NULL document text
+    and lang.  Caught five latent defects: DuckDB's bare MAX_BY silently
+    skips NULL values (the CDC oracles resurrected the previous non-null
+    v where the engine faithfully stores NULL); the incremental view
+    used old_v IS NOT NULL as its key-presence test, double-counting a
+    key whose stored value is NULL; Python workers crashed on None
+    payloads (media table, binary-file writer, UDTF); and two
+    NULL-vs-empty-string join/hash semantics mismatches."""
+    import math
+
+    import duckdb as dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("nulls_sf")
+
+    def write(name, rows):
+        schema = pq.read_schema(f"{SF_DIR_ORACLE}/{name}.parquet")
+        if rows:
+            cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+            table = pa.Table.from_pydict(cols, schema=schema)
+        else:
+            table = schema.empty_table()
+        pq.write_table(table, str(base / f"{name}.parquet"))
+
+    us = lambda s: s * 1_000_000  # noqa: E731
+    jan = 1704067200
+    write(
+        "events",
+        [
+            {"event_id": i, "ts": us(jan + 211 * i), "user_id": i % 6,
+             "event_type": ["click", "purchase", "view", "signup", "error"][i % 5],
+             "value": None if i % 4 == 0 else round(2.0 + i * 0.11, 2),
+             "props": None if i % 3 == 0 else '{"k": 2}'}
+            for i in range(150)
+        ],
+    )
+    write(
+        "documents",
+        [
+            {"doc_id": i,
+             "text": None if i % 7 == 0
+             else f"word{i % 5} common text row number {i % 11} filler tokens here",
+             "lang": None if i % 5 == 0 else ["en", "fr"][i % 2],
+             "source": f"s{i % 3}", "n_chars": 0 if i % 7 == 0 else 40}
+            for i in range(60)
+        ],
+    )
+
+    def vec(k):
+        raw = [math.cos(0.3 * j * (k + 1)) for j in range(64)]
+        n = math.sqrt(sum(x * x for x in raw)) or 1.0
+        return [x / n for x in raw]
+
+    write(
+        "embeddings",
+        [{"vec_id": i, "embedding": vec(i), "label": i % 3} for i in range(256)],
+    )
+    for t in ("customer", "supplier", "part", "nation", "region", "orders", "lineitem"):
+        dd.sql(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet'))"
+            f" TO '{base}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(base)
+
+
+@pytest.mark.parametrize("name", NULL_KEYS)
+def test_null_parity(spark, nulls_dir, name):
+    spec = all_queries()[name]
+    con = duck_connection(nulls_dir)
+    try:
+        errors = compare(spec.fn(spark, nulls_dir), con.sql(spec.oracle).df())
+    finally:
+        con.close()
+    assert not errors, errors[:3]
