@@ -54,100 +54,78 @@ _LOADED = False
 
 # The driver's correctness harness checks queries in registry order and caps
 # the sweep at the first 50 keys.  The prefix is ROTATED each round so the
-# union of driver rounds certifies the whole registry: rounds 1-5 checked
-# 182 distinct keys (CORRECTNESS_r0{1..5}.json, all value-green; the 3 r1
-# `no_oracle` rows were re-greened in r5).  The round-6 prefix below is
-# EXACTLY the 46 keys with no driver-side green row (the 18 r5 additions —
-# graph analytics, RRF fusion, boilerplate/Gopher profiling, skew
-# diagnosis, forecast evaluation, recall evals — plus 28 r1-r3 stragglers:
-# set-op multiset variants, scalar fn parsers, SQL-API surface, simple
-# aggregates/sorts/projections, binaryFile/mergeSchema sources) plus the 4
-# r6 additions (persisted-index serving paths for hybrid RRF and chunked
-# RAG retrieval, incremental MinHash dedup against a persisted signature
-# index, distributed PageRank on the corpus-scale near-dup graph) — 46+4 =
-# exactly the 50-key budget, so union r1-r6 covers every key that existed
-# when the prefix was frozen.  (Optional re-greens were considered and
-# dropped in favor of full closure; the candidates —
-# cdc_lastwrite_materialize, dedup_embedding_lsh — are covered by the
-# in-repo sweep and the bench set.)  FIFTY late-r6 additions land beyond
-# the prefix and queue for the r7 rotation — the same healthy pattern
-# every round has followed, and they fit the next 50-key sweep exactly:
-# the first late batch (compaction planning, BPE fertility, incremental-
-# dedup streaming twin, hard negatives, encoding quality, k-anonymity,
-# centroid separation, disorder audit), the second (range search, CMS,
-# gaps-islands, changepoint, char entropy, curriculum, frame sample,
-# resize, LPA, basket lift, skyline, BM25, MMR, A/B eval, trigram
-# search, histogram-quantile sketch, windowed top-k, interval join,
-# RFM, Markov next-event eval), and the third (regression / chi-square /
-# moments / weighted-median / IQR / Benford statistics, rate-ratio,
-# trigram paths, DAU-WAU, time-to-convert, moving median, BFS +
-# degree histogram, recursive-CTE spine, XML source, DSIR, naive
-# Bayes, TTR, Zipf, geo k-NN, CDC offset diff, zone-map audit).
+# union of driver rounds certifies the whole registry: rounds 1-6 checked
+# 232 distinct keys (CORRECTNESS_r0{1..6}.json; 231 value-green, with the
+# lone red row — agg_collect_sorted, whose array<string> column the driver
+# canonicalizer cannot hash — fixed this round by serializing the list to a
+# string on both sides and queued first for the r8 sweep).  The round-7
+# prefix below is EXACTLY the 50 keys with no driver row of any color:
+# registry order minus the union of CORRECTNESS_r01-r06 keys, i.e. the
+# late-r6 additions (XML source, geo k-NN, streaming incremental dedup,
+# ANN range/MMR, hard negatives, BM25, centroid separation, multimodal
+# frame-sample/resize, k-anonymity, DSIR, naive Bayes, TTR, Zipf,
+# curriculum, BPE fertility, encoding quality, char entropy, trigram
+# search, CMS + histogram-quantile sketches, disorder/changepoint/A-B/
+# RFM/Markov/rate-ratio/trigram-path/DAU-WAU/time-to-convert event
+# analytics, interval join, LPA/BFS/degree graph ops, basket lift,
+# skyline, regression/chi-square/moments/weighted-median stats,
+# Benford/IQR data quality, recursive-CTE spine, gaps-islands, moving
+# median, compaction plan, zone-map audit, CDC offset diff, windowed
+# top-k).  Union r1-r7 therefore covers all 282 keys frozen at r6.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    # r6 additions (never existed before this round)
-    "rag_rrf_persisted_index",
-    "corpus_rag_persisted_chunks",
-    "dedup_minhash_incremental",
-    "graph_pagerank_distributed",
-    # r5 additions never driver-swept: recall evals + hybrid retrieval
-    "dedup_minhash_recall_eval",
-    "ann_ivf_recall_eval",
-    "dedup_lsh_recall_eval",
-    "rag_rrf_fusion",
-    # r5 graph + profiling additions
-    "graph_triangle_count",
-    "graph_pagerank_trade",
-    "dedup_boilerplate_lines",
-    "dedup_boilerplate_removal",
-    "text_gopher_quality_flags",
-    "text_ngram_novelty",
-    "corpus_span_corruption_plan",
-    "agg_skew_profile",
-    "agg_bitmap_exact_distinct",
-    "events_seasonal_naive_eval",
-    "events_seasonal_anomaly_hours",
-    "join_asof_tolerance",
-    "fn_string_collation",
-    "layout_bucketed_join_no_shuffle",
-    # r1-r3 stragglers: sources
-    "source_binaryfile_scan",
-    "source_parquet_merge_schema",
-    # scalar fn parsers
-    "fn_url_parse",
-    "fn_xml_parse",
-    # text/corpus ops
-    "text_repetition_ratio",
-    "text_unigram_lm_score",
-    "corpus_bigram_lm_counts",
-    "corpus_chunk_documents",
-    "corpus_length_bucketed_batches",
-    # aggregates / ordered collections
-    "agg_collect_sorted",
-    "agg_string_concat_ordered",
-    "agg_bool_and_or",
-    # behavioral / event analytics
-    "events_cumulative_unique_users",
-    "events_anomaly_mad",
-    "events_multi_granularity_rollup",
-    # projection / quality / joins / set ops
-    "project_case_when",
-    "dq_null_profile",
-    "join_cross",
-    "setop_union_all",
-    "setop_intersect_all",
-    "setop_except_all",
-    # SQL-API surface
-    "sql_api_lateral_topn",
-    "sql_api_agg_filter_clause",
-    "sql_api_pipe_syntax",
-    "sql_api_parameterized",
-    # sort / top-k / window
-    "sort_multi_key",
-    "topk_max_by_group",
-    "window_percent_rank_cume_dist",
+    "source_xml_scan",
+    "geo_haversine_knn",
+    "stream_incremental_dedup",
+    "ann_range_search",
+    "embedding_hard_negatives",
+    "rag_bm25_topk",
+    "ann_mmr_diversified",
+    "embedding_label_centroid_separation",
+    "multimodal_frame_sample",
+    "multimodal_resize_decimate",
+    "dq_k_anonymity_audit",
+    "corpus_dsir_importance",
+    "ml_naive_bayes_lang",
+    "corpus_token_type_ratio",
+    "text_zipf_fit",
+    "corpus_curriculum_order",
+    "corpus_bpe_fertility_by_lang",
+    "text_encoding_quality",
+    "text_char_entropy",
+    "text_trigram_substring_search",
+    "agg_countmin_sketch",
+    "agg_quantile_histogram_sketch",
+    "events_disorder_audit",
+    "events_changepoint_window",
+    "events_ab_test_eval",
+    "join_interval_overlap",
+    "events_rfm_segmentation",
+    "events_markov_next_eval",
+    "events_rate_ratio_test",
+    "events_top_trigram_paths",
+    "events_dau_wau_rolling",
+    "events_funnel_time_to_convert",
+    "graph_label_propagation",
+    "graph_bfs_reachability",
+    "graph_degree_distribution",
+    "basket_affinity_pairs",
+    "skyline_pareto_parts",
+    "stats_regression_by_group",
+    "stats_chi_square_independence",
+    "agg_moments_sketch",
+    "agg_weighted_median",
+    "dq_benford_test",
+    "dq_outlier_iqr",
+    "sql_recursive_cte_spine",
+    "window_gaps_islands",
+    "window_moving_median",
+    "layout_compaction_plan",
+    "layout_minmax_skipping_audit",
+    "cdc_offset_range_diff",
+    "stream_windowed_topk",
 )
 
 
