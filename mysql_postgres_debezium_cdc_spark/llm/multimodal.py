@@ -256,36 +256,90 @@ def resize_media(df: DataFrame, factor: int = 4) -> DataFrame:
 FRAME_BYTES = 64
 FRAME_EVERY_NTH = 4
 
+# Shared CTE: the UTF-8 byte stream reconstructed as a list of integer
+# byte VALUES (RFC 3629 spelled out as arithmetic — the same device
+# multimodal_fake_features proved out, minus its %8 residue fold).  This
+# is what lets the frame/resize oracles certify BYTE content on any
+# text: this DuckDB build has no md5(BLOB)/substring(BLOB), and the old
+# md5-of-characters formulation was only valid on ASCII corpora (the
+# unicode-sweep finding).
+_UTF8_BYTES_CTE = """
+    b AS (
+      SELECT doc_id,
+             FLATTEN([
+               CASE
+                 WHEN c < 128 THEN [c]
+                 WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+                 WHEN c < 65536 THEN
+                   [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+                 ELSE
+                   [240 + c // 262144, 128 + (c // 4096) % 64,
+                    128 + (c // 64) % 64, 128 + c % 64]
+               END
+               FOR c IN [UNICODE(text[i]) FOR i IN RANGE(1, LEN(text) + 1)]
+             ]) AS bs,
+             CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+      FROM documents WHERE text IS NOT NULL
+    )
+"""
+
+
+def _byte_fact_udfs():
+    """Arrow-batched byte-fact UDFs, built lazily PER CALL: a module-level
+    ``@pandas_udf`` would re-register itself during executor-side module
+    import (every mapInPandas worker re-imports this package) and crash
+    the worker.  Returns (byte_sum, byte_weighted_sum); the weighted sum
+    Σ (1-based position × byte value) pins byte ORDER, so two frames
+    with equal sums but swapped bytes cannot collide."""
+
+    def byte_sum(payload):
+        return payload.map(lambda b: 0 if b is None else int(sum(b)))
+
+    def byte_weighted_sum(payload):
+        return payload.map(
+            lambda b: 0
+            if b is None
+            else int(sum((i + 1) * v for i, v in enumerate(b)))
+        )
+
+    return (
+        F.pandas_udf(byte_sum, "bigint"),
+        F.pandas_udf(byte_weighted_sum, "bigint"),
+    )
+
 
 @register(
     "multimodal_frame_sample",
     # The fan-out runs through mapInPandas (Python, not SQL), but the
-    # frame geometry is pure integer arithmetic over the payload bytes,
-    # so the oracle regenerates it with RANGE + SUBSTRING (ASCII corpus:
-    # chars <-> UTF-8 bytes 1:1, pinned by multimodal_metadata's md5)
-    # and md5-fingerprints each frame's bytes — the driver value-checks
-    # the whole Arrow fan-out path, offsets and content both.
-    # KNOWN ORACLE BOUNDARY (unicode-sweep finding): the md5 must hash
-    # the payload BYTES, and this DuckDB build has no md5(BLOB) /
-    # substring(BLOB), so the character formulation is only valid on
-    # ASCII text — exactly what the fixture generator emits.  (The
-    # byte-residue featurizer's oracle was upgraded to true UTF-8 byte
-    # math because it needs no blob hashing; these two stay pinned to
-    # the documented ASCII contract.)
+    # frame geometry and the certified facts are pure integer arithmetic
+    # over the payload BYTES: the oracle reconstructs the UTF-8 byte
+    # stream (works on ANY text — the md5-of-characters predecessor was
+    # ASCII-only), regenerates the offsets with RANGE over the byte
+    # length, and value-checks each frame's length, byte sum, and
+    # position-weighted byte sum — geometry AND content.
     oracle=f"""
-    WITH offs AS (
-      SELECT doc_id, text, LEN(text) AS n,
-             UNNEST(RANGE(0, GREATEST(LEN(text), 1),
-                          {FRAME_BYTES * FRAME_EVERY_NTH})) AS frame_offset
-      FROM documents WHERE text IS NOT NULL
+    WITH {_UTF8_BYTES_CTE},
+    offs AS (
+      SELECT doc_id, bs,
+             UNNEST(RANGE(0, n, {FRAME_BYTES * FRAME_EVERY_NTH}))
+               AS frame_offset
+      FROM b
+    ),
+    fr AS (
+      SELECT doc_id, frame_offset,
+             LIST_SLICE(bs, CAST(frame_offset AS INT) + 1,
+                        CAST(frame_offset AS INT) + {FRAME_BYTES}) AS f
+      FROM offs
     )
     SELECT doc_id,
            CAST(frame_offset // {FRAME_BYTES * FRAME_EVERY_NTH} AS INT)
              AS frame_no,
            CAST(frame_offset AS BIGINT) AS frame_offset,
-           MD5(SUBSTRING(text, CAST(frame_offset AS INT) + 1, {FRAME_BYTES}))
-             AS frame_md5
-    FROM offs
+           CAST(LEN(f) AS BIGINT) AS frame_len,
+           CAST(LIST_SUM(f) AS BIGINT) AS frame_sum,
+           CAST(LIST_SUM([f[i] * i FOR i IN RANGE(1, LEN(f) + 1)]) AS BIGINT)
+             AS frame_wsum
+    FROM fr
     ORDER BY doc_id, frame_no
     """,
     tags=("llm", "multimodal", "mapinpandas"),
@@ -301,16 +355,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow mapInPandas — no shuffle, no collect; output
     cardinality is bytes/stride per doc, and Arrow batch size bounds
     executor memory however large a single payload is relative to the
-    batch.  Frames leave as md5 fingerprints here so the value check
-    pins CONTENT, not just geometry."""
+    batch.  Frames leave as integer byte facts (length / sum /
+    position-weighted sum) so the value check pins CONTENT, not just
+    geometry — and, unlike the md5 predecessor, stays oracle-checkable
+    on non-ASCII corpora."""
     frames = sample_frames(
         media_table(spark, sf_dir), frame_bytes=FRAME_BYTES, every_nth=FRAME_EVERY_NTH
     )
+    byte_sum, byte_wsum = _byte_fact_udfs()
     return frames.select(
         "doc_id",
         "frame_no",
         "frame_offset",
-        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length("frame").cast("bigint").alias("frame_len"),
+        byte_sum("frame").alias("frame_sum"),
+        byte_wsum("frame").alias("frame_wsum"),
     ).orderBy("doc_id", "frame_no")
 
 
@@ -319,16 +378,27 @@ RESIZE_FACTOR = 4
 
 @register(
     "multimodal_resize_decimate",
+    # The decimator keeps every 4th BYTE of the UTF-8 payload — on
+    # multibyte text that slices through codepoints, so no string
+    # function can express the result; the oracle decimates the
+    # reconstructed byte list directly and certifies size + byte sum +
+    # position-weighted byte sum (the md5-of-characters predecessor was
+    # only valid on ASCII corpora).
     oracle=f"""
+    WITH {_UTF8_BYTES_CTE},
+    d AS (
+      SELECT doc_id, n,
+             [bs[i] FOR i IN RANGE(1, CAST(n AS INT) + 1, {RESIZE_FACTOR})]
+               AS r
+      FROM b
+    )
     SELECT doc_id,
-           CAST(LEN(text) AS BIGINT) AS orig_bytes,
-           CAST(LEN(LIST_AGGREGATE(
-             [text[i] FOR i IN RANGE(1, LEN(text) + 1, {RESIZE_FACTOR})],
-             'string_agg', '')) AS BIGINT) AS resized_bytes,
-           MD5(LIST_AGGREGATE(
-             [text[i] FOR i IN RANGE(1, LEN(text) + 1, {RESIZE_FACTOR})],
-             'string_agg', '')) AS resized_md5
-    FROM documents WHERE text IS NOT NULL
+           n AS orig_bytes,
+           CAST(LEN(r) AS BIGINT) AS resized_bytes,
+           CAST(COALESCE(LIST_SUM(r), 0) AS BIGINT) AS resized_sum,
+           CAST(COALESCE(LIST_SUM([r[i] * i FOR i IN RANGE(1, LEN(r) + 1)]),
+                         0) AS BIGINT) AS resized_wsum
+    FROM d
     ORDER BY doc_id
     """,
     tags=("llm", "multimodal", "mapinpandas"),
@@ -338,14 +408,17 @@ def multimodal_resize_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``resize_media`` keeps every {RESIZE_FACTOR}th byte per payload
     (PIL's resize drops in for the decimator on a real cluster — same
     one-row-per-row Arrow pass, payload rewritten in place, no
-    shuffle).  Output pins both the size arithmetic and the md5 of the
-    decimated bytes, so the value check certifies the rewrite content.
-    Composability is the point: the decimated payload feeds
+    shuffle).  Output pins the size arithmetic plus integer byte facts
+    (sum and position-weighted sum) of the decimated bytes, so the
+    value check certifies the rewrite content on ANY text, non-ASCII
+    included.  Composability is the point: the decimated payload feeds
     [[multimodal_frame_sample]] and the featurizer unchanged."""
     resized = resize_media(media_table(spark, sf_dir), factor=RESIZE_FACTOR)
+    byte_sum, byte_wsum = _byte_fact_udfs()
     return resized.select(
         "doc_id",
         "orig_bytes",
         "resized_bytes",
-        F.md5(F.col("payload")).alias("resized_md5"),
+        byte_sum("payload").alias("resized_sum"),
+        byte_wsum("payload").alias("resized_wsum"),
     ).orderBy("doc_id")

@@ -262,7 +262,8 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS nations
+    SELECT n_regionkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), '|') AS nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
@@ -270,11 +271,22 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "collect"),
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list + array_sort: deterministic array aggregation."""
+    """collect_list + array_sort: deterministic ordered-list aggregation.
+
+    The sorted list is serialized to a '|'-joined string: the driver's
+    pandas canonicalizer cannot hash ndarray cells, so no registry query
+    may emit array/map/struct output (enforced registry-wide by the
+    complex_type_fields guard inside tests/test_oracle_parity.py).  The
+    string form carries the identical information and is certifiable.
+    """
     n = load(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            )
+        )
         .orderBy("n_regionkey")
     )
 

@@ -1602,13 +1602,18 @@ def events_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_top_trigram_paths",
     oracle="""
     WITH seq AS (
+      -- NULL event_type rows are dropped BEFORE the window so engine and
+      -- oracle share NULL semantics (Spark's concat_ws skips NULLs while
+      -- || propagates them — the fn_array_explode asymmetry class); a
+      -- NULL type carries no path information either way.
       SELECT user_id, event_type,
              LEAD(event_type, 1) OVER w AS nxt,
              LEAD(event_type, 2) OVER w AS nxt2
       FROM events
+      WHERE event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT event_type || '>' || nxt || '>' || nxt2 AS path,
+    SELECT CONCAT_WS('>', event_type, nxt, nxt2) AS path,
            CAST(COUNT(*) AS BIGINT) AS n_paths
     FROM seq WHERE nxt2 IS NOT NULL
     GROUP BY path
@@ -1626,12 +1631,20 @@ def events_top_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts ties — and the top-20 has a total order (count desc, path asc).
     Shape at 100 TB: one user-keyed window shuffle (users are millions,
     no hot key), then a path-keyed groupBy whose cardinality is
-    |event_types|³ — tiny regardless of fact volume."""
+    |event_types|³ — tiny regardless of fact volume.
+
+    NULL event_type rows are filtered before the window, mirroring the
+    oracle exactly — otherwise concat_ws (skips NULLs) and SQL ||
+    (propagates NULL) diverge on any NULL in the trigram."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.lead("event_type", 1).over(w).alias("nxt"),
-        F.lead("event_type", 2).over(w).alias("nxt2"),
+    seq = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("nxt"),
+            F.lead("event_type", 2).over(w).alias("nxt2"),
+        )
     )
     return (
         seq.where(F.col("nxt2").isNotNull())

@@ -398,9 +398,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_benford_test",
     oracle="""
     WITH digits AS (
+      -- o_totalprice >= 1 guards the leading digit into 1..9 on BOTH
+      -- engines: a sub-1 total floors to digit 0 (ANSI divide-by-zero in
+      -- benford_p vs DuckDB inf) and a negative total's first char '-'
+      -- fails Spark's ANSI string->bigint cast only.
       SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                   AS BIGINT) AS digit
       FROM orders
+      WHERE o_totalprice >= 1
     ),
     obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
@@ -421,11 +426,22 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One narrow map (leading digit via integer→string — no float
     log-bucketing) and a 9-row aggregate; observed shares are exact
-    counts over an exact total, expectations a fixed LOG10 tree."""
-    digits = load(spark, sf_dir, "orders").select(
-        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
-        .cast("bigint")
-        .alias("digit")
+    counts over an exact total, expectations a fixed LOG10 tree.
+
+    Totals below 1 are filtered IDENTICALLY in engine and oracle (the
+    repo-wide ratio-guard rule): digit 0 would divide by zero inside
+    benford_p, and a negative total's '-' prefix fails only Spark's
+    ANSI string→bigint cast."""
+    digits = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
     )
     obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     tot = obs.agg(F.sum("n").cast("bigint").alias("total"))

@@ -40,6 +40,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def complex_type_fields(schema) -> list[str]:
+    """Names of output fields typed array/map/struct.
+
+    The DRIVER's canonicalizer (unlike ``normalize`` above, which
+    string-serializes) factorizes object columns with pandas and cannot
+    hash ndarray cells — an array-typed output column is un-certifiable
+    even when values match (r6's one red row, ``agg_collect_sorted``).
+    Every registered query must therefore emit scalar columns only;
+    serialize lists with ``array_join`` / ``ARRAY_TO_STRING``.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare(spark_df, duck_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errors: list[str] = []

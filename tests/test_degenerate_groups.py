@@ -106,7 +106,18 @@ def degenerate_dir(tmp_path_factory):
              "o_totalprice": p, "o_orderdate": us(jan),
              "o_orderpriority": pr}
             for k, (p, pr) in enumerate(
-                [(123.0, "1-URGENT"), (456.0, "2-HIGH"), (789.0, "1-URGENT")]
+                [
+                    (123.0, "1-URGENT"),
+                    (456.0, "2-HIGH"),
+                    (789.0, "1-URGENT"),
+                    # Benford guard regimes: a sub-1 total floors to
+                    # leading digit 0 (divide-by-zero in benford_p) and a
+                    # negative total's '-' prefix fails Spark's ANSI
+                    # string→bigint cast — both must be filtered
+                    # identically in engine and oracle.
+                    (0.45, "2-HIGH"),
+                    (-250.0, "1-URGENT"),
+                ]
             )
         ],
     )
@@ -254,6 +265,10 @@ UNICODE_KEYS = [
     # semantics, tokenization of multibyte scripts, hash splits under
     # 90%-one-user skew, and the pooled-variance A/B guard
     "multimodal_fake_features",
+    # frame/resize oracles upgraded from ASCII-only md5-of-characters to
+    # UTF-8 byte reconstruction — certified here on multibyte text
+    "multimodal_frame_sample",
+    "multimodal_resize_decimate",
     "events_ab_test_eval",
     "text_stats",
     "text_token_count_regex",
@@ -361,6 +376,8 @@ NULL_KEYS = [
     "dedup_bloom_incremental",
     "text_stats",
     "dedup_exact_text",
+    # NULL event_type inside user sequences (concat_ws-vs-|| asymmetry)
+    "events_top_trigram_paths",
 ]
 
 
@@ -396,8 +413,12 @@ def nulls_dir(tmp_path_factory):
     write(
         "events",
         [
+            # NULL event_type (every 11th row) lands INSIDE user
+            # sequences: the trigram-path key must drop it identically
+            # in engine and oracle (concat_ws skips NULLs, || doesn't).
             {"event_id": i, "ts": us(jan + 211 * i), "user_id": i % 6,
-             "event_type": ["click", "purchase", "view", "signup", "error"][i % 5],
+             "event_type": None if i % 11 == 0
+             else ["click", "purchase", "view", "signup", "error"][i % 5],
              "value": None if i % 4 == 0 else round(2.0 + i * 0.11, 2),
              "props": None if i % 3 == 0 else '{"k": 2}'}
             for i in range(150)

@@ -7,7 +7,7 @@ import pytest
 
 from mysql_postgres_debezium_cdc_spark.registry import all_queries
 from tests.conftest import SF_DIR_ORACLE
-from tests.parity import compare, duck_connection
+from tests.parity import compare, complex_type_fields, duck_connection
 
 SPECS = all_queries()
 WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle)
@@ -25,6 +25,11 @@ def duck():
 def test_oracle_match(spark, duck, name):
     spec = SPECS[name]
     spark_df = spec.fn(spark, SF_DIR_ORACLE)
+    bad = complex_type_fields(spark_df.schema)
+    assert not bad, (
+        f"{name}: complex-typed output column(s) {bad} — the driver's "
+        "canonicalizer cannot hash array/map/struct cells; serialize them"
+    )
     duck_df = duck.execute(spec.oracle).fetchdf()
     errors = compare(spark_df, duck_df)
     assert not errors, f"{name}: " + " | ".join(errors)
@@ -34,6 +39,7 @@ def test_oracle_match(spark, duck, name):
 def test_rows_only_runs(spark, name):
     spec = SPECS[name]
     df = spec.fn(spark, SF_DIR_ORACLE)
+    assert not complex_type_fields(df.schema)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
@@ -60,3 +66,20 @@ def test_parity_harness_detects_mismatch(spark):
     # schema perturbation → caught
     assert compare(good.withColumnRenamed("n_docs", "n"), oracle)
     con.close()
+
+
+def test_complex_type_guard_detects_arrays(spark):
+    """Canary for the no-complex-output-types guard: an array column must
+    be flagged (the driver canonicalizer cannot hash ndarray cells)."""
+    import pyspark.sql.functions as F
+
+    from tests.parity import complex_type_fields
+
+    df = spark.range(1).select(
+        F.lit(1).alias("k"),
+        F.array(F.lit("a"), F.lit("b")).alias("xs"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("a")).alias("s"),
+    )
+    assert complex_type_fields(df.schema) == ["xs", "m", "s"]
+    assert complex_type_fields(df.select("k").schema) == []
