@@ -899,10 +899,14 @@ def cdc_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OFFSET_DIFF_ORACLE = """
     WITH mid AS (SELECT CAST(MAX(event_id) // 2 AS BIGINT) AS m FROM events),
     snap_t AS (
+      -- user_id IS NOT NULL on both engines: the diff reconciles BY
+      -- PRIMARY KEY, and a keyless change is dead-letter territory (a
+      -- NULL key would also never match itself across the two
+      -- snapshots under SQL join semantics).
       SELECT user_id,
              MAX_BY(event_type, event_id) AS last_type,
              MAX(event_id) AS last_offset
-      FROM events, mid WHERE event_id < mid.m
+      FROM events, mid WHERE event_id < mid.m AND user_id IS NOT NULL
       GROUP BY user_id
     ),
     snap_end AS (
@@ -910,6 +914,7 @@ _OFFSET_DIFF_ORACLE = """
              MAX_BY(event_type, event_id) AS last_type,
              MAX(event_id) AS last_offset
       FROM events
+      WHERE user_id IS NOT NULL
       GROUP BY user_id
     ),
     t AS (SELECT user_id, last_offset FROM snap_t WHERE last_type <> 'error'),
@@ -939,43 +944,59 @@ def cdc_offset_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator runs to answer "what changed since the last checkpoint?"
     and to validate a replica restored from an older snapshot.
 
-    Both snapshots materialize through the ENGINE's decode→compact
-    path (the same machinery `cdc_lastwrite_materialize` certifies, so
-    the diff inherits its delete semantics: a key whose last op ≤ T is
-    a delete counts as absent at T).  The diff itself is one keyed
-    FULL OUTER join emitting only changed keys, with before/after
-    offsets as the evidence columns — exact integers end to end.  The
-    oracle reconstructs both snapshots with MAX_BY, proving the
-    engine's two-snapshot compaction equals the declarative
-    definition.  The midpoint T is a 1-row scalar probe (the
-    `_materialize` batching precedent), not data collection."""
+    The changelog is decoded ONCE and both snapshots fall out of ONE
+    grouped pass — per key, the compaction frontier at T is the
+    offset-filtered conditional twin of the final frontier
+    (``max_by(op, when(offset < T, offset))`` next to
+    ``max_by(op, offset)``; Spark's max_by ignores NULL ordering keys,
+    so the filtered twin sees exactly the pre-T slice).  The r6 10×
+    probe showed the previous two-snapshot formulation spending ~all
+    of its 32 s in TWO full JSON decode+compact passes plus a FULL
+    OUTER join; this plan is one decode, one shuffle, no join — the
+    shape you'd want at 100 TB, where the decode IS the firehose.
+    Delete semantics are inherited unchanged: a key whose last op in a
+    slice is 'd' is absent from that snapshot.  The oracle
+    reconstructs both snapshots independently with MAX_BY and a FULL
+    OUTER join, proving the fused single-pass diff equals the
+    declarative two-snapshot definition.  Keys are reconciled BY
+    PRIMARY KEY; NULL-key rows are excluded identically on both sides
+    (a keyless change is dead-letter territory).  The midpoint T is a
+    1-row scalar probe (the `_materialize` batching precedent), not
+    data collection."""
     max_id = load(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
     # floor-div, mirroring the oracle's `// 2`; empty changelog → T=0
     mid = int(max_id) // 2 if max_id is not None else 0
 
-    def snapshot(hi):
-        raw = _events_changelog(spark, sf_dir, None, hi)
-        events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
-        state = apply_changes(None, compact(events, ["id"]), ["id"], ["v"])
-        return state.select("id", F.col(ORDER_COL).alias("last_offset"))
+    raw = _events_changelog(spark, sf_dir)
+    events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
+    keyed = events.select(
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        F.col("op").alias("op"),
+        F.col(ORDER_COL).alias("off"),
+    ).where(F.col("id").isNotNull())
 
-    t = snapshot(mid)
-    e = snapshot(None)
-    joined = t.alias("t").join(e.alias("e"), F.col("t.id") == F.col("e.id"), "full_outer")
+    before_off = F.when(F.col("off") < F.lit(mid), F.col("off"))
+    g = keyed.groupBy("id").agg(
+        F.max_by("op", before_off).alias("op_t"),
+        F.max(before_off).alias("off_t"),
+        F.max_by("op", F.col("off")).alias("op_e"),
+        F.max("off").alias("off_e"),
+    )
+    present_t = F.col("op_t").isNotNull() & (F.col("op_t") != "d")
+    present_e = F.col("op_e") != "d"
     return (
-        joined.where(
-            F.col("t.id").isNull()
-            | F.col("e.id").isNull()
-            | (F.col("t.last_offset") != F.col("e.last_offset"))
+        g.where(
+            (present_t != present_e)
+            | (present_t & present_e & (F.col("off_t") != F.col("off_e")))
         )
         .select(
-            F.coalesce(F.col("t.id"), F.col("e.id")).alias("id"),
-            F.when(F.col("t.id").isNull(), "insert")
-            .when(F.col("e.id").isNull(), "delete")
+            "id",
+            F.when(~present_t, "insert")
+            .when(~present_e, "delete")
             .otherwise("update")
             .alias("change"),
-            F.col("t.last_offset").alias("offset_before"),
-            F.col("e.last_offset").alias("offset_after"),
+            F.when(present_t, F.col("off_t")).alias("offset_before"),
+            F.when(present_e, F.col("off_e")).alias("offset_after"),
         )
         .orderBy("id")
     )

@@ -1066,10 +1066,18 @@ def test_geo_knn_queries_broadcast_window_per_query(spark):
     assert "hashpartitioning(q_id" in r.text
 
 
-def test_offset_diff_snapshots_join_keyed(spark):
-    """cdc_offset_range_diff: the two compacted snapshots meet in a
-    keyed FULL OUTER join (key-sized inputs); the changelog decode
-    stays Arrow/JVM-side — no Python row UDF in the plan."""
+def test_offset_diff_single_decode_no_join(spark):
+    """cdc_offset_range_diff: both snapshots fall out of ONE decoded
+    pass — a single JSON-decode scan feeding one keyed aggregate (the
+    r6 10× probe showed the old two-snapshot formulation paying TWO
+    full decode+compact passes plus a FULL OUTER join, ~32 s at 10×).
+    No join of any kind; exactly one key-hash shuffle (plus the final
+    presentation sort); decode stays JVM-side — no Python row UDF."""
     r = _plan(spark, "cdc_offset_range_diff")
-    assert "FullOuter" in r.text
+    assert not any("Join" in o for o in r.ops), r.ops
+    assert r.text.count("from_json") >= 1
+    # one scan of events for the diff itself (the scalar midpoint probe
+    # is collected before the plan is built, so it never appears here)
+    assert sum(o.startswith("Scan") for o in r.ops) == 1, r.ops
+    assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
     assert "BatchEvalPython" not in r.text, "row-at-a-time Python in CDC path"
