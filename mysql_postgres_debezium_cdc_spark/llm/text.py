@@ -2417,23 +2417,47 @@ def _pattern_values_sql() -> str:
     return ", ".join(f"('{p}')" for p in TRIGRAM_PATTERNS)
 
 
-@register(
-    "text_trigram_substring_search",
-    # The ORACLE is the textbook definition — a full-scan CONTAINS over
-    # every (pattern, document) pair.  The ENGINE answers from a trigram
-    # inverted index instead; the value hash proves index+verify equals
-    # the definition.
-    oracle=f"""
+def _trigram_index_relation(d: DataFrame) -> DataFrame:
+    """The trigram inverted index: one (doc_id, tg) row per DISTINCT
+    character trigram per document — the expensive corpus pass (explode
+    of |text| trigrams per doc) that a serving deployment pays once per
+    corpus version and [[text_trigram_persisted_index]] persists."""
+    n = F.length("text")
+    return d.where(n >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("tg"),
+    )
+
+
+_TRIGRAM_ORACLE = f"""
     WITH pats(pattern) AS (VALUES {_pattern_values_sql()})
     SELECT p.pattern, d.doc_id,
            CAST(COUNT(*) OVER (PARTITION BY p.pattern) AS BIGINT)
              AS n_matching_docs
     FROM pats p JOIN documents d ON CONTAINS(d.text, p.pattern)
     ORDER BY pattern, doc_id
-    """,
+    """
+
+
+@register(
+    "text_trigram_substring_search",
+    # The ORACLE is the textbook definition — a full-scan CONTAINS over
+    # every (pattern, document) pair.  The ENGINE answers from a trigram
+    # inverted index instead; the value hash proves index+verify equals
+    # the definition.
+    oracle=_TRIGRAM_ORACLE,
     tags=("llm", "text", "search", "index"),
 )
-def text_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_trigram_substring_search(
+    spark: SparkSession, sf_dir: str, index_df: DataFrame | None = None
+) -> DataFrame:
     """Substring search (`LIKE '%pattern%'`) answered from a TRIGRAM
     inverted index — the pg_trgm / code-search-index technique: a doc
     can contain the pattern only if it contains every one of the
@@ -2456,24 +2480,12 @@ def text_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame
     so the value check certifies both the dense and the sparse end;
     false candidates (trigrams present, substring absent — possible
     because the index is a SET of trigrams with no positions) are
-    killed by the verify, which the DuckDB full-scan oracle proves."""
+    killed by the verify, which the DuckDB full-scan oracle proves.
+
+    ``index_df`` substitutes a PERSISTED (doc_id, tg) index relation
+    for the inline build (see [[text_trigram_persisted_index]])."""
     d = load(spark, sf_dir, "documents")
-    n = F.length("text")
-    # substring with a dynamic start needs expr form; build via transform
-    index = (
-        d.where(n >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, length(text) - 2),"
-                        " i -> substring(text, i, 3))"
-                    )
-                )
-            ).alias("tg"),
-        )
-    )
+    index = index_df if index_df is not None else _trigram_index_relation(d)
     pat_rows = []
     for p in TRIGRAM_PATTERNS:
         grams = sorted({p[i : i + 3] for i in range(len(p) - 2)})
@@ -2500,4 +2512,42 @@ def text_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_matching_docs", F.count(F.lit(1)).over(w).cast("bigint")
         )
         .orderBy("pattern", "doc_id")
+    )
+
+
+@register(
+    "text_trigram_persisted_index",
+    oracle=_TRIGRAM_ORACLE,
+    tags=("llm", "text", "search", "index"),
+)
+def text_trigram_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search over a PERSISTED trigram index — the serving
+    tier for [[text_trigram_substring_search]]: the r6 10× probe showed
+    that key's cost (31.9 s) IS the index build (the per-character
+    trigram explode over the whole corpus), which a deployment pays
+    once per corpus version, not per query batch.  The (doc_id, tg)
+    index is written via materialize_once (staged write + atomic
+    rename, keyed by fixture fingerprint — the
+    [[rag_rrf_persisted_index]] device) and every subsequent query
+    batch reads the index parquet; warm-path corpus work is the
+    posting-list intersection of the QUERY's trigrams plus one
+    broadcast-pruned (doc_id, text) scan for the contains() verify.
+
+    Bit-identical to the inline key by construction: the index rows
+    are exact (bigint, 3-char string) pairs that round-trip parquet
+    unchanged, and the downstream intersection/verify is the same
+    expression tree — the same oracle TEXT certifies both paths.  The
+    plan audit (tests/test_plans.py) pins that the warm plan scans the
+    index location and never re-runs the trigram explode."""
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    index_path = materialize_once(
+        sf_dir,
+        "trigram_index",
+        lambda p: _trigram_index_relation(load(spark, sf_dir, "documents"))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return text_trigram_substring_search(
+        spark, sf_dir, index_df=spark.read.parquet(index_path)
     )

@@ -87,6 +87,7 @@ EMPTY_SLICE = [
     "rag_bm25_topk",
     "ann_mmr_diversified",
     "text_trigram_substring_search",
+    "text_trigram_persisted_index",
     "agg_quantile_histogram_sketch",
     "stream_windowed_topk",
     "join_interval_overlap",

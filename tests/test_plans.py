@@ -857,6 +857,20 @@ def test_trigram_search_patterns_broadcast_into_index(spark):
     assert "HashAggregate" in r.text
 
 
+def test_trigram_persisted_index_never_rebuilds(spark):
+    """text_trigram_persisted_index: the warm plan reads the persisted
+    (doc_id, tg) parquet — the trigram explode (the 10×-probe-measured
+    build cost) must NOT appear; documents is scanned at most once, for
+    the broadcast-pruned contains() verify of the candidate set."""
+    r = _plan(spark, "text_trigram_persisted_index")
+    segs = r.text.split("Location:")
+    locs = [seg.split("\n")[0] for seg in segs[1:]]
+    assert any("trigram_index" in l for l in locs), locs
+    doc_scans = [l for l in locs if "documents.parquet" in l]
+    assert len(doc_scans) <= 1, f"{len(doc_scans)} documents scans: {locs}"
+    assert "sequence(1, (length(text" not in r.text, "index rebuilt in warm plan"
+
+
 def test_quantile_sketch_is_one_corpus_pass(spark):
     """agg_quantile_histogram_sketch: the sketch build is a single
     map-side-combined aggregate; the cumulative window and quantile

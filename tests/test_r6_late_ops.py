@@ -295,6 +295,19 @@ def test_trigram_search_equals_direct_scan(spark):
         assert out.get(p, set()) == truth, p
 
 
+def test_trigram_persisted_index_bit_identical_to_inline(spark):
+    """The serving-path contract ([[rag_rrf_persisted_index]] pattern):
+    answering from the persisted (doc_id, tg) parquet must reproduce
+    the inline index+verify output exactly — exact integer/string index
+    rows round-trip parquet, downstream intersection/verify is the same
+    expression tree."""
+    inline = _run(spark, "text_trigram_substring_search", SF_DIR_SMOKE)
+    persisted = _run(spark, "text_trigram_persisted_index", SF_DIR_SMOKE)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
+
+
 def test_quantile_sketch_order_statistic_in_bucket(spark):
     """The defining histogram-sketch guarantee: the target-rank order
     statistic lies inside the chosen bucket, so the estimate is off by
