@@ -418,3 +418,104 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("r2"),
     )
+
+
+TEMP_MIX_MAX_EPOCHS_MILLI = 4000  # >4 epochs of one source = overfit risk
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                      t -> LENGTH(t) > 0))) AS BIGINT)
+               AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+      GROUP BY lang
+      HAVING SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                 t -> LENGTH(t) > 0))) > 0
+    ),
+    w AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wgt
+      FROM tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(wgt) AS BIGINT) AS wsum,
+             CAST(SUM(n_tokens) AS BIGINT) AS tsum
+      FROM w
+    )
+    SELECT w.lang, w.n_docs, w.n_tokens,
+           CAST(w.wgt * 1000000 // tot.wsum AS BIGINT) AS sample_ppm,
+           CAST((2 * tot.tsum * w.wgt * 1000)
+                // (tot.wsum * w.n_tokens) AS BIGINT) AS epochs_milli,
+           (2 * tot.tsum * w.wgt * 1000) // (tot.wsum * w.n_tokens) > 4000
+             AS overfit_risk
+    FROM w CROSS JOIN tot
+    ORDER BY lang
+    """,
+    tags=("llm", "selection", "mixture"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture allocation (τ = 0.5) across languages —
+    the multilingual sampling rule XLM-R/mT5 published: sampling
+    probability ∝ tokens^τ flattens the head so low-resource slices
+    are seen more often than their raw share.  Paired with the
+    data-constrained-scaling epoch audit (Muennighoff et al. 2023):
+    under a fixed training budget of 2× the corpus (B = 2·Σtokens),
+    the expected epochs over slice i is B·p_i/tokens_i — slices pushed
+    past ~4 epochs repeat enough to stop contributing, so the op flags
+    them.  This is the allocation REPORT; [[corpus_mixture_weighted_sample]]
+    is the hash-deterministic row-level sampler the ppm rates feed.
+
+    Exactness device: τ = 0.5 makes the weight an integer square root
+    — IEEE sqrt is correctly rounded (bit-identical across engines,
+    unlike pow/exp), and FLOOR(SQRT(n)) is exact for n ≪ 2^52 — so
+    weights, shares (ppm) and epochs (milli) are ALL integer
+    arithmetic: no float ever crosses the engine boundary.
+
+    Scale shape: one token-count aggregate over the corpus (map-side
+    combined, |langs| rows out), then |langs|-sized arithmetic against
+    a broadcast 1-row total.  Zero-token and NULL-lang slices are
+    excluded identically on both sides (the divide guard rule)."""
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    ntoks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    ).cast("bigint")
+    tok = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(ntoks).cast("bigint").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    w = tok.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    )
+    tot = w.agg(
+        F.sum("wgt").cast("bigint").alias("wsum"),
+        F.sum("n_tokens").cast("bigint").alias("tsum"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("wgt * 1000000 div wsum").cast("bigint").alias("sample_ppm"),
+            F.expr("(2 * tsum * wgt * 1000) div (wsum * n_tokens)")
+            .cast("bigint")
+            .alias("epochs_milli"),
+            (
+                F.expr("(2 * tsum * wgt * 1000) div (wsum * n_tokens)")
+                > TEMP_MIX_MAX_EPOCHS_MILLI
+            ).alias("overfit_risk"),
+        )
+        .orderBy("lang")
+    )

@@ -2519,6 +2519,7 @@ def text_trigram_substring_search(
     "text_trigram_persisted_index",
     oracle=_TRIGRAM_ORACLE,
     tags=("llm", "text", "search", "index"),
+    bench=True,  # headline: warm serving path over the persisted index
 )
 def text_trigram_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring search over a PERSISTED trigram index — the serving

@@ -405,3 +405,74 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+RUNTIME_FILTER_NATION = "NATION_8"  # populated at every fixture scale
+RUNTIME_FILTER_MAX_KEYS = 100_000  # IN-list budget; beyond it, plain join
+
+
+@register(
+    "join_runtime_filter_pushdown",
+    oracle=f"""
+    SELECT l.l_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = '{RUNTIME_FILTER_NATION}'
+    GROUP BY l.l_suppkey, s.s_name
+    ORDER BY revenue_cents DESC, l_suppkey
+    LIMIT 10
+    """,
+    tags=("join", "runtime-filter", "pushdown"),
+)
+def join_runtime_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-filtered fact join with an EXPLICIT runtime key filter — the
+    manual form of the runtime-filter/bloom-join optimization (Spark's
+    own spark.sql.optimizer.runtime.bloomFilter applies it only to
+    shuffle joins): resolve the qualifying dimension keys FIRST (one
+    dimension-sized collect, the scalar-probe precedent), then push
+    them into the FACT SCAN as an IN predicate, so parquet row-group
+    min/max stats skip fact data for a selective dim predicate — the
+    fact rows for 24 of 25 nations are never decoded, instead of
+    surviving until the join operator drops them.
+
+    The result is definitionally identical to the plain
+    dim-predicate join the oracle states — the filter is purely a
+    physical optimization, which is exactly what the value hash
+    certifies.  The plan audit (tests/test_plans.py) pins PushedFilters
+    carrying In(l_suppkey, ...) on the lineitem scan and no
+    sort-merge join.
+
+    Scale guard: the IN-list is bounded by RUNTIME_FILTER_MAX_KEYS —
+    a dimension slice past the budget falls back to the plain
+    broadcast join rather than shipping a mega-literal plan (at that
+    width the scan-skip win is gone anyway).  At 100 TB the collected
+    keys are |suppliers-per-nation| ≈ |supplier|/25 — dimension-sized,
+    never fact-sized."""
+    nat = load(spark, sf_dir, "nation").where(
+        F.col("n_name") == RUNTIME_FILTER_NATION
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    keys = [r.s_suppkey for r in supp.select("s_suppkey").collect()]
+    li = load(spark, sf_dir, "lineitem")
+    if keys and len(keys) <= RUNTIME_FILTER_MAX_KEYS:
+        li = li.where(F.col("l_suppkey").isin(keys))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), "l_suppkey")
+        .limit(10)
+    )

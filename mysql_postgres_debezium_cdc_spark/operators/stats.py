@@ -554,3 +554,352 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS ca,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS cb
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY v
+    ),
+    cum AS (
+      SELECT ca, cb, ca + cb AS t,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM vals
+    ),
+    s AS (
+      SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(ca * (2 * before + t + 1)), 0) AS BIGINT) AS r2x,
+             CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS ties
+      FROM cum
+    )
+    SELECT n1 AS n_purchase, n2 AS n_click,
+           CASE WHEN n1 > 0 THEN (r2x - n1 * (n1 + 1)) / 2.0 END AS u_stat,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                 AND (CAST(n1 AS DOUBLE) * n2 / 12.0)
+                     * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) > 0
+           THEN ROUND(((r2x - n1 * (n1 + 1)) / 2.0
+                       - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                / SQRT((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                       * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 4)
+           END AS z_score
+    FROM s
+    """,
+    tags=("stats", "agg"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test: purchase vs
+    click event values — the nonparametric A/B companion to
+    [[events_ab_test_eval]]'s z-test, robust to the heavy-tailed value
+    distributions where a mean test misleads.
+
+    Exactness device: midranks never materialize as floats.  Per
+    DISTINCT cent value with group counts (ca, cb) and t = ca+cb, the
+    doubled rank sum 2·R_a = Σ ca·(2·cum_before + t + 1) is an exact
+    BIGINT (2·midrank = 2·cum_before + t + 1 is always integral), so
+    U = R_a − n1(n1+1)/2 is exact to the half-unit and the tie-corrected
+    normal z derives from exact integers in one fixed expression tree —
+    deterministic across engines, 4dp-rounded for presentation.
+    Degenerate guards (both engines, the repo ratio rule): empty
+    either-side or all-tied samples (variance 0) yield NULL z.
+
+    Scale shape: one fact-sized groupBy onto the |distinct cents|
+    relation (map-side combined), then a cumulative window and a 1-row
+    reduce on that value-cardinality-bounded relation.  The global
+    ORDER BY window runs single-task, but its input is |V| rows (value
+    cardinality, not fact cardinality) — the [[agg_weighted_median]]
+    decomposition applied to rank statistics."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    vals = ev.groupBy(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("ca"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    t = F.col("ca") + F.col("cb")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "ca",
+        "cb",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("before"),
+    )
+    s = cum.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n2"),
+        F.coalesce(
+            F.sum(F.col("ca") * (2 * F.col("before") + F.col("t") + 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("r2x"),
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u = (F.col("r2x") - n1 * (n1 + 1)) / 2.0
+    sigma2 = (n1.cast("double") * n2 / 12.0) * (
+        (n1 + n2 + 1)
+        - F.col("ties").cast("double") / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+    )
+    z = (u - n1.cast("double") * n2 / 2.0) / F.sqrt(sigma2)
+    return s.select(
+        n1.alias("n_purchase"),
+        n2.alias("n_click"),
+        F.when(n1 > 0, u).alias("u_stat"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (n1 + n2 > 1) & (sigma2 > 0), F.round(z, 4)
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "stats_ols_multivariate",
+    oracle="""
+    WITH b AS (
+      SELECT l_linestatus AS g,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 10000) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+             SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM b GROUP BY g
+    ),
+    d AS (
+      SELECT g, n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+             CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+                                  - CAST(s12 AS DOUBLE) * s12)
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
+                                     - CAST(s12 AS DOUBLE) * s2)
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+                                     - CAST(s11 AS DOUBLE) * s2) AS det
+      FROM s
+    )
+    SELECT g AS l_linestatus, n,
+           CASE WHEN det <> 0 THEN ROUND((
+             CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+                                   - CAST(s12 AS DOUBLE) * s12)
+             - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+                                     - CAST(s12 AS DOUBLE) * s2y)
+             + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12
+                                     - CAST(s11 AS DOUBLE) * s2y)
+           ) / det / 100.0, 6) END AS intercept,
+           CASE WHEN det <> 0 THEN ROUND((
+             CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+                                  - CAST(s12 AS DOUBLE) * s2y)
+             - CAST(s1 AS DOUBLE) * (CAST(sy AS DOUBLE) * s22
+                                     - CAST(s12 AS DOUBLE) * s2y)
+             + CAST(s2 AS DOUBLE) * (CAST(sy AS DOUBLE) * s12
+                                     - CAST(s1y AS DOUBLE) * s2)
+           ) / det / 100.0, 6) END AS slope_qty,
+           CASE WHEN det <> 0 THEN ROUND((
+             CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y
+                                  - CAST(s1y AS DOUBLE) * s12)
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+                                     - CAST(s1y AS DOUBLE) * s2)
+             + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+                                     - CAST(s11 AS DOUBLE) * s2)
+           ) / det * 100.0, 6) END AS slope_discount
+    FROM d ORDER BY l_linestatus
+    """,
+    tags=("stats", "agg"),
+)
+def stats_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS per group — extendedprice on (quantity,
+    discount) — solved in closed form from the 3×3 normal equations by
+    Cramer's rule: the multivariate extension of
+    [[stats_regression_by_group]], still a ONE-PASS mergeable
+    aggregate (nine exact power sums), never an iterative solver.
+
+    Exactness device: sums are exact integers (price cents, discount
+    basis points); every determinant is the SAME cofactor expansion
+    written once per engine over those exact sums, evaluated in DOUBLE
+    — identical expression tree, identical IEEE result, 6dp round for
+    presentation.  Singular normal matrices (constant/collinear
+    regressors — the degenerate fixture's regime) yield NULL
+    coefficients under identical det<>0 guards.
+
+    Scale shape: map-side-combined groupBy; the shuffle carries
+    |groups| × 10 numeric columns.  Sum widths at 100 TB: the largest
+    per-row term is x2·y ≈ 1e11, so BIGINT holds to ~9e7 rows/group;
+    the money-bearing sums widen to DECIMAL(18,0) on the Spark side
+    exactly as [[stats_regression_by_group]] measured (DuckDB already
+    sums in 128-bit HUGEINT), keeping the compact-long decimal path.
+    Coefficients report in dollars: per quantity unit and per unit of
+    discount fraction."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    # money-bearing sums in DECIMAL(18,0): exact past BIGINT's ~9e7
+    # rows/group horizon for the x2·y term (measured width choice —
+    # see stats_regression_by_group's 100× A/B)
+    y_dec = F.col("y").cast("decimal(18,0)")
+    s = li.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(y_dec).alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * y_dec).alias("s1y"),
+        F.sum(F.col("x2") * y_dec).alias("s2y"),
+    )
+
+    def D(c):
+        return F.col(c).cast("double")
+
+    det = (
+        D("n") * (D("s11") * D("s22") - D("s12") * D("s12"))
+        - D("s1") * (D("s1") * D("s22") - D("s12") * D("s2"))
+        + D("s2") * (D("s1") * D("s12") - D("s11") * D("s2"))
+    )
+    det_b0 = (
+        D("sy") * (D("s11") * D("s22") - D("s12") * D("s12"))
+        - D("s1") * (D("s1y") * D("s22") - D("s12") * D("s2y"))
+        + D("s2") * (D("s1y") * D("s12") - D("s11") * D("s2y"))
+    )
+    det_b1 = (
+        D("n") * (D("s1y") * D("s22") - D("s12") * D("s2y"))
+        - D("s1") * (D("sy") * D("s22") - D("s12") * D("s2y"))
+        + D("s2") * (D("sy") * D("s12") - D("s1y") * D("s2"))
+    )
+    det_b2 = (
+        D("n") * (D("s11") * D("s2y") - D("s1y") * D("s12"))
+        - D("s1") * (D("s1") * D("s2y") - D("s1y") * D("s2"))
+        + D("sy") * (D("s1") * D("s12") - D("s11") * D("s2"))
+    )
+    return (
+        s.select(
+            F.col("g").alias("l_linestatus"),
+            "n",
+            F.when(det != 0, F.round(det_b0 / det / 100.0, 6)).alias("intercept"),
+            F.when(det != 0, F.round(det_b1 / det / 100.0, 6)).alias("slope_qty"),
+            F.when(det != 0, F.round(det_b2 / det * 100.0, 6)).alias(
+                "slope_discount"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# (table, determinant, dependent) — the candidate functional
+# dependencies the audit validates.  One holds by construction
+# (c_custkey is the customer PK), two are plausibly-but-not-actually
+# functional, so the audit certifies both verdict polarities.
+FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_nationkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("documents", "source", "lang"),
+)
+
+
+def _fd_block_sql(table: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{table}.{det} -> {dep}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_violating,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 END), 0)
+                  * 1000000 // COUNT(*) AS BIGINT)
+           END AS violation_ppm,
+           COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 END), 0) = 0 AS holds
+    FROM (
+      SELECT {det}, CAST(COUNT(DISTINCT {dep}) AS BIGINT) AS n_dep
+      FROM {table} GROUP BY {det}
+    )
+    """
+
+
+@register(
+    "dq_functional_dependency_audit",
+    oracle=" UNION ALL ".join(
+        _fd_block_sql(t, a, b) for t, a, b in FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+    tags=("dq", "stats"),
+)
+def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation (the Metanome/profiling
+    primitive): for each candidate A → B, does every A-value map to at
+    most one B-value?  The audit a warehouse runs before trusting a
+    column as a join key or a dimension hierarchy, and the CDC replica
+    runs to prove the sink kept source invariants.
+
+    Per candidate: one groupBy(A) with COUNT(DISTINCT B) — map-side
+    combined, |distinct A| shuffle rows — then a 1-row verdict:
+    violating-key count and an EXACT violation rate in ppm (integer
+    floor-division; a 6dp float round could land on a representation
+    boundary, the [[agg_percentiles]] lesson).  NULL determinant
+    values form their own group and NULL dependents are ignored by
+    COUNT(DISTINCT) — identical semantics in both engines, exercised
+    by the null fixture.  The three candidates cover both verdicts:
+    the customer PK holds by construction, the other two are
+    plausible-looking dependencies that real data violates.
+
+    Scale shape: candidates audit INDEPENDENT tables, so Spark runs
+    the three aggregates as parallel stages of one job; each is a
+    single shuffle sized by its determinant's cardinality, never the
+    fact table."""
+    parts = []
+    for table, det, dep in FD_CANDIDATES:
+        per_key = (
+            load(spark, sf_dir, table)
+            .groupBy(det)
+            .agg(F.count_distinct(F.col(dep)).cast("bigint").alias("n_dep"))
+        )
+        viol = F.coalesce(
+            F.sum(F.when(F.col("n_dep") > 1, 1)), F.lit(0)
+        ).cast("bigint")
+        nk = F.count(F.lit(1)).cast("bigint")
+        parts.append(
+            per_key.agg(
+                nk.alias("n_keys"),
+                viol.alias("n_violating"),
+            ).select(
+                F.lit(f"{table}.{det} -> {dep}").alias("fd"),
+                "n_keys",
+                "n_violating",
+                # exact INTEGER floor division (Spark `div` == DuckDB
+                # `//`) — never a floor over a rounded double
+                F.when(
+                    F.col("n_keys") > 0,
+                    F.expr("(n_violating * 1000000) div n_keys"),
+                )
+                .cast("bigint")
+                .alias("violation_ppm"),
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fd")

@@ -936,6 +936,7 @@ _OFFSET_DIFF_ORACLE = """
     "cdc_offset_range_diff",
     oracle=_OFFSET_DIFF_ORACLE,
     tags=("cdc", "audit"),
+    bench=True,  # headline: the fused single-decode snapshot diff (r7)
 )
 def cdc_offset_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation between two changelog offsets: which keys

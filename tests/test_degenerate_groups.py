@@ -41,6 +41,14 @@ DEGENERATE_KEYS = [
     "corpus_token_type_ratio",
     "text_zipf_fit",
     "dq_benford_test",
+    # r7 additions: zero purchase/click events (U undefined), constant
+    # regressors (singular normal matrix), empty dim slice (runtime
+    # filter falls back to the plain join)
+    "stats_mann_whitney_u",
+    "stats_ols_multivariate",
+    "dq_functional_dependency_audit",
+    "corpus_temperature_mixture",
+    "join_runtime_filter_pushdown",
     # pre-existing keys the whole-registry degenerate sweep flagged
     # (NULL-vs-0 empty aggregates; sketch band below its resolution)
     "cdc_envelope_encode_roundtrip",
@@ -160,6 +168,10 @@ TIES_KEYS = [
     "text_tfidf_topk",
     "ann_bruteforce_topk",
     "events_sessionize_gap",
+    # r7: constant event value => all ranks tied, U variance 0 => NULL z;
+    # constant discount column => collinear regressor, det 0 => NULL betas
+    "stats_mann_whitney_u",
+    "stats_ols_multivariate",
 ]
 
 
@@ -278,6 +290,10 @@ UNICODE_KEYS = [
     "dedup_exact_text",
     "events_sessionize_gap",
     "agg_salted_two_phase",
+    # r7: multibyte whitespace tokens in the sqrt-weight token counts;
+    # unicode source->lang FD values
+    "corpus_temperature_mixture",
+    "dq_functional_dependency_audit",
 ]
 
 
@@ -378,6 +394,10 @@ NULL_KEYS = [
     "dedup_exact_text",
     # NULL event_type inside user sequences (concat_ws-vs-|| asymmetry)
     "events_top_trigram_paths",
+    # r7: NULL values filtered before ranking; NULL lang/source groups
+    "stats_mann_whitney_u",
+    "dq_functional_dependency_audit",
+    "corpus_temperature_mixture",
 ]
 
 

@@ -116,6 +116,12 @@ EMPTY_SLICE = [
     "cdc_offset_range_diff",
     "layout_minmax_skipping_audit",
     "geo_haversine_knn",
+    # r7 additions
+    "stats_mann_whitney_u",
+    "stats_ols_multivariate",
+    "dq_functional_dependency_audit",
+    "corpus_temperature_mixture",
+    "join_runtime_filter_pushdown",
 ]
 
 

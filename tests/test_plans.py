@@ -1095,3 +1095,58 @@ def test_offset_diff_single_decode_no_join(spark):
     assert sum(o.startswith("Scan") for o in r.ops) == 1, r.ops
     assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
     assert "BatchEvalPython" not in r.text, "row-at-a-time Python in CDC path"
+
+
+def test_mann_whitney_window_is_value_bounded(spark):
+    """stats_mann_whitney_u: the fact-sized work is ONE map-side-combined
+    groupBy onto the distinct-cents relation; the global rank window and
+    final reduce run on that value-cardinality-bounded relation.  No
+    joins anywhere; no Python."""
+    r = _plan(spark, "stats_mann_whitney_u")
+    assert not any("Join" in o for o in r.ops), r.ops
+    assert r.ops.count("Window") == 1, r.ops
+    assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
+    assert "BatchEvalPython" not in r.text
+
+
+def test_ols_multivariate_single_aggregate_pass(spark):
+    """stats_ols_multivariate: nine power sums in one map-side-combined
+    aggregate — one keyed shuffle, no joins, Cramer arithmetic on the
+    |groups| relation."""
+    r = _plan(spark, "stats_ols_multivariate")
+    assert not any("Join" in o for o in r.ops), r.ops
+    assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
+    assert "BatchEvalPython" not in r.text
+
+
+def test_fd_audit_no_fact_joins(spark):
+    """dq_functional_dependency_audit: three INDEPENDENT determinant-keyed
+    aggregates unioned — no joins; each candidate's shuffle is sized by
+    its determinant cardinality."""
+    r = _plan(spark, "dq_functional_dependency_audit")
+    assert not any("Join" in o for o in r.ops), r.ops
+    assert "Union" in r.ops
+
+
+def test_temperature_mixture_broadcasts_total(spark):
+    """corpus_temperature_mixture: one corpus token aggregate; the 1-row
+    (wsum, tsum) total broadcasts onto the |langs| relation — never a
+    sort-merge join."""
+    r = _plan(spark, "corpus_temperature_mixture")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert "BroadcastNestedLoopJoin" in r.text or r.n_broadcast_joins >= 1
+
+
+def test_runtime_filter_reaches_fact_scan(spark):
+    """join_runtime_filter_pushdown: the resolved dimension keys must
+    appear as an In(...) pushed filter ON THE LINEITEM SCAN — the whole
+    point of the manual runtime filter — and the join must broadcast,
+    never sort-merge."""
+    r = _plan(spark, "join_runtime_filter_pushdown")
+    seg = [s for s in r.text.split("Location:") if "lineitem.parquet" in s.split("\n")[0]]
+    assert seg, "no lineitem scan found"
+    pushed = seg[0].split("PushedFilters:")[-1].split("\n")[0]
+    # a 1-key dim slice folds In -> EqualTo; both prove the pushdown
+    assert "In(l_suppkey" in pushed or "EqualTo(l_suppkey" in pushed, pushed
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins >= 1
