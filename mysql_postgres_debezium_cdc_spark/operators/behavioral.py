@@ -1795,3 +1795,168 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(hours(F.min("delta_us")).alias("median_hours"))
     )
     return stats.crossJoin(F.broadcast(median))
+
+
+@register(
+    "events_uplift_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS y
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sx,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx_n,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary_n
+      FROM pooled
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a, SUM(x) AS sx_a,
+             SUM(y) AS sy_a
+      FROM per_user GROUP BY arm
+    )
+    SELECT t.n_a AS n_treat, c.n_a AS n_ctrl,
+           ROUND((CAST(t.sy_a AS DOUBLE) / t.n_a
+                  - CAST(c.sy_a AS DOUBLE) / c.n_a) / 100.0, 4) AS uplift_raw,
+           CASE WHEN th.varx_n <> 0 THEN
+             ROUND(((CAST(t.sy_a AS DOUBLE) / t.n_a
+                     - (th.cov_n / th.varx_n)
+                       * (CAST(t.sx_a AS DOUBLE) / t.n_a
+                          - CAST(th.sx AS DOUBLE) / th.n))
+                    - (CAST(c.sy_a AS DOUBLE) / c.n_a
+                       - (th.cov_n / th.varx_n)
+                         * (CAST(c.sx_a AS DOUBLE) / c.n_a
+                            - CAST(th.sx AS DOUBLE) / th.n))) / 100.0, 4)
+           END AS uplift_cuped,
+           CASE WHEN th.varx_n <> 0
+                THEN ROUND(th.cov_n / th.varx_n, 6) END AS theta,
+           CASE WHEN th.varx_n <> 0 AND th.vary_n <> 0
+                THEN ROUND(th.cov_n * th.cov_n / (th.varx_n * th.vary_n), 6)
+           END AS var_reduction
+    FROM (SELECT * FROM arms WHERE arm = 1) t
+    CROSS JOIN (SELECT * FROM arms WHERE arm = 0) c
+    CROSS JOIN th
+    """,
+    tags=("behavioral", "stats", "experiment"),
+)
+def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced uplift (Deng et al. 2013, the production
+    experimentation standard): per-user PRE-period value (the
+    covariate X) adjusts the POST-period metric Y, Y_adj = Y − θ(X−X̄)
+    with pooled θ = cov(X,Y)/var(X), shrinking metric variance by
+    exactly ρ² without biasing the treatment contrast (arm =
+    user_id % 2, the deterministic-hash assignment convention).  The
+    cut is the [[events_rate_ratio_test]] period boundary.
+
+    Everything reduces to exact integer sufficient statistics — per-user
+    cent sums, then (n, Σx, Σy, Σxx, Σxy, Σyy) and per-arm (n, Σx, Σy) —
+    and θ / adjusted means / ρ² derive in one fixed double tree;
+    var(X)=0 (no pre-period signal) NULLs the adjusted outputs under
+    identical guards.  var_reduction IS ρ² by the CUPED identity
+    var(Y_adj) = var(Y)(1−ρ²) — no second pass over users.
+
+    Scale shape: one fact-sized shuffle (per-user sums, map-side
+    combined), then a 2-row arm aggregate and a 1-row pooled aggregate
+    meeting in broadcast cross joins.  NULL users excluded both sides
+    (assignment needs an id)."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dn = F.col("n").cast("double")
+    th = pooled.select(
+        "n",
+        "sx",
+        (dn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")).alias(
+            "cov_n"
+        ),
+        (dn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")).alias(
+            "varx_n"
+        ),
+        (dn * F.col("syy") - F.col("sy").cast("double") * F.col("sy")).alias(
+            "vary_n"
+        ),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    t = arms.where(F.col("arm") == 1).select(
+        F.col("n_a").alias("nt"), F.col("sx_a").alias("sxt"), F.col("sy_a").alias("syt")
+    )
+    c = arms.where(F.col("arm") == 0).select(
+        F.col("n_a").alias("nc"), F.col("sx_a").alias("sxc"), F.col("sy_a").alias("syc")
+    )
+    theta = F.col("cov_n") / F.col("varx_n")
+    mean_x_all = F.col("sx").cast("double") / F.col("n")
+    adj_t = F.col("syt").cast("double") / F.col("nt") - theta * (
+        F.col("sxt").cast("double") / F.col("nt") - mean_x_all
+    )
+    adj_c = F.col("syc").cast("double") / F.col("nc") - theta * (
+        F.col("sxc").cast("double") / F.col("nc") - mean_x_all
+    )
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(th))
+        .select(
+            F.col("nt").alias("n_treat"),
+            F.col("nc").alias("n_ctrl"),
+            F.round(
+                (
+                    F.col("syt").cast("double") / F.col("nt")
+                    - F.col("syc").cast("double") / F.col("nc")
+                )
+                / 100.0,
+                4,
+            ).alias("uplift_raw"),
+            F.when(F.col("varx_n") != 0, F.round((adj_t - adj_c) / 100.0, 4)).alias(
+                "uplift_cuped"
+            ),
+            F.when(F.col("varx_n") != 0, F.round(theta, 6)).alias("theta"),
+            F.when(
+                (F.col("varx_n") != 0) & (F.col("vary_n") != 0),
+                F.round(
+                    F.col("cov_n") * F.col("cov_n")
+                    / (F.col("varx_n") * F.col("vary_n")),
+                    6,
+                ),
+            ).alias("var_reduction"),
+        )
+    )

@@ -903,3 +903,115 @@ def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFram
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("fd")
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS ca,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS cb
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY v
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS c1,
+             SUM(cb) OVER (ORDER BY v) AS c2
+      FROM vals
+    ),
+    s AS (
+      SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n2
+      FROM vals
+    ),
+    d AS (
+      SELECT CAST(MAX(ABS(c1 * s.n2 - c2 * s.n1)) AS BIGINT) AS d_num
+      FROM cum CROSS JOIN s
+    )
+    SELECT s.n1 AS n_purchase, s.n2 AS n_click, d.d_num,
+           CASE WHEN s.n1 > 0 AND s.n2 > 0 THEN
+             ROUND(CAST(d.d_num AS DOUBLE) / (CAST(s.n1 AS DOUBLE) * s.n2), 6)
+           END AS d_stat,
+           CASE WHEN s.n1 > 0 AND s.n2 > 0 THEN
+             CAST(d.d_num AS DECIMAL(38,0)) * d.d_num * 1000000
+               > CAST(1844164 AS DECIMAL(38,0)) * (s.n1 + s.n2) * s.n1 * s.n2
+           END AS significant_05
+    FROM s CROSS JOIN d
+    """,
+    tags=("stats", "agg"),
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (purchase vs click values):
+    D = max_v |F1(v) − F2(v)|, the distribution-shape companion to
+    [[stats_mann_whitney_u]]'s location test — KS sees variance/shape
+    shifts a rank-sum test is blind to.
+
+    Exactness device: D never exists as a float.  With cumulative
+    counts (c1, c2) over the merged distinct-value grid,
+    D = max |c1·n2 − c2·n1| / (n1·n2), so the numerator is an exact
+    BIGINT max and even the α=0.05 decision is EXACT INTEGER
+    arithmetic: D > 1.358·√((n1+n2)/(n1·n2)) squares to
+    d_num²·10⁶ > 1844164·(n1+n2)·n1·n2, evaluated in DECIMAL(38,0)
+    (d_num² alone can reach ~1e20).  No boolean ever depends on a
+    float comparison near a boundary.
+
+    Scale shape: identical to the Mann-Whitney decomposition — one
+    map-side-combined groupBy onto the distinct-cents relation, one
+    cumulative window + 1-row reduce on that value-bounded relation.
+    Empty either-side → NULL statistic/verdict, both engines."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    vals = ev.groupBy(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("ca"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    # Single pass over the value-bounded relation: the sample totals are
+    # just the FINAL cumulative counts, so they ride the same
+    # single-partition window stage as the cumsums (n1 = max(c1) since
+    # c1 is nondecreasing) — the fact-sized vals subtree materializes
+    # ONCE instead of once per consumer (the plan test pins one keyed
+    # shuffle).
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        F.sum("ca").over(wcum).alias("c1"),
+        F.sum("cb").over(wcum).alias("c2"),
+        F.sum("ca").over(wall).alias("t1"),
+        F.sum("cb").over(wall).alias("t2"),
+    )
+    agg = cum.agg(
+        F.coalesce(F.max("t1"), F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce(F.max("t2"), F.lit(0)).cast("bigint").alias("n2"),
+        F.max(F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")))
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return agg.select(
+        n1.alias("n_purchase"),
+        n2.alias("n_click"),
+        "d_num",
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            F.round(F.col("d_num").cast("double") / (n1.cast("double") * n2), 6),
+        ).alias("d_stat"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            dec(F.col("d_num")) * F.col("d_num") * 1000000
+            > dec(F.lit(1844164)) * (n1 + n2) * n1 * n2,
+        ).alias("significant_05"),
+    )

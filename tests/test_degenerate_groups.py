@@ -49,6 +49,8 @@ DEGENERATE_KEYS = [
     "dq_functional_dependency_audit",
     "corpus_temperature_mixture",
     "join_runtime_filter_pushdown",
+    "stats_ks_test",
+    "events_uplift_cuped",
     # pre-existing keys the whole-registry degenerate sweep flagged
     # (NULL-vs-0 empty aggregates; sketch band below its resolution)
     "cdc_envelope_encode_roundtrip",
@@ -169,9 +171,12 @@ TIES_KEYS = [
     "ann_bruteforce_topk",
     "events_sessionize_gap",
     # r7: constant event value => all ranks tied, U variance 0 => NULL z;
-    # constant discount column => collinear regressor, det 0 => NULL betas
+    # constant discount column => collinear regressor, det 0 => NULL betas;
+    # all post-period ties => vary 0 => NULL CUPED variance reduction
     "stats_mann_whitney_u",
     "stats_ols_multivariate",
+    "stats_ks_test",
+    "events_uplift_cuped",
 ]
 
 
@@ -396,6 +401,8 @@ NULL_KEYS = [
     "events_top_trigram_paths",
     # r7: NULL values filtered before ranking; NULL lang/source groups
     "stats_mann_whitney_u",
+    "stats_ks_test",
+    "events_uplift_cuped",
     "dq_functional_dependency_audit",
     "corpus_temperature_mixture",
 ]

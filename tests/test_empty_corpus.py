@@ -122,6 +122,8 @@ EMPTY_SLICE = [
     "dq_functional_dependency_audit",
     "corpus_temperature_mixture",
     "join_runtime_filter_pushdown",
+    "stats_ks_test",
+    "events_uplift_cuped",
 ]
 
 

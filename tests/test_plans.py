@@ -1150,3 +1150,23 @@ def test_runtime_filter_reaches_fact_scan(spark):
     assert "In(l_suppkey" in pushed or "EqualTo(l_suppkey" in pushed, pushed
     assert r.n_sortmerge_joins == 0, r.ops
     assert r.n_broadcast_joins >= 1
+
+
+def test_ks_test_window_is_value_bounded(spark):
+    """stats_ks_test: same decomposition contract as Mann-Whitney — one
+    fact groupBy onto the distinct-cents relation, ONE window on that
+    value-bounded relation, broadcast-only joins for the 1-row reduces."""
+    r = _plan(spark, "stats_ks_test")
+    assert r.ops.count("Window") == 1, r.ops
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
+    assert "BatchEvalPython" not in r.text
+
+
+def test_cuped_single_fact_shuffle(spark):
+    """events_uplift_cuped: per-user sums are the only fact-sized
+    shuffle; the pooled/arm relations meet in broadcast joins — never
+    sort-merge, no Python."""
+    r = _plan(spark, "events_uplift_cuped")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert "BatchEvalPython" not in r.text
