@@ -508,15 +508,21 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic run on any derived graph (is it a few giant cliques or
     many small ones?  does a skewed hub need salting downstream?).
 
-    Two map-side-combining aggregates over the symmetrized edge list;
-    the second input is node-sized, the output degree-sized.  Exact
-    integers end to end."""
+    Two map-side-combining aggregates over the edge ENDPOINTS; the
+    second input is node-sized, the output degree-sized.  Exact
+    integers end to end.
+
+    Degree needs endpoint multiplicity only, so the symmetrized-union
+    formulation (pairs ∪ flipped pairs — two instances of the
+    expensive pair-derivation subtree, deduped only as far as
+    ReuseExchange reaches) is replaced by ONE explode of both
+    endpoints per pair: a single pair-derivation pass, no union.
+    A/B on the same corpus: 2.95 s → 2.23 s at 1×, 32.6 s → 28.1 s on
+    a pathological 100×-pairs replica."""
     from mysql_postgres_debezium_cdc_spark.llm.dedup import _jaccard_pairs
 
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"))
+    edges = pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("src"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     return (
         deg.groupBy("degree")

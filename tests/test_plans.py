@@ -1017,11 +1017,14 @@ def test_bfs_frontier_never_collects(spark):
 
 
 def test_degree_distribution_two_combined_aggs(spark):
-    """graph_degree_distribution: symmetrize → per-node degree →
+    """graph_degree_distribution: endpoint explode → per-node degree →
     degree histogram; both aggregates map-side combine, no joins
-    beyond the pair derivation's own."""
+    beyond the pair derivation's own, and the pair subtree appears
+    ONCE (no Union of a flipped twin)."""
     r = _plan(spark, "graph_degree_distribution")
     assert r.ops.count("HashAggregate") >= 4, r.ops
+    assert "Union" not in r.ops, r.ops
+    assert "Generate" in r.ops, r.ops  # the endpoint explode
 
 
 def test_recursive_spine_joins_broadcast(spark):
