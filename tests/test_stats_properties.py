@@ -118,3 +118,94 @@ def test_moving_median_frame_matches_reference_scan(spark, days):
         hi_v = window_vals[k // 2]
         expected[d] = (lo_v + hi_v + 1) // 2
     assert got == expected
+
+
+two_sample_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # value (cents)
+        st.booleans(),  # True = sample A, False = sample B
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _rank_cum_relation(spark, rows):
+    """The distinct-value + cumulative-count decomposition both rank
+    statistics are built on (the engine formulation, minus I/O)."""
+    df = spark.createDataFrame(
+        [(v, 1 if a else 0, 0 if a else 1) for v, a in rows],
+        "v bigint, ca bigint, cb bigint",
+    )
+    return df.groupBy("v").agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rows=two_sample_strategy)
+def test_mann_whitney_doubled_rank_sum_matches_midrank_scan(spark, rows):
+    """The engine's 2·R_a = Σ ca·(2·cum_before + t + 1) identity must
+    equal the textbook midrank sum computed by a single-threaded scan,
+    for ANY two-sample multiset — ties, empty sides, all-one-side."""
+    if not rows:
+        return
+    vals = _rank_cum_relation(spark, rows)
+    t = F.col("ca") + F.col("cb")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "ca", t.alias("t"), F.coalesce(F.sum(t).over(w), F.lit(0)).alias("before")
+    )
+    got = cum.agg(
+        F.coalesce(
+            F.sum(F.col("ca") * (2 * F.col("before") + F.col("t") + 1)), F.lit(0)
+        ).alias("r2x")
+    ).collect()[0]["r2x"]
+
+    # reference: explicit midranks over the sorted pooled multiset
+    pooled = sorted(v for v, _ in rows)
+    mid = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        mid[pooled[i]] = (i + 1 + j) / 2
+        i = j
+    ra = sum(mid[v] for v, a in rows if a)
+    assert got == round(2 * ra)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rows=two_sample_strategy)
+def test_ks_numerator_matches_brute_force_cdf_scan(spark, rows):
+    """The engine's max|c1·n2 − c2·n1| over the merged grid must equal
+    the brute-force max CDF gap for ANY two-sample multiset."""
+    a = sorted(v for v, s in rows if s)
+    b = sorted(v for v, s in rows if not s)
+    if not a and not b:
+        return
+    vals = _rank_cum_relation(spark, rows)
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        F.sum("ca").over(wcum).alias("c1"),
+        F.sum("cb").over(wcum).alias("c2"),
+        F.sum("ca").over(wall).alias("t1"),
+        F.sum("cb").over(wall).alias("t2"),
+    )
+    got = cum.agg(
+        F.max(
+            F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1"))
+        ).alias("d")
+    ).collect()[0]["d"]
+
+    import bisect
+
+    n1, n2 = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    ref = max(
+        abs(bisect.bisect_right(a, v) * n2 - bisect.bisect_right(b, v) * n1)
+        for v in grid
+    )
+    assert got == ref
