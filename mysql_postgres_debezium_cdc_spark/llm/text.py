@@ -2552,3 +2552,195 @@ def text_trigram_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_trigram_substring_search(
         spark, sf_dir, index_df=spark.read.parquet(index_path)
     )
+
+
+_FUNNEL_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             (text IS NOT NULL AND LENGTH(text) > 0) AS valid,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               LEN(STRING_SPLIT(text, ' ')) END AS n_words,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               LIST_REDUCE(LIST_PREPEND(0,
+                 [LENGTH(t) FOR t IN STRING_SPLIT(text, ' ')]),
+                 (a, b) -> a + b) * 1.0 / LEN(STRING_SPLIT(text, ' '))
+             END AS mwl,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+                 / LEN(STRING_SPLIT(text, ' ')) END AS dr,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+                                  [{_GOPHER_STOP_SQL}])) END AS n_stop,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               {_lang_score_sql("en")} END AS s_en,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               {_lang_score_sql("es")} END AS s_es,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               {_lang_score_sql("fr")} END AS s_fr,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               {_lang_score_sql("de")} END AS s_de,
+             CASE WHEN text IS NOT NULL AND LENGTH(text) > 0 THEN
+               {_lang_score_sql("zh")} END AS s_zh
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, valid,
+             valid AND n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+               AND n_stop >= {GOPHER_MIN_STOPWORDS}
+               AND dr >= {GOPHER_MIN_DISTINCT_RATIO} AS gopher,
+             GREATEST(s_en, s_es, s_fr, s_de, s_zh) > 0
+               AND s_en = GREATEST(s_en, s_es, s_fr, s_de, s_zh) AS is_en
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(COALESCE(SUM(CASE WHEN valid THEN 1 END), 0) AS BIGINT)
+               AS n1,
+             CAST(COALESCE(SUM(CASE WHEN valid AND gopher THEN 1 END), 0)
+               AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(CASE WHEN valid AND gopher AND is_en THEN 1 END),
+               0) AS BIGINT) AS n3,
+             CAST((SELECT COUNT(DISTINCT text) FROM f
+                   WHERE valid AND gopher AND is_en) AS BIGINT) AS n4
+      FROM f
+    )
+    SELECT s.stage_no, s.stage, s.n_in, s.n_out,
+           CASE WHEN s.n_in > 0
+                THEN CAST(s.n_out * 1000000 // s.n_in AS BIGINT) END
+             AS retained_ppm
+    FROM (
+      SELECT 1 AS stage_no, 'valid_text' AS stage, n0 AS n_in, n1 AS n_out
+      FROM agg
+      UNION ALL SELECT 2, 'gopher_rules', n1, n2 FROM agg
+      UNION ALL SELECT 3, 'lang_en', n2, n3 FROM agg
+      UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM agg
+    ) s
+    ORDER BY stage_no
+    """
+
+
+@register(
+    "corpus_quality_prefilter_funnel",
+    oracle=_FUNNEL_ORACLE,
+    tags=("llm", "pipeline", "quality", "funnel"),
+)
+def corpus_quality_prefilter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-funnel accounting report every corpus pipeline ships
+    with its dataset card: how many documents survive each ordered
+    prefilter stage — validity → the Gopher rule battery
+    ([[text_gopher_quality_flags]]'s four-rule conjunction, same
+    constants) → language ID == 'en' ([[text_lang_id]]'s argmax rule,
+    same tie order) → exact dedup (distinct surviving texts) — with
+    per-stage retention in EXACT integer ppm.  Funnel accounting is
+    what makes a 99.7%-drop stage visible before a training run does.
+
+    All stage predicates evaluate in ONE narrow pass (per-row JVM
+    higher-order folds, no explode); the counts are one conditional
+    aggregate, plus one distinct-text aggregate over stage-3 survivors
+    (the only shuffle, survivor-sized).  The 4-row report assembles
+    from the 1-row count relation — a driver-free pivot via explode of
+    a literal stage array (scalar output columns only).
+
+    NULL text is stage-1 fallout by definition — identical on both
+    sides; every ratio is integer floor division (NULL when a stage
+    sees zero input)."""
+    d = load(spark, sf_dir, "documents")
+    valid = F.col("text").isNotNull() & (F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("bigint")
+    mwl = (
+        F.aggregate(toks, F.lit(0), lambda a, b: a + F.length(b))
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    dr = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("bigint")
+
+    def lang_score(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
+            "bigint"
+        )
+
+    scores = {lang: F.when(valid, lang_score(ws)) for lang, ws in LANG_PROFILES.items()}
+    best = F.greatest(*scores.values())
+    gopher = (
+        valid
+        & F.when(valid, n_words).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.when(valid, mwl).between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (F.when(valid, n_stop) >= GOPHER_MIN_STOPWORDS)
+        & (F.when(valid, dr) >= GOPHER_MIN_DISTINCT_RATIO)
+    )
+    is_en = (best > 0) & (scores["en"] == best)
+    f = d.select(
+        "text",
+        valid.alias("valid"),
+        gopher.alias("gopher"),
+        is_en.alias("is_en"),
+    )
+    survivors = f.where(F.col("valid") & F.col("gopher") & F.col("is_en"))
+    agg = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("valid"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("valid") & F.col("gopher"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("valid") & F.col("gopher") & F.col("is_en"), 1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n3"),
+    ).crossJoin(
+        F.broadcast(
+            survivors.agg(
+                F.count_distinct(F.col("text")).cast("bigint").alias("n4")
+            )
+        )
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_no"),
+                    F.lit("valid_text").alias("stage"),
+                    F.col("n0").alias("n_in"),
+                    F.col("n1").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_no"),
+                    F.lit("gopher_rules").alias("stage"),
+                    F.col("n1").alias("n_in"),
+                    F.col("n2").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_no"),
+                    F.lit("lang_en").alias("stage"),
+                    F.col("n2").alias("n_in"),
+                    F.col("n3").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(4).alias("stage_no"),
+                    F.lit("exact_dedup").alias("stage"),
+                    F.col("n3").alias("n_in"),
+                    F.col("n4").alias("n_out"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_in",
+        "n_out",
+        F.when(F.col("n_in") > 0, F.expr("(n_out * 1000000) div n_in"))
+        .cast("bigint")
+        .alias("retained_ppm"),
+    ).orderBy("stage_no")

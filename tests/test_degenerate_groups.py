@@ -51,6 +51,7 @@ DEGENERATE_KEYS = [
     "join_runtime_filter_pushdown",
     "stats_ks_test",
     "events_uplift_cuped",
+    "corpus_quality_prefilter_funnel",
     # pre-existing keys the whole-registry degenerate sweep flagged
     # (NULL-vs-0 empty aggregates; sketch band below its resolution)
     "cdc_envelope_encode_roundtrip",
@@ -296,9 +297,10 @@ UNICODE_KEYS = [
     "events_sessionize_gap",
     "agg_salted_two_phase",
     # r7: multibyte whitespace tokens in the sqrt-weight token counts;
-    # unicode source->lang FD values
+    # unicode source->lang FD values; multibyte funnel metrics
     "corpus_temperature_mixture",
     "dq_functional_dependency_audit",
+    "corpus_quality_prefilter_funnel",
 ]
 
 
@@ -405,6 +407,8 @@ NULL_KEYS = [
     "events_uplift_cuped",
     "dq_functional_dependency_audit",
     "corpus_temperature_mixture",
+    # NULL text is stage-1 funnel fallout by definition
+    "corpus_quality_prefilter_funnel",
 ]
 
 

@@ -124,6 +124,7 @@ EMPTY_SLICE = [
     "join_runtime_filter_pushdown",
     "stats_ks_test",
     "events_uplift_cuped",
+    "corpus_quality_prefilter_funnel",
 ]
 
 

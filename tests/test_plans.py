@@ -1173,3 +1173,17 @@ def test_cuped_single_fact_shuffle(spark):
     r = _plan(spark, "events_uplift_cuped")
     assert r.n_sortmerge_joins == 0, r.ops
     assert "BatchEvalPython" not in r.text
+
+
+def test_prefilter_funnel_one_narrow_pass(spark):
+    """corpus_quality_prefilter_funnel: stage predicates are per-row JVM
+    folds in one narrow pass (no explode of the token stream — the only
+    Generate is the 4-row literal stage pivot); the sole shuffle inputs
+    are the 1-row count relations and the survivor-sized distinct."""
+    r = _plan(spark, "corpus_quality_prefilter_funnel")
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert "BatchEvalPython" not in r.text
+    # two document scans (flag pass + survivor distinct), never more
+    segs = r.text.split("Location:")
+    doc_scans = [s for s in segs[1:] if "documents.parquet" in s.split("\n")[0]]
+    assert len(doc_scans) <= 2, f"{len(doc_scans)} documents scans"
