@@ -502,6 +502,15 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wgt").cast("bigint").alias("wsum"),
         F.sum("n_tokens").cast("bigint").alias("tsum"),
     )
+    # The epoch numerator 2·tsum·wgt·1000 reaches ~2.5e23 at a 100 TB
+    # corpus (tsum ~ 2.5e13 tokens, wgt ~ 5e6) — past BIGINT.  DuckDB
+    # auto-promotes to HUGEINT; the Spark side widens to DECIMAL(38,0)
+    # explicitly (integer `div` is exact on decimals too), and only the
+    # milli-epoch QUOTIENT — always small — casts back to BIGINT.
+    epochs = F.expr(
+        "(CAST(2 AS DECIMAL(38,0)) * tsum * wgt * 1000)"
+        " div (CAST(wsum AS DECIMAL(38,0)) * n_tokens)"
+    )
     return (
         w.crossJoin(F.broadcast(tot))
         .select(
@@ -509,13 +518,8 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             F.expr("wgt * 1000000 div wsum").cast("bigint").alias("sample_ppm"),
-            F.expr("(2 * tsum * wgt * 1000) div (wsum * n_tokens)")
-            .cast("bigint")
-            .alias("epochs_milli"),
-            (
-                F.expr("(2 * tsum * wgt * 1000) div (wsum * n_tokens)")
-                > TEMP_MIX_MAX_EPOCHS_MILLI
-            ).alias("overfit_risk"),
+            epochs.cast("bigint").alias("epochs_milli"),
+            (epochs > TEMP_MIX_MAX_EPOCHS_MILLI).alias("overfit_risk"),
         )
         .orderBy("lang")
     )

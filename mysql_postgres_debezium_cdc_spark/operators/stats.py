@@ -619,7 +619,13 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce on that value-cardinality-bounded relation.  The global
     ORDER BY window runs single-task, but its input is |V| rows (value
     cardinality, not fact cardinality) — the [[agg_weighted_median]]
-    decomposition applied to rank statistics."""
+    decomposition applied to rank statistics.
+
+    Width horizon: the doubled rank sum is O(N²) (~9e18 at N≈3e9
+    pooled rows); past that ANSI errors loudly rather than wrapping —
+    widen to DECIMAL(38,0) if a cohort ever approaches it (rank tests
+    at corpus scale run on sampled cohorts; the oracle side is already
+    exact via DuckDB's HUGEINT)."""
     ev = load(spark, sf_dir, "events").where(
         F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
     )
@@ -962,7 +968,10 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the Mann-Whitney decomposition — one
     map-side-combined groupBy onto the distinct-cents relation, one
     cumulative window + 1-row reduce on that value-bounded relation.
-    Empty either-side → NULL statistic/verdict, both engines."""
+    Empty either-side → NULL statistic/verdict, both engines.  Width
+    horizon: the D numerator is O(N²) like the rank sum (same ~3e9
+    pooled-row ANSI horizon, same DECIMAL(38,0) escape; the verdict
+    comparison already runs in DECIMAL(38,0))."""
     ev = load(spark, sf_dir, "events").where(
         F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
     )
