@@ -718,7 +718,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
                                   - CAST(s12 AS DOUBLE) * s2y)
              - CAST(s1 AS DOUBLE) * (CAST(sy AS DOUBLE) * s22
-                                     - CAST(s12 AS DOUBLE) * s2y)
+                                     - CAST(s2 AS DOUBLE) * s2y)
              + CAST(s2 AS DOUBLE) * (CAST(sy AS DOUBLE) * s12
                                      - CAST(s1y AS DOUBLE) * s2)
            ) / det / 100.0, 6) END AS slope_qty,
@@ -794,7 +794,7 @@ def stats_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     det_b1 = (
         D("n") * (D("s1y") * D("s22") - D("s12") * D("s2y"))
-        - D("s1") * (D("sy") * D("s22") - D("s12") * D("s2y"))
+        - D("s1") * (D("sy") * D("s22") - D("s2") * D("s2y"))
         + D("s2") * (D("sy") * D("s12") - D("s1y") * D("s2"))
     )
     det_b2 = (

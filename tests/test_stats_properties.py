@@ -209,3 +209,176 @@ def test_ks_numerator_matches_brute_force_cdf_scan(spark, rows):
         for v in grid
     )
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# OLS normal-equation identities (the r7 ADVICE finding: engine and
+# oracle shared a WRONG Cramer cofactor in det_b1, so oracle parity was
+# structurally blind to it.  These tests solve the normal equations
+# EXACTLY in rational arithmetic, so a shared algebra error cannot pass.)
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+
+def _det3(m):
+    """Exact 3x3 determinant over Fractions/ints."""
+    (a, b, c), (d, e, f2), (g, h, i) = m
+    return a * (e * i - f2 * h) - b * (d * i - f2 * g) + c * (d * h - e * g)
+
+
+def _exact_ols(data):
+    """Exact Cramer solve of the 2-regressor normal equations.
+
+    data: list of (x1, x2, y) ints.  Returns (det, b0, b1, b2) with the
+    coefficients as Fractions (None when singular)."""
+    n = len(data)
+    s1 = sum(x1 for x1, _, _ in data)
+    s2 = sum(x2 for _, x2, _ in data)
+    sy = sum(y for _, _, y in data)
+    s11 = sum(x1 * x1 for x1, _, _ in data)
+    s12 = sum(x1 * x2 for x1, x2, _ in data)
+    s22 = sum(x2 * x2 for _, x2, _ in data)
+    s1y = sum(x1 * y for x1, _, y in data)
+    s2y = sum(x2 * y for _, x2, y in data)
+    m = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    rhs = [sy, s1y, s2y]
+    det = _det3(m)
+    if det == 0:
+        return 0, None, None, None
+    cols = []
+    for j in range(3):
+        mj = [row[:] for row in m]
+        for i in range(3):
+            mj[i][j] = rhs[i]
+        cols.append(Fraction(_det3(mj), det))
+    return det, cols[0], cols[1], cols[2]
+
+
+def _engine_cofactors(data):
+    """EXACT-arithmetic mirror of the engine's four cofactor
+    expansions (operators/stats.py stats_ols_multivariate: det,
+    det_b0, det_b1, det_b2) — kept textually in step with the Spark
+    Column code so the algebra itself is what's under test."""
+    n = len(data)
+    s1 = sum(x1 for x1, _, _ in data)
+    s2 = sum(x2 for _, x2, _ in data)
+    sy = sum(y for _, _, y in data)
+    s11 = sum(x1 * x1 for x1, _, _ in data)
+    s12 = sum(x1 * x2 for x1, x2, _ in data)
+    s22 = sum(x2 * x2 for _, x2, _ in data)
+    s1y = sum(x1 * y for x1, _, y in data)
+    s2y = sum(x2 * y for _, x2, y in data)
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det_b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det_b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - s1 * (sy * s22 - s2 * s2y)
+        + s2 * (sy * s12 - s1y * s2)
+    )
+    det_b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return det, det_b0, det_b1, det_b2
+
+
+ols_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=50),  # x1 (quantity)
+        st.integers(min_value=0, max_value=1000),  # x2 (discount bp)
+        st.integers(min_value=1, max_value=1_000_000),  # y (price cents)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(data=ols_rows_strategy)
+def test_ols_cofactor_expansion_solves_normal_equations_exactly(data):
+    """Every coefficient of the engine's written cofactor expansion,
+    evaluated in EXACT integer arithmetic, must equal the exact Cramer
+    solution of the normal equations — for any dataset, including
+    collinear/singular ones (where both must report det == 0).  This is
+    the test the r7 ADVICE demanded: a shared engine+oracle algebra
+    error now fails here even though oracle parity passes."""
+    det_ref, b0, b1, b2 = _exact_ols(data)
+    det, det_b0, det_b1, det_b2 = _engine_cofactors(data)
+    assert det == det_ref
+    if det == 0:
+        return
+    assert Fraction(det_b0, det) == b0
+    assert Fraction(det_b1, det) == b1
+    assert Fraction(det_b2, det) == b2
+
+
+def test_ols_engine_end_to_end_matches_exact_rational_solve(spark, tmp_path):
+    """The REGISTERED stats_ols_multivariate (real I/O, real Spark
+    plan, double cofactors, 6dp presentation round) must agree with the
+    exact rational solve on seeded random data — guards against the
+    Spark Column code drifting from the algebra the pure test pins."""
+    import random
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from mysql_postgres_debezium_cdc_spark.operators.stats import (
+        stats_ols_multivariate,
+    )
+    from tests.conftest import SF_DIR_ORACLE
+
+    rng = random.Random(20260815)
+    schema = pq.read_schema(f"{SF_DIR_ORACLE}/lineitem.parquet")
+    rows = []
+    exact_inputs = {"O": [], "F": []}
+    for i in range(240):
+        g = "O" if i % 2 == 0 else "F"
+        qty = rng.randint(1, 50)
+        disc_bp = rng.randint(0, 1000)
+        price_c = rng.randint(100, 99_999_999)
+        exact_inputs[g].append((qty, disc_bp, price_c))
+        rows.append(
+            {
+                "l_orderkey": i, "l_partkey": 1, "l_suppkey": 1,
+                "l_linenumber": 1, "l_quantity": float(qty),
+                "l_extendedprice": price_c / 100.0,
+                "l_discount": disc_bp / 10000.0, "l_tax": 0.0,
+                "l_returnflag": "N", "l_linestatus": g,
+                "l_shipdate": 1704067200_000000,
+            }
+        )
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=schema),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = {
+        r["l_linestatus"]: r
+        for r in stats_ols_multivariate(spark, str(tmp_path)).collect()
+    }
+    for g, data in exact_inputs.items():
+        det, b0, b1, b2 = _exact_ols(data)
+        assert det != 0, "seeded random data must be non-singular"
+        # presentation scale: cents→dollars for intercept/slope_qty,
+        # per-bp→per-unit-fraction (×10000) then cents→dollars (÷100)
+        exp = {
+            "intercept": float(b0) / 100.0,
+            "slope_qty": float(b1) / 100.0,
+            "slope_discount": float(b2) * 100.0,
+        }
+        for col, want in exp.items():
+            have = got[g][col]
+            assert have is not None
+            assert abs(have - want) <= 1e-4 * max(1.0, abs(want)), (
+                g, col, have, want
+            )
