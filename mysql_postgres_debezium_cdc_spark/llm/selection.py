@@ -450,9 +450,11 @@ TEMP_MIX_MAX_EPOCHS_MILLI = 4000  # >4 epochs of one source = overfit risk
     )
     SELECT w.lang, w.n_docs, w.n_tokens,
            CAST(w.wgt * 1000000 // tot.wsum AS BIGINT) AS sample_ppm,
-           CAST((2 * tot.tsum * w.wgt * 1000)
-                // (tot.wsum * w.n_tokens) AS BIGINT) AS epochs_milli,
-           (2 * tot.tsum * w.wgt * 1000) // (tot.wsum * w.n_tokens) > 4000
+           CAST((CAST(2 AS HUGEINT) * tot.tsum * w.wgt * 1000)
+                // (CAST(tot.wsum AS HUGEINT) * w.n_tokens) AS BIGINT)
+             AS epochs_milli,
+           (CAST(2 AS HUGEINT) * tot.tsum * w.wgt * 1000)
+             // (CAST(tot.wsum AS HUGEINT) * w.n_tokens) > 4000
              AS overfit_risk
     FROM w CROSS JOIN tot
     ORDER BY lang
@@ -504,8 +506,10 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The epoch numerator 2·tsum·wgt·1000 reaches ~2.5e23 at a 100 TB
     # corpus (tsum ~ 2.5e13 tokens, wgt ~ 5e6) — past BIGINT.  DuckDB
-    # auto-promotes to HUGEINT; the Spark side widens to DECIMAL(38,0)
-    # explicitly (integer `div` is exact on decimals too), and only the
+    # BIGINT multiplication OVERFLOWS loudly rather than auto-promoting,
+    # so the oracle casts its first factor to HUGEINT explicitly (the
+    # r7 ADVICE finding); the Spark side widens to DECIMAL(38,0) the
+    # same way (integer `div` is exact on decimals too), and only the
     # milli-epoch QUOTIENT — always small — casts back to BIGINT.
     epochs = F.expr(
         "(CAST(2 AS DECIMAL(38,0)) * tsum * wgt * 1000)"

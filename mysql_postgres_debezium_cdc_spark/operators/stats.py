@@ -27,7 +27,7 @@ DECIMAL(38,0) — noted on the operator.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
@@ -622,10 +622,12 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition applied to rank statistics.
 
     Width horizon: the doubled rank sum is O(N²) (~9e18 at N≈3e9
-    pooled rows); past that ANSI errors loudly rather than wrapping —
-    widen to DECIMAL(38,0) if a cohort ever approaches it (rank tests
-    at corpus scale run on sampled cohorts; the oracle side is already
-    exact via DuckDB's HUGEINT)."""
+    pooled rows); past that BOTH engines error loudly rather than wrap
+    (Spark ANSI overflow; DuckDB BIGINT multiplication raises Out of
+    Range — its per-row product does NOT auto-promote to HUGEINT, only
+    SUM's accumulator does).  Widen both sides — DECIMAL(38,0) /
+    explicit HUGEINT casts — if a cohort ever approaches it; rank
+    tests at corpus scale run on sampled cohorts."""
     ev = load(spark, sf_dir, "events").where(
         F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
     )
@@ -911,6 +913,18 @@ def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("fd")
 
 
+def _dec_floordiv_1e6(b: Column) -> Column:
+    """EXACT floor(b / 10⁶) for a nonnegative wide-decimal column.
+
+    Spark's `div` operator returns LONG and silently wraps when the
+    quotient exceeds BIGINT (probed, Spark 4.1), so wide quotients
+    must avoid it.  Subtracting pmod makes the numerator an exact
+    multiple of 10⁶; a decimal divide whose true quotient is exactly
+    representable introduces no rounding (probed exact at the full
+    DECIMAL(38,0) extreme)."""
+    return (b - F.pmod(b, F.lit(1000000))) / F.lit(1000000)
+
+
 @register(
     "stats_ks_test",
     oracle="""
@@ -943,8 +957,9 @@ def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFram
              ROUND(CAST(d.d_num AS DOUBLE) / (CAST(s.n1 AS DOUBLE) * s.n2), 6)
            END AS d_stat,
            CASE WHEN s.n1 > 0 AND s.n2 > 0 THEN
-             CAST(d.d_num AS DECIMAL(38,0)) * d.d_num * 1000000
-               > CAST(1844164 AS DECIMAL(38,0)) * (s.n1 + s.n2) * s.n1 * s.n2
+             CAST(d.d_num AS HUGEINT) * d.d_num
+               > (CAST(1844164 AS HUGEINT) * (s.n1 + s.n2) * s.n1 * s.n2)
+                 // 1000000
            END AS significant_05
     FROM s CROSS JOIN d
     """,
@@ -961,17 +976,27 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = max |c1·n2 − c2·n1| / (n1·n2), so the numerator is an exact
     BIGINT max and even the α=0.05 decision is EXACT INTEGER
     arithmetic: D > 1.358·√((n1+n2)/(n1·n2)) squares to
-    d_num²·10⁶ > 1844164·(n1+n2)·n1·n2, evaluated in DECIMAL(38,0)
-    (d_num² alone can reach ~1e20).  No boolean ever depends on a
-    float comparison near a boundary.
+    d_num²·10⁶ > 1844164·(n1+n2)·n1·n2, rearranged via the exact
+    floor identity A·10⁶ > B ⟺ A > B div 10⁶ so the squared term is
+    d_num² alone (≤ (n1·n2)² — DECIMAL(38,0)/HUGEINT-safe over
+    d_num's whole BIGINT range; the naive ×10⁶ form overflowed 38
+    digits at d_num ≈ 3.2e15, the r7 ADVICE finding).  The Spark
+    floor-div is (B − pmod(B,10⁶))/10⁶ — numerator an exact multiple
+    of 10⁶, so the decimal divide is exact (Spark's `div` returns
+    LONG and the quotient here exceeds BIGINT); DuckDB uses HUGEINT
+    `//`.  No boolean ever depends on a float comparison near a
+    boundary.
 
     Scale shape: identical to the Mann-Whitney decomposition — one
     map-side-combined groupBy onto the distinct-cents relation, one
     cumulative window + 1-row reduce on that value-bounded relation.
     Empty either-side → NULL statistic/verdict, both engines.  Width
-    horizon: the D numerator is O(N²) like the rank sum (same ~3e9
-    pooled-row ANSI horizon, same DECIMAL(38,0) escape; the verdict
-    comparison already runs in DECIMAL(38,0))."""
+    horizon: the binding bound is the D numerator's BIGINT cast
+    (d_num ≤ n1·n2 < 9.2e18 → ~6e9 balanced pooled rows, the same
+    O(N²) horizon as the rank sum); the rearranged verdict arithmetic
+    is exact over that ENTIRE range (d_num² ≤ 8.5e37 fits both
+    DECIMAL(38,0) and HUGEINT), and past the horizon both engines
+    error loudly rather than wrap."""
     ev = load(spark, sf_dir, "events").where(
         F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
     )
@@ -1020,7 +1045,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d_stat"),
         F.when(
             (n1 > 0) & (n2 > 0),
-            dec(F.col("d_num")) * F.col("d_num") * 1000000
-            > dec(F.lit(1844164)) * (n1 + n2) * n1 * n2,
+            dec(F.col("d_num")) * F.col("d_num")
+            > _dec_floordiv_1e6(dec(F.lit(1844164)) * (n1 + n2) * n1 * n2),
         ).alias("significant_05"),
     )

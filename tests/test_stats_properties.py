@@ -292,6 +292,53 @@ def _engine_cofactors(data):
     return det, det_b0, det_b1, det_b2
 
 
+ks_counts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3_000_000_000),  # n1
+        st.integers(min_value=1, max_value=3_000_000_000),  # n2
+        # D fraction in ppm of n1*n2 — spans insignificant → maximal
+        st.integers(min_value=0, max_value=1_000_000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rows=ks_counts_strategy)
+def test_ks_rearranged_verdict_matches_bigint_reference(spark, rows):
+    """The rearranged α=0.05 verdict (d_num² > B div 10⁶, Spark's
+    exact pmod floor-div) must equal the mathematically-defined
+    d_num²·10⁶ > 1844164·(n1+n2)·n1·n2 computed in Python big ints —
+    INCLUDING at rank-family-horizon magnitudes (n ~ 3e9, d_num ~
+    9e18) where the r7 naive ×10⁶ form overflowed DECIMAL(38,0)."""
+    from mysql_postgres_debezium_cdc_spark.operators.stats import (
+        _dec_floordiv_1e6,
+    )
+
+    data = []
+    for n1, n2, ppm in rows:
+        d_num = (n1 * n2 * ppm) // 1_000_000
+        want = d_num * d_num * 1_000_000 > 1844164 * (n1 + n2) * n1 * n2
+        data.append((str(d_num), n1, n2, want))
+    df = spark.createDataFrame(
+        data, "d_num_s string, n1 bigint, n2 bigint, want boolean"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    got = df.select(
+        "want",
+        (
+            dec(F.col("d_num_s")) * dec(F.col("d_num_s"))
+            > _dec_floordiv_1e6(
+                dec(F.lit(1844164)) * (F.col("n1") + F.col("n2"))
+                * F.col("n1") * F.col("n2")
+            )
+        ).alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], r
+
+
 ols_rows_strategy = st.lists(
     st.tuples(
         st.integers(min_value=1, max_value=50),  # x1 (quantity)
