@@ -54,78 +54,79 @@ _LOADED = False
 
 # The driver's correctness harness checks queries in registry order and caps
 # the sweep at the first 50 keys.  The prefix is ROTATED each round so the
-# union of driver rounds certifies the whole registry: rounds 1-6 checked
-# 232 distinct keys (CORRECTNESS_r0{1..6}.json; 231 value-green, with the
-# lone red row — agg_collect_sorted, whose array<string> column the driver
-# canonicalizer cannot hash — fixed this round by serializing the list to a
-# string on both sides and queued first for the r8 sweep).  The round-7
-# prefix below is EXACTLY the 50 keys with no driver row of any color:
-# registry order minus the union of CORRECTNESS_r01-r06 keys, i.e. the
-# late-r6 additions (XML source, geo k-NN, streaming incremental dedup,
-# ANN range/MMR, hard negatives, BM25, centroid separation, multimodal
-# frame-sample/resize, k-anonymity, DSIR, naive Bayes, TTR, Zipf,
-# curriculum, BPE fertility, encoding quality, char entropy, trigram
-# search, CMS + histogram-quantile sketches, disorder/changepoint/A-B/
-# RFM/Markov/rate-ratio/trigram-path/DAU-WAU/time-to-convert event
-# analytics, interval join, LPA/BFS/degree graph ops, basket lift,
-# skyline, regression/chi-square/moments/weighted-median stats,
-# Benford/IQR data quality, recursive-CTE spine, gaps-islands, moving
-# median, compaction plan, zone-map audit, CDC offset diff, windowed
-# top-k).  Union r1-r7 therefore covers all 282 keys frozen at r6.
+# union of driver rounds certifies the whole registry.  Rounds 1-7 checked
+# 281 distinct keys, ALL value-green (the lone r6 red row,
+# agg_collect_sorted, was fixed in r7 by serializing the array to a sorted
+# string on both sides — judge-verified but still awaiting its driver row).
+#
+# Round-8 prefix, three mechanical tiers (derivation in PLANS.md):
+#   1. The 10 keys with NO green driver row anywhere in r1-r7:
+#      agg_collect_sorted (the r6 red-row re-cert) + the 9 r7 additions.
+#   2. The 22 keys whose registered function block (AST-extracted, with
+#      decorators, so oracle SQL included) textually CHANGED since the
+#      round of their last green row — re-certification so no key's green
+#      row predates its current implementation.  Oldest vintage first.
+#   3. Oldest-standing r1 certifications from the most-edited modules
+#      (llm/text.py, llm/dedup.py, functions/) — helper-level drift that
+#      tier 2's function-block diff cannot see.
+# New r8 keys are inserted into tier 1 as they land.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    "source_xml_scan",
-    "geo_haversine_knn",
-    "stream_incremental_dedup",
-    "ann_range_search",
-    "embedding_hard_negatives",
-    "rag_bm25_topk",
-    "ann_mmr_diversified",
-    "embedding_label_centroid_separation",
-    "multimodal_frame_sample",
-    "multimodal_resize_decimate",
-    "dq_k_anonymity_audit",
-    "corpus_dsir_importance",
-    "ml_naive_bayes_lang",
-    "corpus_token_type_ratio",
-    "text_zipf_fit",
-    "corpus_curriculum_order",
-    "corpus_bpe_fertility_by_lang",
-    "text_encoding_quality",
-    "text_char_entropy",
-    "text_trigram_substring_search",
-    "agg_countmin_sketch",
-    "agg_quantile_histogram_sketch",
-    "events_disorder_audit",
-    "events_changepoint_window",
-    "events_ab_test_eval",
-    "join_interval_overlap",
-    "events_rfm_segmentation",
-    "events_markov_next_eval",
-    "events_rate_ratio_test",
-    "events_top_trigram_paths",
-    "events_dau_wau_rolling",
-    "events_funnel_time_to_convert",
-    "graph_label_propagation",
-    "graph_bfs_reachability",
-    "graph_degree_distribution",
-    "basket_affinity_pairs",
-    "skyline_pareto_parts",
-    "stats_regression_by_group",
-    "stats_chi_square_independence",
-    "agg_moments_sketch",
-    "agg_weighted_median",
-    "dq_benford_test",
-    "dq_outlier_iqr",
-    "sql_recursive_cte_spine",
-    "window_gaps_islands",
-    "window_moving_median",
-    "layout_compaction_plan",
-    "layout_minmax_skipping_audit",
-    "cdc_offset_range_diff",
-    "stream_windowed_topk",
+    # -- tier 1: no driver row yet ------------------------------------
+    "agg_collect_sorted",
+    "stats_mann_whitney_u",
+    "stats_ks_test",
+    "stats_ols_multivariate",
+    "events_uplift_cuped",
+    "dq_functional_dependency_audit",
+    "corpus_temperature_mixture",
+    "corpus_quality_prefilter_funnel",
+    "join_runtime_filter_pushdown",
+    "text_trigram_persisted_index",
+    # -- tier 2: function block changed since last green row ----------
+    "ann_bruteforce_topk",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "fn_map_ops",
+    "multimodal_metadata",
+    "subq_not_in_with_filter",
+    "agg_min_by_max_by",
+    "cdc_incremental_agg_maintenance",
+    "dedup_minhash_lsh",
+    "events_sessionize_gap",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "udtf_tokenize_positions",
+    "dedup_embedding_lsh",
+    "agg_approx_percentile",
+    "cdc_envelope_encode_roundtrip",
+    "corpus_rag_retrieval",
+    "dedup_bloom_incremental",
+    "embedding_dimension_correlation",
+    "multimodal_fake_features",
+    # -- tier 3: oldest-standing r1 certifications, most-edited modules
+    "corpus_preprocess_pipeline",
+    "corpus_stratified_sample",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_stats",
+    "text_token_count_regex",
+    "dedup_fingerprint",
+    "fn_array_explode",
+    "fn_array_ops",
+    "fn_json_extract",
+    "fn_variant_json",
+    "fn_string_split_tokens",
+    "udf_pandas_scalar_tax",
+    "fn_try_arithmetic",
+    "scan_project",
+    "agg_cube",
+    "ann_cosine_pandas_udf",
+    "source_csv_scan",
 )
 
 
