@@ -556,6 +556,96 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_click_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-sample distinct-value relation both rank statistics
+    share: one fact-sized map-side-combined groupBy onto integer cents,
+    with per-side counts (ca = purchase, cb = click)."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    return ev.groupBy(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("ca"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("cb"),
+    )
+
+
+def _banded_rank_cums(vals: DataFrame) -> DataFrame:
+    """Distributed cumulative counts over the distinct-value grid — the
+    two-phase banded prefix sum (the [[text_vocab_head_coverage]]
+    device applied to rank statistics, the r7 verdict's ask).
+
+    A literal translation of the oracles' ``SUM(...) OVER (ORDER BY
+    v)`` is an UNPARTITIONED window: value-domain-bounded, not
+    row-bounded, and the first thing to melt if a metric's value
+    domain is unbounded.  Instead:
+
+    1. band each value by its signed bit length — ``sign(v) ·
+       (⌊log₂|v|⌋ + 1)``, 0 for v = 0.  Bands partition the BIGINT
+       axis into ≤ 127 DISJOINT, ORDERED ranges, so (band, v) sorts
+       identically to (v) by construction;
+    2. within-band cumulative sums run under ``partitionBy(band)`` —
+       distributed work, no single-task value-grid sort;
+    3. cross-band offsets come from an unpartitioned window over the
+       ≤ 127-row BAND SUMMARY — the one global window, bounded at any
+       data scale — and the sample totals ride the same summary.
+
+    Returns v, ca, cb, t, before (exclusive pooled cumsum), c1/c2
+    (inclusive per-side cumsums), t1/t2 (totals) — all exact BIGINTs,
+    bit-identical to the single-window formulation.  The vals relation
+    is persisted: the within-band pass and the band summary both
+    consume it, and without the cache each branch would re-run the
+    fact-sized groupBy (the justified-persist rule)."""
+    banded = vals.withColumn(
+        "band",
+        F.when(F.col("v") > 0, F.length(F.bin(F.col("v"))))
+        .when(F.col("v") < 0, -F.length(F.bin(-F.col("v"))))
+        .otherwise(F.lit(0)),
+    ).persist()
+    wb = Window.partitionBy("band").orderBy("v")
+    inc = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exc = wb.rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("ca") + F.col("cb")
+    within = banded.select(
+        "band",
+        "v",
+        "ca",
+        "cb",
+        t.alias("t"),
+        F.sum("ca").over(inc).alias("wca"),
+        F.sum("cb").over(inc).alias("wcb"),
+        F.coalesce(F.sum(t).over(exc), F.lit(0)).alias("wbefore"),
+    )
+    bands = banded.groupBy("band").agg(
+        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
+    )
+    woff = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    off = bands.select(
+        "band",
+        F.coalesce(F.sum("bca").over(woff), F.lit(0)).alias("off_ca"),
+        F.coalesce(F.sum("bcb").over(woff), F.lit(0)).alias("off_cb"),
+        F.sum("bca").over(wall).alias("t1"),
+        F.sum("bcb").over(wall).alias("t2"),
+    )
+    return within.join(F.broadcast(off), "band").select(
+        "v",
+        "ca",
+        "cb",
+        "t",
+        (F.col("wbefore") + F.col("off_ca") + F.col("off_cb")).alias("before"),
+        (F.col("wca") + F.col("off_ca")).alias("c1"),
+        (F.col("wcb") + F.col("off_cb")).alias("c2"),
+        "t1",
+        "t2",
+    )
+
+
 @register(
     "stats_mann_whitney_u",
     oracle="""
@@ -615,11 +705,11 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     either-side or all-tied samples (variance 0) yield NULL z.
 
     Scale shape: one fact-sized groupBy onto the |distinct cents|
-    relation (map-side combined), then a cumulative window and a 1-row
-    reduce on that value-cardinality-bounded relation.  The global
-    ORDER BY window runs single-task, but its input is |V| rows (value
-    cardinality, not fact cardinality) — the [[agg_weighted_median]]
-    decomposition applied to rank statistics.
+    relation (map-side combined), then DISTRIBUTED cumulative counts
+    via the banded two-phase prefix sum (`_banded_rank_cums` — the
+    [[text_vocab_head_coverage]] device; the only unpartitioned window
+    is over the ≤ 127-row band summary), and a 1-row reduce.  Row-scale
+    clean regardless of the value domain's width.
 
     Width horizon: the doubled rank sum is O(N²) (~9e18 at N≈3e9
     pooled rows); past that BOTH engines error loudly rather than wrap
@@ -628,27 +718,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM's accumulator does).  Widen both sides — DECIMAL(38,0) /
     explicit HUGEINT casts — if a cohort ever approaches it; rank
     tests at corpus scale run on sampled cohorts."""
-    ev = load(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
-    )
-    vals = ev.groupBy(
-        F.round(F.col("value") * 100).cast("bigint").alias("v")
-    ).agg(
-        F.count(F.when(F.col("event_type") == "purchase", 1))
-        .cast("bigint")
-        .alias("ca"),
-        F.count(F.when(F.col("event_type") == "click", 1))
-        .cast("bigint")
-        .alias("cb"),
-    )
-    t = F.col("ca") + F.col("cb")
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = vals.select(
-        "ca",
-        "cb",
-        t.alias("t"),
-        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("before"),
-    )
+    cum = _banded_rank_cums(_purchase_click_value_counts(spark, sf_dir))
     s = cum.agg(
         F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n1"),
         F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n2"),
@@ -988,8 +1058,10 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary.
 
     Scale shape: identical to the Mann-Whitney decomposition — one
-    map-side-combined groupBy onto the distinct-cents relation, one
-    cumulative window + 1-row reduce on that value-bounded relation.
+    map-side-combined groupBy onto the distinct-cents relation, then
+    DISTRIBUTED cumulative counts via the banded two-phase prefix sum
+    (`_banded_rank_cums`; the sample totals ride the ≤ 127-row band
+    summary, the only unpartitioned window) and a 1-row reduce.
     Empty either-side → NULL statistic/verdict, both engines.  Width
     horizon: the binding bound is the D numerator's BIGINT cast
     (d_num ≤ n1·n2 < 9.2e18 → ~6e9 balanced pooled rows, the same
@@ -997,35 +1069,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact over that ENTIRE range (d_num² ≤ 8.5e37 fits both
     DECIMAL(38,0) and HUGEINT), and past the horizon both engines
     error loudly rather than wrap."""
-    ev = load(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
-    )
-    vals = ev.groupBy(
-        F.round(F.col("value") * 100).cast("bigint").alias("v")
-    ).agg(
-        F.count(F.when(F.col("event_type") == "purchase", 1))
-        .cast("bigint")
-        .alias("ca"),
-        F.count(F.when(F.col("event_type") == "click", 1))
-        .cast("bigint")
-        .alias("cb"),
-    )
-    # Single pass over the value-bounded relation: the sample totals are
-    # just the FINAL cumulative counts, so they ride the same
-    # single-partition window stage as the cumsums (n1 = max(c1) since
-    # c1 is nondecreasing) — the fact-sized vals subtree materializes
-    # ONCE instead of once per consumer (the plan test pins one keyed
-    # shuffle).
-    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = vals.select(
-        F.sum("ca").over(wcum).alias("c1"),
-        F.sum("cb").over(wcum).alias("c2"),
-        F.sum("ca").over(wall).alias("t1"),
-        F.sum("cb").over(wall).alias("t2"),
-    )
+    cum = _banded_rank_cums(_purchase_click_value_counts(spark, sf_dir))
     agg = cum.agg(
         F.coalesce(F.max("t1"), F.lit(0)).cast("bigint").alias("n1"),
         F.coalesce(F.max("t2"), F.lit(0)).cast("bigint").alias("n2"),

@@ -1187,3 +1187,23 @@ def test_prefilter_funnel_one_narrow_pass(spark):
     segs = r.text.split("Location:")
     doc_scans = [s for s in segs[1:] if "documents.parquet" in s.split("\n")[0]]
     assert len(doc_scans) <= 2, f"{len(doc_scans)} documents scans"
+
+
+def test_rank_statistics_cumsums_are_band_partitioned(spark):
+    """stats_mann_whitney_u / stats_ks_test must run their cumulative
+    counts as the banded two-phase prefix sum: every window over the
+    distinct-value grid is PARTITIONED by the signed-bit-length band
+    (an exchange hash-partitioned on band), and an UNPARTITIONED window
+    ordered by v must not exist anywhere in the plan — the only global
+    windows run over the <=127-row band summary.  Both branches read
+    the persisted vals relation, so the fact-sized groupBy runs once."""
+    import re
+
+    for key in ("stats_mann_whitney_u", "stats_ks_test"):
+        r = _plan(spark, key)
+        assert "hashpartitioning(band" in r.text, (key, "no band exchange")
+        assert not re.search(r"windowspecdefinition\(v#\d+L ASC", r.text), (
+            key,
+            "unpartitioned window over the value grid",
+        )
+        assert r.ops.count("InMemoryTableScan") >= 2, (key, r.ops)
