@@ -422,3 +422,202 @@ def multimodal_resize_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_sum("payload").alias("resized_sum"),
         byte_wsum("payload").alias("resized_wsum"),
     ).orderBy("doc_id")
+
+
+# Perceptual near-dup over media payloads: grid-LSH on the byte-histogram
+# features.  Tuned on the fixtures (PLANS.md r8): grid 8000 ppm with two
+# offset grids per band recovers 11/11 true pairs at sf0.01 and 133/138
+# at sf0.1 with ~4 candidates/doc; the cosine threshold 0.9999 reflects
+# how concentrated byte histograms are (median RANDOM pair cosine is
+# ~0.985 on this corpus — a loose threshold would call everything a dup).
+MEDIA_LSH_GRID = 8000
+MEDIA_LSH_THRESHOLD = 0.9999
+MEDIA_LSH_THRESH_SQ_E8 = 99980001  # round(0.9999**2 * 1e8), exact
+MEDIA_LSH_BUCKET_WIDTH = 64
+
+
+def _media_feature_sql() -> str:
+    """DuckDB CTE body computing the 8-dim byte-histogram ppm feature
+    as a BIGINT list — byte-exact mirror of ``decode_media(fake=True)``
+    over the RFC 3629 reconstructed byte stream."""
+    return f"""
+    WITH {_UTF8_BYTES_CTE},
+    f AS (
+      SELECT doc_id,
+             [CAST(LEN(LIST_FILTER(bs, v -> v % 8 = k)) * 1000000
+                   // GREATEST(n, 1) AS BIGINT)
+              FOR k IN RANGE(8)] AS f
+      FROM b
+    )"""
+
+
+def _sql_dot(x: str, y: str) -> str:
+    return " + ".join(f"{x}.f[{i}] * {y}.f[{i}]" for i in range(1, 9))
+
+
+@register(
+    "dedup_media_lsh",
+    oracle=f"""
+    {_media_feature_sql()},
+    keyed AS (
+      SELECT doc_id,
+             CONCAT_WS(',', band, off,
+               (f[band * 4 + 1] + off) // {MEDIA_LSH_GRID},
+               (f[band * 4 + 2] + off) // {MEDIA_LSH_GRID},
+               (f[band * 4 + 3] + off) // {MEDIA_LSH_GRID},
+               (f[band * 4 + 4] + off) // {MEDIA_LSH_GRID}) AS bkey
+      FROM f
+      CROSS JOIN (SELECT UNNEST([0, 1]) AS band)
+      CROSS JOIN (SELECT UNNEST([0, {MEDIA_LSH_GRID // 2}]) AS off)
+    ),
+    ranked AS (
+      SELECT doc_id, bkey,
+             ROW_NUMBER() OVER (PARTITION BY bkey ORDER BY doc_id) AS rk
+      FROM keyed
+    ),
+    kept AS (
+      SELECT doc_id, bkey FROM ranked WHERE rk <= {MEDIA_LSH_BUCKET_WIDTH}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM kept a JOIN kept b2
+        ON a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             {_sql_dot('x', 'y')} AS dot,
+             {_sql_dot('x', 'x')} AS na,
+             {_sql_dot('y', 'y')} AS nb
+      FROM cand c
+      JOIN f x ON x.doc_id = c.doc_a
+      JOIN f y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))),
+                 4) AS cos_sim
+    FROM scored
+    WHERE na > 0 AND nb > 0
+      AND CAST(dot AS HUGEINT) * dot * 100000000
+          >= CAST({MEDIA_LSH_THRESH_SQ_E8} AS HUGEINT) * na * nb
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "multimodal", "lsh"),
+)
+def dedup_media_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket_width: int | None = MEDIA_LSH_BUCKET_WIDTH,
+) -> DataFrame:
+    """Perceptual near-dup pairs over MEDIA payloads — the similarity
+    path the byte-exact [[multimodal_metadata]] MD5 dedup cannot see
+    (re-encoded/slightly-edited media keeps its perceptual signature
+    while every byte hash changes).
+
+    Features come from ``decode_media(fake=True)``'s deterministic
+    byte-histogram (real perceptual features — pHash, chromaprint —
+    drop into the SAME mapInPandas slot on a real cluster; schema and
+    everything downstream are unchanged).  Candidates come from grid
+    LSH: each 8-dim ppm vector is quantized to a {MEDIA_LSH_GRID}-wide
+    grid in two 4-dim BANDS × two OFFSET grids (the half-width shift
+    catches boundary-straddling near-identical vectors), so a pair
+    collides when ANY band/offset cell matches — the
+    [[dedup_embedding_lsh]] bucket device with quantization cells in
+    place of hyperplane signatures.  Exact cosine verifies candidates
+    only.
+
+    Exactness device: features are integer ppm, so dot products and
+    norms are exact BIGINTs (≤ 8×10¹²) and the θ = {MEDIA_LSH_THRESHOLD}
+    verdict is EXACT INTEGER arithmetic — dot ≥ 0, so cos ≥ θ squares
+    to dot²·10⁸ ≥ {MEDIA_LSH_THRESH_SQ_E8}·na·nb, evaluated in
+    DECIMAL(38,0)/HUGEINT (≤ 6.4×10³³).  Zero-norm payloads (empty
+    media) are guarded identically on both sides (the repo ratio
+    rule); cos_sim is a 4dp presentation round over exact integers.
+
+    Scale shape: one narrow mapInPandas featurization (no shuffle),
+    one groupBy for buckets with inline i<j expansion —
+    ``max_bucket_width`` truncation ON by default (byte histograms
+    CONCENTRATE as payloads grow, so hot quantization cells are the
+    expected skew at corpus scale; real perceptual features spread
+    buckets far wider) — then a candidates-sized join back to the
+    8-int feature relation.  The feature relation is persisted: the
+    bucket pass and both verify-join sides consume it."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _pairs_from_bucket
+
+    feats = (
+        extract_features(media_table(spark, sf_dir), fake=True)
+        .select(
+            "doc_id",
+            F.transform("features", lambda x: x.cast("bigint")).alias("f"),
+        )
+        .persist()
+    )
+    keys = []
+    for band in (0, 1):
+        for off in (0, MEDIA_LSH_GRID // 2):
+            cells = [
+                F.floor(
+                    (F.element_at("f", band * 4 + i) + F.lit(off))
+                    / F.lit(MEDIA_LSH_GRID)
+                ).cast("bigint")
+                for i in range(1, 5)
+            ]
+            keys.append(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(band)),
+                    F.lit(str(off)),
+                    *[c.cast("string") for c in cells],
+                )
+            )
+    keyed = feats.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+    buckets = (
+        keyed.groupBy("bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    cand = _pairs_from_bucket(buckets, max_bucket_width=max_bucket_width).distinct()
+    fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+
+    def _dotcol(x: str, y: str):
+        terms = [
+            F.element_at(x, i) * F.element_at(y, i) for i in range(1, 9)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _dotcol("fa", "fb").alias("dot"),
+            _dotcol("fa", "fa").alias("na"),
+            _dotcol("fb", "fb").alias("nb"),
+        )
+    )
+    return (
+        scored.where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (
+                dec(F.col("dot")) * F.col("dot") * 100000000
+                >= dec(F.lit(MEDIA_LSH_THRESH_SQ_E8)) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

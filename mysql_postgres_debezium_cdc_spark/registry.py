@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_quality_prefilter_funnel",
     "join_runtime_filter_pushdown",
     "text_trigram_persisted_index",
+    "dedup_media_lsh",  # new in r8
     # -- tier 2: function block changed since last green row ----------
     "ann_bruteforce_topk",
     "dedup_embedding_cosine",
@@ -126,7 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "scan_project",
     "agg_cube",
     "ann_cosine_pandas_udf",
-    "source_csv_scan",
 )
 
 

@@ -57,6 +57,8 @@ DEGENERATE_KEYS = [
     "cdc_envelope_encode_roundtrip",
     "dedup_bloom_incremental",
     "agg_approx_percentile",
+    # r8: zero-byte payload pair => zero-norm cosine guard (both sides)
+    "dedup_media_lsh",
 ]
 
 
@@ -140,6 +142,14 @@ def degenerate_dir(tmp_path_factory):
             {"doc_id": 0, "text": "alpha beta gamma", "lang": "fr", "source": "s1", "n_chars": 16},
             {"doc_id": 1, "text": "delta epsilon", "lang": "de", "source": "s1", "n_chars": 13},
             {"doc_id": 5, "text": "zeta eta theta iota", "lang": "fr", "source": "s2", "n_chars": 19},
+            # TWO empty-text docs: zero-byte payloads featurize to the
+            # all-zero vector, collide in every LSH cell, and form a
+            # zero-norm candidate pair — the dedup_media_lsh cosine
+            # guard must drop it identically in both engines (the ANSI
+            # divide rule).  Empty texts emit no tokens (LENGTH > 0
+            # filters), so the flat-Zipf premise above is untouched.
+            {"doc_id": 7, "text": "", "lang": "de", "source": "s2", "n_chars": 0},
+            {"doc_id": 8, "text": "", "lang": "fr", "source": "s2", "n_chars": 0},
         ],
     )
     for t in TABLES:

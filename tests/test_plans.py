@@ -1207,3 +1207,16 @@ def test_rank_statistics_cumsums_are_band_partitioned(spark):
             "unpartitioned window over the value grid",
         )
         assert r.ops.count("InMemoryTableScan") >= 2, (key, r.ops)
+
+
+def test_media_lsh_plan_is_bucketed_not_quadratic(spark):
+    """dedup_media_lsh: featurization is a narrow MapInPandas; the
+    bucket keys are computed INLINE (no per-dim join or explode beyond
+    the 4-key fan-out); candidates come from the bucket groupBy's
+    inline expansion — no cartesian product anywhere — and the verdict
+    filter is JVM-side integer arithmetic (no second Python crossing:
+    exactly one MapInPandas in the plan, the featurizer)."""
+    r = _plan(spark, "dedup_media_lsh")
+    assert r.ops.count("MapInPandas") == 1, r.ops
+    assert "CartesianProduct" not in r.ops, r.ops
+    assert r.ops.count("InMemoryTableScan") >= 2, r.ops  # persisted feats
