@@ -1960,3 +1960,305 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_reduction"),
         )
     )
+
+
+# The Kolmogorov-Smirnov α=0.05 constant: 1.358² scaled to 1e8-ths —
+# shared with stats_ks_test's exact integer verdict (stats.py).
+_KS_ALPHA05_SQ_E6 = 1844164
+
+
+@register(
+    "events_experiment_report",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS y
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sx,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx_n
+      FROM pooled
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a, SUM(x) AS sx_a,
+             SUM(y) AS sy_a
+      FROM per_user GROUP BY arm
+    ),
+    tc AS (
+      SELECT t.n_a AS nt, t.sx_a AS sxt, t.sy_a AS syt,
+             c.n_a AS nc, c.sx_a AS sxc, c.sy_a AS syc
+      FROM (SELECT * FROM arms WHERE arm = 1) t
+      CROSS JOIN (SELECT * FROM arms WHERE arm = 0) c
+    ),
+    vals AS (
+      SELECT y AS v,
+             CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS ca,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS cb
+      FROM per_user GROUP BY y
+    ),
+    cum AS (
+      SELECT ca, cb, ca + cb AS t,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+             SUM(ca) OVER (ORDER BY v) AS c1,
+             SUM(cb) OVER (ORDER BY v) AS c2
+      FROM vals
+    ),
+    mw AS (
+      SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(ca * (2 * before + t + 1)), 0) AS BIGINT) AS r2x,
+             CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS ties
+      FROM cum
+    ),
+    ks AS (
+      SELECT CAST(MAX(ABS(c1 * m.n2 - c2 * m.n1)) AS BIGINT) AS d_num
+      FROM cum CROSS JOIN mw m
+    )
+    SELECT * FROM (
+      SELECT 'uplift_raw' AS metric, tc.nt AS n_treat, tc.nc AS n_ctrl,
+             ROUND((CAST(tc.syt AS DOUBLE) / tc.nt
+                    - CAST(tc.syc AS DOUBLE) / tc.nc) / 100.0, 4) AS estimate,
+             CAST(NULL AS DOUBLE) AS stat,
+             CAST(NULL AS BOOLEAN) AS significant
+      FROM tc
+      UNION ALL
+      SELECT 'uplift_cuped', tc.nt, tc.nc,
+             CASE WHEN th.varx_n <> 0 THEN
+               ROUND(((CAST(tc.syt AS DOUBLE) / tc.nt
+                       - (th.cov_n / th.varx_n)
+                         * (CAST(tc.sxt AS DOUBLE) / tc.nt
+                            - CAST(th.sx AS DOUBLE) / th.n))
+                      - (CAST(tc.syc AS DOUBLE) / tc.nc
+                         - (th.cov_n / th.varx_n)
+                           * (CAST(tc.sxc AS DOUBLE) / tc.nc
+                              - CAST(th.sx AS DOUBLE) / th.n))) / 100.0, 4)
+             END,
+             CASE WHEN th.varx_n <> 0 THEN ROUND(th.cov_n / th.varx_n, 6) END,
+             CAST(NULL AS BOOLEAN)
+      FROM tc CROSS JOIN th
+      UNION ALL
+      SELECT 'mann_whitney', m.n1, m.n2,
+             CASE WHEN m.n1 > 0
+               THEN (m.r2x - m.n1 * (m.n1 + 1)) / 2.0 END,
+             CASE WHEN m.n1 > 0 AND m.n2 > 0 AND m.n1 + m.n2 > 1
+                   AND (CAST(m.n1 AS DOUBLE) * m.n2 / 12.0)
+                       * ((m.n1 + m.n2 + 1) - CAST(m.ties AS DOUBLE)
+                          / (CAST(m.n1 + m.n2 AS DOUBLE) * (m.n1 + m.n2 - 1))) > 0
+             THEN ROUND(((m.r2x - m.n1 * (m.n1 + 1)) / 2.0
+                         - CAST(m.n1 AS DOUBLE) * m.n2 / 2.0)
+                  / SQRT((CAST(m.n1 AS DOUBLE) * m.n2 / 12.0)
+                         * ((m.n1 + m.n2 + 1) - CAST(m.ties AS DOUBLE)
+                            / (CAST(m.n1 + m.n2 AS DOUBLE) * (m.n1 + m.n2 - 1)))), 4)
+             END,
+             CASE WHEN m.n1 > 0 AND m.n2 > 0 AND m.n1 + m.n2 > 1
+                   AND (CAST(m.n1 AS DOUBLE) * m.n2 / 12.0)
+                       * ((m.n1 + m.n2 + 1) - CAST(m.ties AS DOUBLE)
+                          / (CAST(m.n1 + m.n2 AS DOUBLE) * (m.n1 + m.n2 - 1))) > 0
+             THEN ABS(ROUND(((m.r2x - m.n1 * (m.n1 + 1)) / 2.0
+                             - CAST(m.n1 AS DOUBLE) * m.n2 / 2.0)
+                  / SQRT((CAST(m.n1 AS DOUBLE) * m.n2 / 12.0)
+                         * ((m.n1 + m.n2 + 1) - CAST(m.ties AS DOUBLE)
+                            / (CAST(m.n1 + m.n2 AS DOUBLE) * (m.n1 + m.n2 - 1)))), 4))
+                  >= 1.96
+             END
+      FROM mw m
+      UNION ALL
+      SELECT 'ks', m.n1, m.n2,
+             CASE WHEN m.n1 > 0 AND m.n2 > 0 THEN
+               ROUND(CAST(k.d_num AS DOUBLE)
+                     / (CAST(m.n1 AS DOUBLE) * m.n2), 6) END,
+             CAST(k.d_num AS DOUBLE),
+             CASE WHEN m.n1 > 0 AND m.n2 > 0 THEN
+               CAST(k.d_num AS HUGEINT) * k.d_num
+                 > (CAST(1844164 AS HUGEINT) * (m.n1 + m.n2) * m.n1 * m.n2)
+                   // 1000000
+             END
+      FROM ks k CROSS JOIN mw m
+    ) ORDER BY metric
+    """,
+    tags=("behavioral", "stats", "experiment"),
+)
+def events_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimenter's one-call readout — the reference's
+    verification-query analogue for A/B owners (Consumer.java's
+    post-load verification SELECT, reimagined as an experiment gate):
+    CUPED-adjusted uplift, Mann-Whitney location shift, and KS shape
+    shift, ALL over the SAME deterministic arm split (user_id % 2) and
+    the SAME per-user pre/post metric relation, reported in the staged
+    tall shape of [[corpus_quality_prefilter_funnel]] — one row per
+    statistic: (metric, n_treat, n_ctrl, estimate, stat, significant).
+
+    Composition is the point: the three constituent devices are the
+    certified [[events_uplift_cuped]] sufficient statistics, the
+    [[stats_mann_whitney_u]] doubled-midrank identity, and the
+    [[stats_ks_test]] exact integer verdict (the same rearranged
+    d² > B div 10⁶ arithmetic) — run here over per-USER post-period
+    sums between arms rather than raw event values between event
+    types, certifying that the devices compose on a shared base
+    relation.  Significance booleans derive from the identical
+    fixed double tree (MW: |z₄| ≥ 1.96) or exact integers (KS), so no
+    verdict depends on a float boundary the engines could disagree on.
+
+    Scale shape: ONE fact scan → per-user sums (one map-side-combined
+    shuffle), persisted (four consumers: pooled moments, per-arm sums,
+    and the two-sample distinct-value relation).  Rank cumsums run
+    through the banded prefix sum (`_banded_rank_cums`); everything
+    downstream is 1-2-row aggregates meeting in broadcast joins."""
+    from mysql_postgres_debezium_cdc_spark.operators.stats import (
+        _banded_rank_cums,
+        _dec_floordiv_1e6,
+    )
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+        .persist()
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    dn = F.col("n").cast("double")
+    th = pooled.select(
+        "n",
+        "sx",
+        (dn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")).alias("cov_n"),
+        (dn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")).alias("varx_n"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    t = arms.where(F.col("arm") == 1).select(
+        F.col("n_a").alias("nt"), F.col("sx_a").alias("sxt"), F.col("sy_a").alias("syt")
+    )
+    c = arms.where(F.col("arm") == 0).select(
+        F.col("n_a").alias("nc"), F.col("sx_a").alias("sxc"), F.col("sy_a").alias("syc")
+    )
+    tc = t.crossJoin(F.broadcast(c))
+
+    nullb = F.lit(None).cast("boolean")
+    nulld = F.lit(None).cast("double")
+    raw_row = tc.select(
+        F.lit("uplift_raw").alias("metric"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.round(
+            (
+                F.col("syt").cast("double") / F.col("nt")
+                - F.col("syc").cast("double") / F.col("nc")
+            )
+            / 100.0,
+            4,
+        ).alias("estimate"),
+        nulld.alias("stat"),
+        nullb.alias("significant"),
+    )
+    theta = F.col("cov_n") / F.col("varx_n")
+    mean_x_all = F.col("sx").cast("double") / F.col("n")
+    adj_t = F.col("syt").cast("double") / F.col("nt") - theta * (
+        F.col("sxt").cast("double") / F.col("nt") - mean_x_all
+    )
+    adj_c = F.col("syc").cast("double") / F.col("nc") - theta * (
+        F.col("sxc").cast("double") / F.col("nc") - mean_x_all
+    )
+    cuped_row = tc.crossJoin(F.broadcast(th)).select(
+        F.lit("uplift_cuped").alias("metric"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.when(F.col("varx_n") != 0, F.round((adj_t - adj_c) / 100.0, 4)).alias(
+            "estimate"
+        ),
+        F.when(F.col("varx_n") != 0, F.round(theta, 6)).alias("stat"),
+        nullb.alias("significant"),
+    )
+
+    vals = per_user.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("ca"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("cb"),
+    )
+    cum = _banded_rank_cums(vals)
+    mw = cum.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n2"),
+        F.coalesce(
+            F.sum(F.col("ca") * (2 * F.col("before") + F.col("t") + 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("r2x"),
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ties"),
+        F.max(F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")))
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u = (F.col("r2x") - n1 * (n1 + 1)) / 2.0
+    sigma2 = (n1.cast("double") * n2 / 12.0) * (
+        (n1 + n2 + 1)
+        - F.col("ties").cast("double") / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+    )
+    z_cond = (n1 > 0) & (n2 > 0) & (n1 + n2 > 1) & (sigma2 > 0)
+    z4 = F.round((u - n1.cast("double") * n2 / 2.0) / F.sqrt(sigma2), 4)
+    mw_row = mw.select(
+        F.lit("mann_whitney").alias("metric"),
+        n1.alias("n_treat"),
+        n2.alias("n_ctrl"),
+        F.when(n1 > 0, u).alias("estimate"),
+        F.when(z_cond, z4).alias("stat"),
+        F.when(z_cond, F.abs(z4) >= 1.96).alias("significant"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ks_row = mw.select(
+        F.lit("ks").alias("metric"),
+        n1.alias("n_treat"),
+        n2.alias("n_ctrl"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            F.round(F.col("d_num").cast("double") / (n1.cast("double") * n2), 6),
+        ).alias("estimate"),
+        F.col("d_num").cast("double").alias("stat"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            dec(F.col("d_num")) * F.col("d_num")
+            > _dec_floordiv_1e6(dec(F.lit(_KS_ALPHA05_SQ_E6)) * (n1 + n2) * n1 * n2),
+        ).alias("significant"),
+    )
+    return (
+        raw_row.unionAll(cuped_row).unionAll(mw_row).unionAll(ks_row)
+        .orderBy("metric")
+    )

@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_runtime_filter_pushdown",
     "text_trigram_persisted_index",
     "dedup_media_lsh",  # new in r8
+    "events_experiment_report",  # new in r8
     # -- tier 2: function block changed since last green row ----------
     "ann_bruteforce_topk",
     "dedup_embedding_cosine",
@@ -126,7 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_try_arithmetic",
     "scan_project",
     "agg_cube",
-    "ann_cosine_pandas_udf",
 )
 
 

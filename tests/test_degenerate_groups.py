@@ -59,6 +59,9 @@ DEGENERATE_KEYS = [
     "agg_approx_percentile",
     # r8: zero-byte payload pair => zero-norm cosine guard (both sides)
     "dedup_media_lsh",
+    # r8: composed report — same degenerate regimes as its constituents
+    # (zero-variance covariate, one-sided arms, all-tied values)
+    "events_experiment_report",
 ]
 
 
@@ -188,6 +191,8 @@ TIES_KEYS = [
     "stats_ols_multivariate",
     "stats_ks_test",
     "events_uplift_cuped",
+    # r8: the composed report inherits every constituent's tie regime
+    "events_experiment_report",
 ]
 
 

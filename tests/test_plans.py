@@ -1220,3 +1220,17 @@ def test_media_lsh_plan_is_bucketed_not_quadratic(spark):
     assert r.ops.count("MapInPandas") == 1, r.ops
     assert "CartesianProduct" not in r.ops, r.ops
     assert r.ops.count("InMemoryTableScan") >= 2, r.ops  # persisted feats
+
+
+def test_experiment_report_is_single_scan_composition(spark):
+    """events_experiment_report: ONE events scan feeds the persisted
+    per-user relation; all four statistics' branches read the cache
+    (>=4 InMemoryTableScans: pooled moments, two arm slices, the
+    two-sample value relation), the rank cumsums run band-partitioned,
+    and the small aggregates meet in broadcast joins — no sort-merge
+    join anywhere."""
+    r = _plan(spark, "events_experiment_report")
+    assert sum(1 for op in r.ops if op == "Scan") <= 1, r.ops
+    assert r.ops.count("InMemoryTableScan") >= 4, r.ops
+    assert "hashpartitioning(band" in r.text
+    assert r.n_sortmerge_joins == 0, r.ops
