@@ -457,6 +457,7 @@ def _sql_dot(x: str, y: str) -> str:
 
 @register(
     "dedup_media_lsh",
+    bench=True,
     oracle=f"""
     {_media_feature_sql()},
     keyed AS (

@@ -1969,6 +1969,7 @@ _KS_ALPHA05_SQ_E6 = 1844164
 
 @register(
     "events_experiment_report",
+    bench=True,
     oracle="""
     WITH per_user AS (
       SELECT user_id, user_id % 2 AS arm,

@@ -1102,13 +1102,14 @@ def test_offset_diff_single_decode_no_join(spark):
 
 def test_mann_whitney_window_is_value_bounded(spark):
     """stats_mann_whitney_u: the fact-sized work is ONE map-side-combined
-    groupBy onto the distinct-cents relation; the global rank window and
-    final reduce run on that value-cardinality-bounded relation.  No
-    joins anywhere; no Python."""
+    groupBy onto the distinct-cents relation; the rank cumsums run as
+    the r8 BANDED prefix sum (within-band window hash-partitioned on
+    band, cross-band offsets broadcast-joined from the <=127-row band
+    summary — the only join).  No Python anywhere."""
     r = _plan(spark, "stats_mann_whitney_u")
-    assert not any("Join" in o for o in r.ops), r.ops
-    assert r.ops.count("Window") == 1, r.ops
-    assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
+    assert r.n_sortmerge_joins == 0, r.ops
+    assert r.n_broadcast_joins == 1, r.ops  # band-offset summary only
+    assert "hashpartitioning(band" in r.text
     assert "BatchEvalPython" not in r.text
 
 
@@ -1157,12 +1158,13 @@ def test_runtime_filter_reaches_fact_scan(spark):
 
 def test_ks_test_window_is_value_bounded(spark):
     """stats_ks_test: same decomposition contract as Mann-Whitney — one
-    fact groupBy onto the distinct-cents relation, ONE window on that
-    value-bounded relation, broadcast-only joins for the 1-row reduces."""
+    fact groupBy onto the distinct-cents relation, then the r8 banded
+    prefix sum (band-partitioned within-band window + broadcast-joined
+    band-summary offsets), broadcast-only joins for the 1-row reduces."""
     r = _plan(spark, "stats_ks_test")
-    assert r.ops.count("Window") == 1, r.ops
     assert r.n_sortmerge_joins == 0, r.ops
-    assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
+    assert r.n_broadcast_joins == 1, r.ops  # band-offset summary only
+    assert "hashpartitioning(band" in r.text
     assert "BatchEvalPython" not in r.text
 
 
