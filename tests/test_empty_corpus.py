@@ -125,6 +125,9 @@ EMPTY_SLICE = [
     "stats_ks_test",
     "events_uplift_cuped",
     "corpus_quality_prefilter_funnel",
+    # r8 additions
+    "dedup_media_lsh",
+    "events_experiment_report",
 ]
 
 

@@ -211,6 +211,52 @@ def test_ks_numerator_matches_brute_force_cdf_scan(spark, rows):
     assert got == ref
 
 
+signed_counts_strategy = st.lists(
+    st.tuples(
+        # SIGNED values — the fixtures' cent domains are nonnegative, so
+        # without this the banding's negative branch would never run
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.integers(min_value=0, max_value=5),  # ca
+        st.integers(min_value=0, max_value=5),  # cb
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rows=signed_counts_strategy)
+def test_banded_rank_cums_equal_naive_global_window(spark, rows):
+    """_banded_rank_cums (the r8 distributed two-phase prefix sum) must
+    be BIT-IDENTICAL to the naive unpartitioned ORDER BY v window for
+    any signed distinct-value relation — including negative values and
+    magnitudes past 2^32, which no fixture produces (event cents are
+    nonnegative): the signed-bit-length bands must order and partition
+    the full BIGINT axis correctly."""
+    from mysql_postgres_debezium_cdc_spark.operators.stats import (
+        _banded_rank_cums,
+    )
+
+    rows = [r for r in rows if r[1] + r[2] > 0]
+    if not rows:
+        return
+    vals = spark.createDataFrame(rows, "v bigint, ca bigint, cb bigint")
+    got = {
+        r["v"]: (r["before"], r["c1"], r["c2"], r["t1"], r["t2"])
+        for r in _banded_rank_cums(vals).collect()
+    }
+    rows.sort()
+    t1 = sum(ca for _, ca, _ in rows)
+    t2 = sum(cb for _, _, cb in rows)
+    before = c1 = c2 = 0
+    for v, ca, cb in rows:
+        c1 += ca
+        c2 += cb
+        assert got[v] == (before, c1, c2, t1, t2), (v, got[v])
+        before += ca + cb
+
+
 # ---------------------------------------------------------------------------
 # OLS normal-equation identities (the r7 ADVICE finding: engine and
 # oracle shared a WRONG Cramer cofactor in det_b1, so oracle parity was
