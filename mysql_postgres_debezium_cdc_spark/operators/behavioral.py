@@ -2263,3 +2263,83 @@ def events_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_row.unionAll(cuped_row).unionAll(mw_row).unionAll(ks_row)
         .orderBy("metric")
     )
+
+
+# χ²(1 dof) critical value at α=0.001 scaled to 1e6-ths: SRM checks run
+# at a much stricter alpha than effect tests because a true mismatch is
+# an instrumentation BUG, not a hypothesis (Fabijan et al. 2019).
+_SRM_CHI2_001_E6 = 10_827_566  # round(10.827566... * 1e6)
+
+
+@register(
+    "events_srm_check",
+    oracle=f"""
+    WITH arms AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS nt,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS nc
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    )
+    SELECT nt AS n_treat, nc AS n_ctrl,
+           CASE WHEN nt + nc > 0 THEN
+             ROUND(CAST(nt AS DOUBLE) / (nt + nc), 6) END AS ratio_treat,
+           CASE WHEN nt + nc > 0 THEN
+             ROUND(CAST((nt - nc) * (nt - nc) AS DOUBLE) / (nt + nc), 4)
+           END AS chi2,
+           CASE WHEN nt + nc > 0 THEN
+             CAST((nt - nc) AS HUGEINT) * (nt - nc) * 1000000
+               > CAST({_SRM_CHI2_001_E6} AS HUGEINT) * (nt + nc)
+           END AS srm_detected
+    FROM arms
+    """,
+    tags=("behavioral", "stats", "experiment", "dq"),
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-health gate run
+    BEFORE reading any effect metric (Fabijan et al. 2019: a skewed
+    assignment ratio means broken instrumentation, and every downstream
+    statistic is garbage).  Under the 50/50 user_id % 2 assignment of
+    [[events_experiment_report]], the goodness-of-fit χ² with 1 dof
+    collapses to (nt − nc)²/(nt + nc), tested at the strict α = 0.001
+    convention.
+
+    Exactness device: the verdict is EXACT INTEGER arithmetic —
+    (nt−nc)²·10⁶ > 10827566·(nt+nc) in HUGEINT/DECIMAL(38,0) (no
+    rearrangement needed: (nt−nc)²·10⁶ ≤ 10³⁸ holds to ~3×10¹²
+    users, far past any real experiment) — and χ²/ratio are 4dp/6dp
+    presentation rounds over exact counts.  Zero enrolled users →
+    NULL everything under identical guards.
+
+    Scale shape: one DISTINCT over (user-bounded) ids — the same
+    map-side-combined shape as [[events_cumulative_unique_users]] —
+    then a 1-row conditional count.  No window, no join."""
+    arms = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .agg(
+            F.count(F.when(F.col("user_id") % 2 == 1, 1))
+            .cast("bigint")
+            .alias("nt"),
+            F.count(F.when(F.col("user_id") % 2 == 0, 1))
+            .cast("bigint")
+            .alias("nc"),
+        )
+    )
+    nt, nc = F.col("nt"), F.col("nc")
+    tot = nt + nc
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return arms.select(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        F.when(tot > 0, F.round(nt.cast("double") / tot, 6)).alias("ratio_treat"),
+        F.when(
+            tot > 0,
+            F.round(((nt - nc) * (nt - nc)).cast("double") / tot, 4),
+        ).alias("chi2"),
+        F.when(
+            tot > 0,
+            dec(nt - nc) * (nt - nc) * 1000000
+            > dec(F.lit(_SRM_CHI2_001_E6)) * tot,
+        ).alias("srm_detected"),
+    )

@@ -1093,3 +1093,131 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _dec_floordiv_1e6(dec(F.lit(1844164)) * (n1 + n2) * n1 * n2),
         ).alias("significant_05"),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS ca,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS cb
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY v
+    ),
+    s AS (
+      SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(v * ca), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(v * cb), 0) AS BIGINT) AS s2,
+             CAST(COALESCE(SUM(v * v * ca), 0) AS BIGINT) AS ss1,
+             CAST(COALESCE(SUM(v * v * cb), 0) AS BIGINT) AS ss2
+      FROM vals
+    ),
+    d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1) * n1) AS se1,
+             (CAST(n2 AS DOUBLE) * ss2 - CAST(s2 AS DOUBLE) * s2)
+               / (CAST(n2 AS DOUBLE) * (n2 - 1) * n2) AS se2
+      FROM s
+      WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT n1 AS n_purchase, n2 AS n_click,
+           ROUND((m1 - m2) / 100.0, 4) AS mean_diff,
+           CASE WHEN se1 + se2 > 0 THEN
+             ROUND((m1 - m2) / SQRT(se1 + se2), 4) END AS t_stat,
+           CASE WHEN se1 + se2 > 0 AND se1 * se1 * (n2 - 1)
+                 + se2 * se2 * (n1 - 1) > 0 THEN
+             ROUND((se1 + se2) * (se1 + se2)
+                   * (CAST(n1 AS DOUBLE) - 1) * (n2 - 1)
+                   / (se1 * se1 * (n2 - 1) + se2 * se2 * (n1 - 1)), 2)
+           END AS dof,
+           CASE WHEN se1 + se2 > 0 THEN
+             ABS(ROUND((m1 - m2) / SQRT(se1 + se2), 4)) >= 1.96 END
+             AS significant_05
+    FROM d
+    """,
+    tags=("stats", "agg"),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (purchase vs click values) — the
+    parametric member of the two-sample battery: [[stats_mann_whitney_u]]
+    tests location ranks, [[stats_ks_test]] tests shape, this tests the
+    MEAN difference with the Welch-Satterthwaite effective dof, the
+    recommended default over Student's pooled test (Welch 1947; Ruxton
+    2006).
+
+    Exactness device: the same distinct-cents relation as the rank
+    family — per-value counts give exact BIGINT power sums (Σv·c,
+    Σv²·c), and means/variances/t/dof derive in ONE fixed double tree,
+    identical both engines, 4dp/2dp presentation rounds.  The
+    large-sample |t| ≥ 1.96 verdict compares the ROUNDED t, so both
+    engines compare the identical double.  Guards (both sides): n < 2
+    on either side emits zero rows (no variance estimate exists);
+    zero pooled standard error → NULL t/dof/verdict.
+
+    Scale shape: one map-side-combined groupBy onto the distinct-cents
+    grid, one 1-row reduce — NO window at all (unlike the rank pair,
+    Welch needs no cumulative pass).  Width horizon: Σv²·c at 1e6-cent
+    values reaches BIGINT at ~9×10⁶ rows/value-group; the documented
+    DECIMAL(18,0) widening of [[stats_regression_by_group]] applies
+    verbatim if a corpus-scale cohort needs it, and ANSI errors loudly
+    rather than wrapping below that."""
+    vals = _purchase_click_value_counts(spark, sf_dir)
+    s = vals.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n2"),
+        F.coalesce(F.sum(F.col("v") * F.col("ca")), F.lit(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.coalesce(F.sum(F.col("v") * F.col("cb")), F.lit(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.coalesce(F.sum(F.col("v") * F.col("v") * F.col("ca")), F.lit(0))
+        .cast("bigint")
+        .alias("ss1"),
+        F.coalesce(F.sum(F.col("v") * F.col("v") * F.col("cb")), F.lit(0))
+        .cast("bigint")
+        .alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    se1 = (n1.cast("double") * F.col("ss1") - F.col("s1").cast("double") * F.col("s1")) / (
+        n1.cast("double") * (n1 - 1) * n1
+    )
+    se2 = (n2.cast("double") * F.col("ss2") - F.col("s2").cast("double") * F.col("s2")) / (
+        n2.cast("double") * (n2 - 1) * n2
+    )
+    d = s.where((n1 >= 2) & (n2 >= 2)).select(
+        "n1", "n2", m1.alias("m1"), m2.alias("m2"), se1.alias("se1"), se2.alias("se2")
+    )
+    se = F.col("se1") + F.col("se2")
+    t4 = F.round((F.col("m1") - F.col("m2")) / F.sqrt(se), 4)
+    dof_den = F.col("se1") * F.col("se1") * (F.col("n2") - 1) + F.col("se2") * F.col(
+        "se2"
+    ) * (F.col("n1") - 1)
+    return d.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.round((F.col("m1") - F.col("m2")) / 100.0, 4).alias("mean_diff"),
+        F.when(se > 0, t4).alias("t_stat"),
+        F.when(
+            (se > 0) & (dof_den > 0),
+            F.round(
+                se
+                * se
+                * (F.col("n1").cast("double") - 1)
+                * (F.col("n2") - 1)
+                / dof_den,
+                2,
+            ),
+        ).alias("dof"),
+        F.when(se > 0, F.abs(t4) >= 1.96).alias("significant_05"),
+    )

@@ -87,6 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_trigram_persisted_index",
     "dedup_media_lsh",  # new in r8
     "events_experiment_report",  # new in r8
+    "stats_welch_ttest",  # new in r8
+    "events_srm_check",  # new in r8
     # -- tier 2: function block changed since last green row ----------
     "ann_bruteforce_topk",
     "dedup_embedding_cosine",
@@ -125,8 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_string_split_tokens",
     "udf_pandas_scalar_tax",
     "fn_try_arithmetic",
-    "scan_project",
-    "agg_cube",
 )
 
 

@@ -62,6 +62,10 @@ DEGENERATE_KEYS = [
     # r8: composed report — same degenerate regimes as its constituents
     # (zero-variance covariate, one-sided arms, all-tied values)
     "events_experiment_report",
+    # r8: empty purchase/click slice => zero rows (no variance exists);
+    # zero enrolled users is covered by the empty-corpus sweep
+    "stats_welch_ttest",
+    "events_srm_check",
 ]
 
 
@@ -193,6 +197,8 @@ TIES_KEYS = [
     "events_uplift_cuped",
     # r8: the composed report inherits every constituent's tie regime
     "events_experiment_report",
+    # r8: constant values => zero variance => NULL t under both engines
+    "stats_welch_ttest",
 ]
 
 

@@ -128,6 +128,8 @@ EMPTY_SLICE = [
     # r8 additions
     "dedup_media_lsh",
     "events_experiment_report",
+    "stats_welch_ttest",
+    "events_srm_check",
 ]
 
 

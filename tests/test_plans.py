@@ -1236,3 +1236,19 @@ def test_experiment_report_is_single_scan_composition(spark):
     assert r.ops.count("InMemoryTableScan") >= 4, r.ops
     assert "hashpartitioning(band" in r.text
     assert r.n_sortmerge_joins == 0, r.ops
+
+
+def test_welch_and_srm_are_single_reduce_no_window(spark):
+    """stats_welch_ttest / events_srm_check: pure sufficient-statistic
+    shapes — one map-side-combined keyed shuffle onto the bounded
+    relation (distinct cents / distinct users), a 1-row reduce, and
+    NOTHING else: no window, no join, no Python."""
+    for key in ("stats_welch_ttest", "events_srm_check"):
+        r = _plan(spark, key)
+        assert "Window" not in r.ops, (key, r.ops)
+        assert not any("Join" in o for o in r.ops), (key, r.ops)
+        assert "BatchEvalPython" not in r.text, key
+        assert r.text.count("Arguments: hashpartitioning") == 1, (
+            key,
+            "one keyed shuffle",
+        )
