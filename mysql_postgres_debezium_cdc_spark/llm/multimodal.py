@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from mysql_postgres_debezium_cdc_spark.registry import register
@@ -439,9 +439,10 @@ MEDIA_LSH_BUCKET_WIDTH = 64
 def _media_feature_sql() -> str:
     """DuckDB CTE body computing the 8-dim byte-histogram ppm feature
     as a BIGINT list — byte-exact mirror of ``decode_media(fake=True)``
-    over the RFC 3629 reconstructed byte stream."""
+    over the RFC 3629 reconstructed byte stream.  Returns a CTE CHAIN
+    (no leading WITH) so callers can prepend WITH or WITH RECURSIVE."""
     return f"""
-    WITH {_UTF8_BYTES_CTE},
+    {_UTF8_BYTES_CTE},
     f AS (
       SELECT doc_id,
              [CAST(LEN(LIST_FILTER(bs, v -> v % 8 = k)) * 1000000
@@ -451,14 +452,12 @@ def _media_feature_sql() -> str:
     )"""
 
 
-def _sql_dot(x: str, y: str) -> str:
-    return " + ".join(f"{x}.f[{i}] * {y}.f[{i}]" for i in range(1, 9))
-
-
-@register(
-    "dedup_media_lsh",
-    bench=True,
-    oracle=f"""
+def _media_pairs_ctes() -> str:
+    """The full near-dup pair pipeline as a composable CTE chain ending
+    in ``media_pairs`` (doc_a, doc_b, dot, na, nb — verdict applied):
+    the exact SQL the certified dedup_media_lsh oracle runs, shared so
+    composed oracles (clusters) cannot drift from the pair oracle."""
+    return f"""
     {_media_feature_sql()},
     keyed AS (
       SELECT doc_id,
@@ -492,15 +491,30 @@ def _sql_dot(x: str, y: str) -> str:
       FROM cand c
       JOIN f x ON x.doc_id = c.doc_a
       JOIN f y ON y.doc_id = c.doc_b
-    )
+    ),
+    media_pairs AS (
+      SELECT doc_a, doc_b, dot, na, nb
+      FROM scored
+      WHERE na > 0 AND nb > 0
+        AND CAST(dot AS HUGEINT) * dot * 100000000
+            >= CAST({MEDIA_LSH_THRESH_SQ_E8} AS HUGEINT) * na * nb
+    )"""
+
+
+def _sql_dot(x: str, y: str) -> str:
+    return " + ".join(f"{x}.f[{i}] * {y}.f[{i}]" for i in range(1, 9))
+
+
+@register(
+    "dedup_media_lsh",
+    bench=True,
+    oracle=f"""
+    WITH {_media_pairs_ctes()}
     SELECT doc_a, doc_b,
            ROUND(CAST(dot AS DOUBLE)
                  / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))),
                  4) AS cos_sim
-    FROM scored
-    WHERE na > 0 AND nb > 0
-      AND CAST(dot AS HUGEINT) * dot * 100000000
-          >= CAST({MEDIA_LSH_THRESH_SQ_E8} AS HUGEINT) * na * nb
+    FROM media_pairs
     ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup", "multimodal", "lsh"),
@@ -621,4 +635,53 @@ def dedup_media_lsh(
             ).alias("cos_sim"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_media_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_media_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM media_pairs
+      UNION SELECT doc_b, doc_a FROM media_pairs
+    ),
+    walk(node, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT w.node, e2.b FROM walk w JOIN edges e2 ON w.reach = e2.a
+    )
+    SELECT node AS doc_id, MIN(reach) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY MIN(reach)) AS cluster_size
+    FROM walk GROUP BY node
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "multimodal", "graph"),
+)
+def dedup_media_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media duplicate CLUSTERS — the output-bounded form of
+    [[dedup_media_lsh]], and the reporting shape to USE when media
+    duplicates are the norm (re-encodes, thumbnails, mirrored uploads):
+    a duplicate family of k payloads costs k(k−1)/2 rows as pairs but
+    only k rows as cluster labels, the exact lesson the r4 embedding
+    10× probe measured (PLANS.md).  LSH-verified pairs feed the same
+    pointer-jumping connected-components loop as the text and embedding
+    families (property-tested against a union-find oracle); output is
+    (doc_id, canonical cluster id, cluster size) for every payload with
+    at least one perceptual near-duplicate.  The oracle embeds the
+    certified pair pipeline verbatim (`_media_pairs_ctes`) plus a
+    recursive reachability walk, so the cluster check cannot drift from
+    the pair check."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import connected_components
+
+    pairs = dedup_media_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("component_id").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
     )

@@ -66,6 +66,7 @@ DEGENERATE_KEYS = [
     # zero enrolled users is covered by the empty-corpus sweep
     "stats_welch_ttest",
     "events_srm_check",
+    "dedup_media_clusters",
 ]
 
 

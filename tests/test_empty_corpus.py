@@ -130,6 +130,7 @@ EMPTY_SLICE = [
     "events_experiment_report",
     "stats_welch_ttest",
     "events_srm_check",
+    "dedup_media_clusters",
 ]
 
 
