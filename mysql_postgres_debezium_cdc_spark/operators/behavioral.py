@@ -2343,3 +2343,109 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             > dec(F.lit(_SRM_CHI2_001_E6)) * tot,
         ).alias("srm_detected"),
     )
+
+
+@register(
+    "events_proportion_ztest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS nt,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(conv) FILTER (WHERE arm = 1), 0) AS BIGINT)
+               AS ct,
+             CAST(COALESCE(SUM(conv) FILTER (WHERE arm = 0), 0) AS BIGINT)
+               AS cc
+      FROM per_user
+    )
+    SELECT nt AS n_treat, nc AS n_ctrl, ct AS conv_treat, cc AS conv_ctrl,
+           CASE WHEN nt > 0 AND nc > 0 THEN
+             ROUND(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc, 6)
+           END AS rate_diff,
+           CASE WHEN nt > 0 AND nc > 0
+                 AND (ct + cc) * (nt + nc - ct - cc) > 0 THEN
+             ROUND((CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)
+                   / SQRT((CAST(ct + cc AS DOUBLE) / (nt + nc))
+                          * (1.0 - CAST(ct + cc AS DOUBLE) / (nt + nc))
+                          * (1.0 / nt + 1.0 / nc)), 4)
+           END AS z_score,
+           CASE WHEN nt > 0 AND nc > 0
+                 AND (ct + cc) * (nt + nc - ct - cc) > 0 THEN
+             ABS(ROUND((CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)
+                   / SQRT((CAST(ct + cc AS DOUBLE) / (nt + nc))
+                          * (1.0 - CAST(ct + cc AS DOUBLE) / (nt + nc))
+                          * (1.0 / nt + 1.0 / nc)), 4)) >= 1.96
+           END AS significant_05
+    FROM arms
+    """,
+    tags=("behavioral", "stats", "experiment"),
+)
+def events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on CONVERSION (did the user purchase at
+    all?) between the user_id % 2 arms — the binary-outcome member of
+    the experimentation battery: [[stats_welch_ttest]] tests means,
+    [[stats_mann_whitney_u]] ranks, [[stats_ks_test]] shape, this
+    tests the conversion RATE, the metric most product experiments
+    actually gate on.  Pooled-variance form (the standard score test):
+    z = (p̂₁−p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂)).
+
+    Exactness device: all four counts are exact BIGINTs from one
+    per-user reduce; rates and z derive in a fixed double tree
+    (6dp/4dp presentation rounds), and the verdict compares the
+    ROUNDED z so both engines compare the identical double.  Guards
+    (both sides): an empty arm, or a pooled rate of exactly 0 or 1
+    (zero variance — nobody or everybody converted), yields NULL
+    z/verdict — the `(ct+cc)·(n−ct−cc) > 0` integer predicate, never
+    a float-equality test.
+
+    Scale shape: one map-side-combined groupBy onto the user-bounded
+    relation, one 1-row conditional-count reduce.  No window, no
+    join."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "conv")
+    )
+    arms = per_user.agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("conv"))), F.lit(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("conv"))), F.lit(0))
+        .cast("bigint")
+        .alias("cc"),
+    )
+    nt, nc, ct, cc = F.col("nt"), F.col("nc"), F.col("ct"), F.col("cc")
+    diff = ct.cast("double") / nt - cc.cast("double") / nc
+    pooled = (ct + cc).cast("double") / (nt + nc)
+    z4 = F.round(
+        diff
+        / F.sqrt(
+            pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / nt + F.lit(1.0) / nc)
+        ),
+        4,
+    )
+    both = (nt > 0) & (nc > 0)
+    var_pos = (ct + cc) * (nt + nc - ct - cc) > 0
+    return arms.select(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        ct.alias("conv_treat"),
+        cc.alias("conv_ctrl"),
+        F.when(both, F.round(diff, 6)).alias("rate_diff"),
+        F.when(both & var_pos, z4).alias("z_score"),
+        F.when(both & var_pos, F.abs(z4) >= 1.96).alias("significant_05"),
+    )

@@ -131,6 +131,7 @@ EMPTY_SLICE = [
     "stats_welch_ttest",
     "events_srm_check",
     "dedup_media_clusters",
+    "events_proportion_ztest",
 ]
 
 

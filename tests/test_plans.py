@@ -1243,7 +1243,7 @@ def test_welch_and_srm_are_single_reduce_no_window(spark):
     shapes — one map-side-combined keyed shuffle onto the bounded
     relation (distinct cents / distinct users), a 1-row reduce, and
     NOTHING else: no window, no join, no Python."""
-    for key in ("stats_welch_ttest", "events_srm_check"):
+    for key in ("stats_welch_ttest", "events_srm_check", "events_proportion_ztest"):
         r = _plan(spark, key)
         assert "Window" not in r.ops, (key, r.ops)
         assert not any("Join" in o for o in r.ops), (key, r.ops)
