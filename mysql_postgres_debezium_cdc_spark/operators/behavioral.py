@@ -2120,16 +2120,25 @@ def events_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the two-sample distinct-value relation).  Rank cumsums run
     through the banded prefix sum (`_banded_rank_cums`); everything
     downstream is 1-2-row aggregates meeting in broadcast joins."""
-    from mysql_postgres_debezium_cdc_spark.operators.stats import (
-        _banded_rank_cums,
-        _dec_floordiv_1e6,
+    per_user = (
+        _experiment_per_user(load(spark, sf_dir, "events"))
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+        .persist()
     )
+    return _experiment_report_from_per_user(per_user)
 
+
+def _experiment_per_user(events: DataFrame) -> DataFrame:
+    """Per-user pre/post cent sums + deterministic arm — the additive
+    sufficient-statistic relation the experiment report derives from.
+    ADDITIVE is the design point: (x, y) sums merge across arbitrary
+    event partitions/micro-batches by plain summation, which is what
+    lets [[stream_experiment_snapshot]] maintain the state
+    incrementally and still equal the one-shot batch answer exactly."""
     cut = F.lit("2024-01-16").cast("timestamp")
     cents = F.round(F.col("value") * 100).cast("bigint")
-    per_user = (
-        load(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    return (
+        events.where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0))
@@ -2139,9 +2148,19 @@ def events_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("y"),
         )
-        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
-        .persist()
     )
+
+
+def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
+    """The report math downstream of the per-user relation — shared by
+    the batch key and its streaming twin so the two CANNOT diverge.
+    ``per_user`` carries (arm, x, y); see events_experiment_report for
+    the statistics and their exactness devices."""
+    from mysql_postgres_debezium_cdc_spark.operators.stats import (
+        _banded_rank_cums,
+        _dec_floordiv_1e6,
+    )
+
     pooled = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").alias("sx"),
@@ -2449,3 +2468,105 @@ def events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(both & var_pos, z4).alias("z_score"),
         F.when(both & var_pos, F.abs(z4) >= 1.96).alias("significant_05"),
     )
+
+
+STREAM_EXP_SLICES = 4  # staged event files = streaming micro-batches
+
+
+@register(
+    "stream_experiment_snapshot",
+    oracle="{REPORT}",  # bound below: the batch report's oracle certifies it
+    tags=("behavioral", "stats", "experiment", "streaming"),
+)
+def stream_experiment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE STREAMING twin of [[events_experiment_report]] — the
+    always-current experiment dashboard: events arrive as a real
+    Structured Streaming file source in STREAM_EXP_SLICES micro-batches
+    (maxFilesPerTrigger=1 over range-split slices) and each foreachBatch
+    folds its batch's per-user (x, y) cent sums into a persisted state
+    generation by PLAIN ADDITION — the additivity
+    [[_experiment_per_user]] is designed around.  The drained state is
+    therefore exactly the one-shot per-user relation regardless of how
+    events were sliced, so the final snapshot equals the batch report
+    BIT-FOR-BIT and the batch key's DuckDB oracle certifies the
+    streaming path end-to-end (the stream/batch-twin device of
+    [[stream_incremental_dedup]]).
+
+    Scale shape: per-micro-batch cost is O(batch) for the batch-local
+    sums plus O(|users|) for the state merge — the corpus is never
+    re-scanned.  At 100 TB the state merge is the textbook keyed
+    MERGE a real deployment would run against a Delta state table
+    (same protocol as the CDC state sink); the report math downstream
+    reads only the user-bounded state."""
+    import tempfile
+    import uuid
+
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    def _write_slices(p: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .repartitionByRange(STREAM_EXP_SLICES, "event_id")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    slices = materialize_once(sf_dir, "exp_stream_slices", _write_slices)
+    schema = spark.read.parquet(slices).schema
+
+    run = (
+        f"{tempfile.gettempdir()}/spark_graft_stream_exp_"
+        f"{spark.sparkContext.applicationId}_{uuid.uuid4().hex}"
+    )
+    state0 = f"{run}/state_seed"
+    spark.createDataFrame([], "user_id bigint, x bigint, y bigint").write.mode(
+        "overwrite"
+    ).parquet(state0)
+    latest = {"path": state0}
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merged = (
+            spark.read.parquet(latest["path"])
+            .unionAll(_experiment_per_user(batch_df))
+            .groupBy("user_id")
+            .agg(
+                F.sum("x").cast("bigint").alias("x"),
+                F.sum("y").cast("bigint").alias("y"),
+            )
+        )
+        new_path = f"{run}/state_{batch_id}"
+        merged.write.mode("overwrite").parquet(new_path)
+        latest["path"] = new_path
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+        .writeStream.foreachBatch(_fold_batch)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per_user = (
+        spark.read.parquet(latest["path"])
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+        .persist()
+    )
+    return _experiment_report_from_per_user(per_user)
+
+
+def _bind_stream_experiment_oracle() -> None:
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["stream_experiment_snapshot"]
+    object.__setattr__(
+        spec,
+        "oracle",
+        spec.oracle.replace(
+            "{REPORT}", _REGISTRY["events_experiment_report"].oracle
+        ),
+    )
+
+
+_bind_stream_experiment_oracle()

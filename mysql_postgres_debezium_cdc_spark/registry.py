@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_srm_check",  # new in r8
     "dedup_media_clusters",  # new in r8
     "events_proportion_ztest",  # new in r8
+    "stream_experiment_snapshot",  # new in r8
     # -- tier 2: function block changed since last green row ----------
     "ann_bruteforce_topk",
     "dedup_embedding_cosine",
@@ -126,7 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_array_ops",
     "fn_json_extract",
     "fn_variant_json",
-    "fn_string_split_tokens",
 )
 
 

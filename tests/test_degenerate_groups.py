@@ -69,6 +69,8 @@ DEGENERATE_KEYS = [
     "dedup_media_clusters",
     # r8: degenerate fixture has zero purchase users => pooled rate 0
     "events_proportion_ztest",
+    # r8: streaming twin must equal the batch report on every fixture
+    "stream_experiment_snapshot",
 ]
 
 

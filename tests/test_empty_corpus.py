@@ -132,6 +132,7 @@ EMPTY_SLICE = [
     "events_srm_check",
     "dedup_media_clusters",
     "events_proportion_ztest",
+    "stream_experiment_snapshot",
 ]
 
 
