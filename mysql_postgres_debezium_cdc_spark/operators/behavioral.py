@@ -2497,7 +2497,12 @@ def stream_experiment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanned.  At 100 TB the state merge is the textbook keyed
     MERGE a real deployment would run against a Delta state table
     (same protocol as the CDC state sink); the report math downstream
-    reads only the user-bounded state."""
+    reads only the user-bounded state.  Durability note: the
+    generation pointer here is run-local (the key demonstrates
+    single-run equivalence); surviving a driver restart requires the
+    state in a transactional table keyed by batch_id — exactly what
+    the Delta state sink (streaming/cdc.py) provides — so replayed
+    batches MERGE idempotently instead of refolding."""
     import tempfile
     import uuid
 
