@@ -557,8 +557,6 @@ def dedup_media_lsh(
     buckets far wider) — then a candidates-sized join back to the
     8-int feature relation.  The feature relation is persisted: the
     bucket pass and both verify-join sides consume it."""
-    from mysql_postgres_debezium_cdc_spark.llm.dedup import _pairs_from_bucket
-
     feats = (
         extract_features(media_table(spark, sf_dir), fake=True)
         .select(
@@ -567,6 +565,21 @@ def dedup_media_lsh(
         )
         .persist()
     )
+    return _media_pairs_from_features(feats, max_bucket_width=max_bucket_width)
+
+
+def _media_pairs_from_features(
+    feats: DataFrame, max_bucket_width: int | None = MEDIA_LSH_BUCKET_WIDTH
+) -> DataFrame:
+    """Grid-LSH bucket → candidate → exact-integer-verdict pipeline over
+    a persisted-or-inline (doc_id, f: array<bigint>) feature relation —
+    shared by [[dedup_media_lsh]] (inline featurize) and
+    [[dedup_media_lsh_persisted]] (warm index read), so the serving
+    twin cannot drift from the certified inline path.  ``feats`` must
+    already be persisted by the caller (bucket pass + both verify-join
+    sides consume it)."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _pairs_from_bucket
+
     keys = []
     for band in (0, 1):
         for off in (0, MEDIA_LSH_GRID // 2):
@@ -685,3 +698,51 @@ def dedup_media_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_media_lsh_persisted",
+    # identical result contract to the inline key — same oracle
+    oracle=f"""
+    WITH {_media_pairs_ctes()}
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))),
+                 4) AS cos_sim
+    FROM media_pairs
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "multimodal", "lsh", "serving"),
+)
+def dedup_media_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING tier of [[dedup_media_lsh]]: featurize ONCE, persist
+    the (doc_id, 8×BIGINT) feature index as parquet, and answer warm
+    near-dup queries from the index — the same persisted-index twin
+    device as [[text_trigram_persisted_index]] and
+    [[ann_ivfpq_persisted_index]].  At 100 TB this is the difference
+    between re-decoding every blob per query (the featurizer touches
+    every payload byte through a Python worker) and a pure-JVM pipeline
+    over a ~64 B/payload columnar index: the warm plan contains ZERO
+    Python crossings and never reads the blob column (plan-asserted).
+
+    The index is written via materialize_once (staged write + atomic
+    rename, keyed by fixture fingerprint — the repo's race/staleness
+    device); the query path is `_media_pairs_from_features`, the
+    IDENTICAL pipeline the inline key runs, so the twin is bit-identical
+    by construction and the same oracle certifies both."""
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    def _write_index(p: str) -> None:
+        (
+            extract_features(media_table(spark, sf_dir), fake=True)
+            .select(
+                "doc_id",
+                F.transform("features", lambda x: x.cast("bigint")).alias("f"),
+            )
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    index_path = materialize_once(sf_dir, "media_feat_index", _write_index)
+    feats = spark.read.parquet(index_path).persist()
+    return _media_pairs_from_features(feats)

@@ -71,6 +71,8 @@ DEGENERATE_KEYS = [
     "events_proportion_ztest",
     # r8: streaming twin must equal the batch report on every fixture
     "stream_experiment_snapshot",
+    # r8: warm index path over the zero-byte-pair fixture
+    "dedup_media_lsh_persisted",
 ]
 
 

@@ -133,6 +133,7 @@ EMPTY_SLICE = [
     "dedup_media_clusters",
     "events_proportion_ztest",
     "stream_experiment_snapshot",
+    "dedup_media_lsh_persisted",
 ]
 
 

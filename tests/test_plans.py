@@ -1252,3 +1252,15 @@ def test_welch_and_srm_are_single_reduce_no_window(spark):
             key,
             "one keyed shuffle",
         )
+
+
+def test_media_persisted_index_plan_has_no_python_or_blob_read(spark):
+    """dedup_media_lsh_persisted's warm plan must read the persisted
+    feature index only: ZERO Python crossings (the featurizer ran at
+    index-build time, outside the returned plan) and no scan of the
+    documents text/payload column anywhere."""
+    r = _plan(spark, "dedup_media_lsh_persisted")
+    assert "MapInPandas" not in r.ops, r.ops
+    assert "BatchEvalPython" not in r.text
+    assert "media_feat_index" in r.text, "warm path must scan the index"
+    assert "text" not in r.text.split("ReadSchema:")[-1][:200]
