@@ -568,18 +568,11 @@ def dedup_media_lsh(
     return _media_pairs_from_features(feats, max_bucket_width=max_bucket_width)
 
 
-def _media_pairs_from_features(
-    feats: DataFrame, max_bucket_width: int | None = MEDIA_LSH_BUCKET_WIDTH
-) -> DataFrame:
-    """Grid-LSH bucket → candidate → exact-integer-verdict pipeline over
-    a persisted-or-inline (doc_id, f: array<bigint>) feature relation —
-    shared by [[dedup_media_lsh]] (inline featurize) and
-    [[dedup_media_lsh_persisted]] (warm index read), so the serving
-    twin cannot drift from the certified inline path.  ``feats`` must
-    already be persisted by the caller (bucket pass + both verify-join
-    sides consume it)."""
-    from mysql_postgres_debezium_cdc_spark.llm.dedup import _pairs_from_bucket
-
+def _media_key_columns() -> list:
+    """The 4 grid-LSH bucket-key expressions (2 bands × 2 offset grids)
+    over a feature column ``f`` — shared by the inline/persisted pair
+    pipelines and the incremental probe so every path buckets
+    identically."""
     keys = []
     for band in (0, 1):
         for off in (0, MEDIA_LSH_GRID // 2):
@@ -598,7 +591,24 @@ def _media_pairs_from_features(
                     *[c.cast("string") for c in cells],
                 )
             )
-    keyed = feats.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+    return keys
+
+
+def _media_pairs_from_features(
+    feats: DataFrame, max_bucket_width: int | None = MEDIA_LSH_BUCKET_WIDTH
+) -> DataFrame:
+    """Grid-LSH bucket → candidate → exact-integer-verdict pipeline over
+    a persisted-or-inline (doc_id, f: array<bigint>) feature relation —
+    shared by [[dedup_media_lsh]] (inline featurize) and
+    [[dedup_media_lsh_persisted]] (warm index read), so the serving
+    twin cannot drift from the certified inline path.  ``feats`` must
+    already be persisted by the caller (bucket pass + both verify-join
+    sides consume it)."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _pairs_from_bucket
+
+    keyed = feats.select(
+        "doc_id", F.explode(F.array(*_media_key_columns())).alias("bkey")
+    )
     buckets = (
         keyed.groupBy("bkey")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -746,3 +756,163 @@ def dedup_media_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = materialize_once(sf_dir, "media_feat_index", _write_index)
     feats = spark.read.parquet(index_path).persist()
     return _media_pairs_from_features(feats)
+
+
+@register(
+    "dedup_media_incremental",
+    oracle=f"""
+    WITH {_media_feature_sql()},
+    keyed AS (
+      SELECT doc_id,
+             CONCAT_WS(',', band, off,
+               (f[band * 4 + 1] + off) // {MEDIA_LSH_GRID},
+               (f[band * 4 + 2] + off) // {MEDIA_LSH_GRID},
+               (f[band * 4 + 3] + off) // {MEDIA_LSH_GRID},
+               (f[band * 4 + 4] + off) // {MEDIA_LSH_GRID}) AS bkey
+      FROM f
+      CROSS JOIN (SELECT UNNEST([0, 1]) AS band)
+      CROSS JOIN (SELECT UNNEST([0, {MEDIA_LSH_GRID // 2}]) AS off)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS dup_doc
+      FROM keyed n JOIN keyed i ON n.bkey = i.bkey
+      WHERE n.doc_id % 10 = 3 AND i.doc_id % 10 <> 3
+    ),
+    scored AS (
+      SELECT c.new_doc, c.dup_doc,
+             {_sql_dot('x', 'y')} AS dot,
+             {_sql_dot('x', 'x')} AS na,
+             {_sql_dot('y', 'y')} AS nb
+      FROM cand c
+      JOIN f x ON x.doc_id = c.new_doc
+      JOIN f y ON y.doc_id = c.dup_doc
+    )
+    SELECT new_doc, dup_doc,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))),
+                 4) AS cos_sim
+    FROM scored
+    WHERE na > 0 AND nb > 0
+      AND CAST(dot AS HUGEINT) * dot * 100000000
+          >= CAST({MEDIA_LSH_THRESH_SQ_E8} AS HUGEINT) * na * nb
+    ORDER BY new_doc, dup_doc
+    """,
+    tags=("llm", "dedup", "multimodal", "incremental", "index"),
+)
+def dedup_media_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup against the PERSISTED media feature
+    index — the nightly-ingest shape for media: the existing corpus's
+    features and grid-LSH cells are written once per corpus version
+    (materialize_once), and each new batch (the deterministic
+    doc_id % 10 == 3 cohort, the [[dedup_minhash_incremental]] cohort
+    convention) featurizes ONLY its own payloads, probes the index's
+    cell relation for collisions, and exact-verifies only the colliding
+    (new, indexed) pairs with the same all-integer cosine verdict as
+    [[dedup_media_lsh]].
+
+    Scale shape: batch-side featurization touches only the batch's
+    blobs (the one Python crossing, batch-sized); the candidate probe
+    is an equi-join on the cell key against the index parquet; the
+    verify join reads only colliding index rows.  Per-batch cost is
+    O(batch + collisions), never O(corpus) — what makes continuous
+    media dedup affordable at 100 TB.  Features are exact integers, so
+    the parquet round-trip is lossless and the probe is bit-identical
+    to a from-scratch two-sided run: the oracle recomputes BOTH sides
+    from scratch and certifies the indexed path end-to-end."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import INCR_MOD, INCR_REM
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+
+    def _write_index(p: str) -> None:
+        feats = (
+            extract_features(
+                media_table(spark, sf_dir).where(
+                    F.col("doc_id") % INCR_MOD != INCR_REM
+                ),
+                fake=True,
+            )
+            .select(
+                "doc_id",
+                F.transform("features", lambda x: x.cast("bigint")).alias("f"),
+            )
+            .persist()
+        )
+        feats.write.mode("overwrite").parquet(f"{p}/features")
+        feats.select(
+            "doc_id", F.explode(F.array(*_media_key_columns())).alias("bkey")
+        ).write.mode("overwrite").parquet(f"{p}/cells")
+        feats.unpersist()
+        open(f"{p}/_SUCCESS", "w").close()
+
+    idx = materialize_once(sf_dir, "media_incr_index", _write_index)
+    idx_feats = spark.read.parquet(f"{idx}/features")
+    idx_cells = spark.read.parquet(f"{idx}/cells")
+
+    new_feats = (
+        extract_features(
+            media_table(spark, sf_dir).where(
+                F.col("doc_id") % INCR_MOD == INCR_REM
+            ),
+            fake=True,
+        )
+        .select(
+            "doc_id",
+            F.transform("features", lambda x: x.cast("bigint")).alias("f"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_cells = new_feats.select(
+        "doc_id", F.explode(F.array(*_media_key_columns())).alias("bkey")
+    )
+    cand = (
+        new_cells.select(F.col("doc_id").alias("new_doc"), "bkey")
+        .join(
+            idx_cells.select(F.col("doc_id").alias("dup_doc"), "bkey"), "bkey"
+        )
+        .select("new_doc", "dup_doc")
+        .distinct()
+    )
+    fa = new_feats.select(F.col("doc_id").alias("new_doc"), F.col("f").alias("fa"))
+    fb = idx_feats.select(F.col("doc_id").alias("dup_doc"), F.col("f").alias("fb"))
+
+    def _dotcol(x: str, y: str):
+        terms = [F.element_at(x, i) * F.element_at(y, i) for i in range(1, 9)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        cand.join(fa, "new_doc")
+        .join(fb, "dup_doc")
+        .select(
+            "new_doc",
+            "dup_doc",
+            _dotcol("fa", "fb").alias("dot"),
+            _dotcol("fa", "fa").alias("na"),
+            _dotcol("fb", "fb").alias("nb"),
+        )
+    )
+    return (
+        scored.where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (
+                dec(F.col("dot")) * F.col("dot") * 100000000
+                >= dec(F.lit(MEDIA_LSH_THRESH_SQ_E8)) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(
+            "new_doc",
+            "dup_doc",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("new_doc", "dup_doc")
+    )

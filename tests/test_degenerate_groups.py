@@ -73,6 +73,7 @@ DEGENERATE_KEYS = [
     "stream_experiment_snapshot",
     # r8: warm index path over the zero-byte-pair fixture
     "dedup_media_lsh_persisted",
+    "dedup_media_incremental",
 ]
 
 

@@ -134,6 +134,7 @@ EMPTY_SLICE = [
     "events_proportion_ztest",
     "stream_experiment_snapshot",
     "dedup_media_lsh_persisted",
+    "dedup_media_incremental",
 ]
 
 
