@@ -2575,3 +2575,169 @@ def _bind_stream_experiment_oracle() -> None:
 
 
 _bind_stream_experiment_oracle()
+
+
+@register(
+    "events_uplift_cuped_by_segment",
+    oracle="""
+    WITH seg_counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    seg AS (
+      SELECT user_id, event_type AS segment
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rn
+        FROM seg_counts
+      ) WHERE rn = 1
+    ),
+    per_user AS (
+      SELECT e.user_id, s.segment, e.user_id % 2 AS arm,
+             CAST(COALESCE(SUM(CASE WHEN e.ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(e.value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN e.ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(e.value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events e JOIN seg s ON s.user_id = e.user_id
+      WHERE e.value IS NOT NULL AND e.user_id IS NOT NULL
+      GROUP BY e.user_id, s.segment
+    ),
+    th AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+             CAST(COUNT(*) AS DOUBLE) * SUM(x * y)
+               - CAST(SUM(x) AS DOUBLE) * SUM(y) AS cov_n,
+             CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+               - CAST(SUM(x) AS DOUBLE) * SUM(x) AS varx_n
+      FROM per_user GROUP BY segment
+    ),
+    arms AS (
+      SELECT segment, arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+             SUM(x) AS sx_a, SUM(y) AS sy_a
+      FROM per_user GROUP BY segment, arm
+    ),
+    tc AS (
+      SELECT t.segment, t.n_a AS nt, t.sx_a AS sxt, t.sy_a AS syt,
+             c.n_a AS nc, c.sx_a AS sxc, c.sy_a AS syc
+      FROM (SELECT * FROM arms WHERE arm = 1) t
+      JOIN (SELECT * FROM arms WHERE arm = 0) c ON c.segment = t.segment
+    )
+    SELECT tc.segment, tc.nt AS n_treat, tc.nc AS n_ctrl,
+           ROUND((CAST(tc.syt AS DOUBLE) / tc.nt
+                  - CAST(tc.syc AS DOUBLE) / tc.nc) / 100.0, 4) AS uplift_raw,
+           CASE WHEN th.varx_n <> 0 THEN
+             ROUND(((CAST(tc.syt AS DOUBLE) / tc.nt
+                     - (th.cov_n / th.varx_n)
+                       * (CAST(tc.sxt AS DOUBLE) / tc.nt
+                          - CAST(th.sx AS DOUBLE) / th.n))
+                    - (CAST(tc.syc AS DOUBLE) / tc.nc
+                       - (th.cov_n / th.varx_n)
+                         * (CAST(tc.sxc AS DOUBLE) / tc.nc
+                            - CAST(th.sx AS DOUBLE) / th.n))) / 100.0, 4)
+           END AS uplift_cuped,
+           CASE WHEN th.varx_n <> 0
+                THEN ROUND(th.cov_n / th.varx_n, 6) END AS theta
+    FROM tc JOIN th ON th.segment = tc.segment
+    ORDER BY tc.segment
+    """,
+    tags=("behavioral", "stats", "experiment"),
+)
+def events_uplift_cuped_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects: [[events_uplift_cuped]] computed
+    PER USER SEGMENT — the readout that tells an experimenter WHERE an
+    effect concentrates, with θ fit per segment (a pooled θ under-
+    corrects segments whose pre/post correlation differs; Deng et al.
+    2013 §5 recommends stratified CUPED for exactly this).
+
+    Segment = the user's MODAL event type with a fixed total tie-break
+    (count DESC, type ASC — the [[ml_naive_bayes_lang]]
+    argmax-with-fixed-tie-order device, so both engines pick the same
+    segment for tied users).  Segments that lack either arm emit no
+    row (an uplift needs both arms), and zero pre-period variance in a
+    segment NULLs its adjusted columns under the identical guard.
+
+    Scale shape: two fact-sized map-side-combined aggregates (modal
+    type per user, pre/post sums per user) joined on user_id — both
+    user-bounded relations — then |segments|-sized CUPED arithmetic
+    joined on segment.  No window over anything fact-sized (the modal
+    pick windows over the per-user type-count relation, partitioned by
+    user)."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    seg_counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    seg = (
+        seg_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("segment"))
+    )
+    per_user = (
+        _experiment_per_user(load(spark, sf_dir, "events"))
+        .join(seg, "user_id")
+        .select("segment", (F.col("user_id") % 2).alias("arm"), "x", "y")
+        .persist()
+    )
+    dn = F.count(F.lit(1)).cast("bigint").cast("double")
+    th = per_user.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        (dn * F.sum(F.col("x") * F.col("y"))
+         - F.sum("x").cast("double") * F.sum("y")).alias("cov_n"),
+        (dn * F.sum(F.col("x") * F.col("x"))
+         - F.sum("x").cast("double") * F.sum("x")).alias("varx_n"),
+    )
+    arms = per_user.groupBy("segment", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    t = arms.where(F.col("arm") == 1).select(
+        "segment",
+        F.col("n_a").alias("nt"),
+        F.col("sx_a").alias("sxt"),
+        F.col("sy_a").alias("syt"),
+    )
+    c = arms.where(F.col("arm") == 0).select(
+        "segment",
+        F.col("n_a").alias("nc"),
+        F.col("sx_a").alias("sxc"),
+        F.col("sy_a").alias("syc"),
+    )
+    theta = F.col("cov_n") / F.col("varx_n")
+    mean_x_all = F.col("sx").cast("double") / F.col("n")
+    adj_t = F.col("syt").cast("double") / F.col("nt") - theta * (
+        F.col("sxt").cast("double") / F.col("nt") - mean_x_all
+    )
+    adj_c = F.col("syc").cast("double") / F.col("nc") - theta * (
+        F.col("sxc").cast("double") / F.col("nc") - mean_x_all
+    )
+    return (
+        t.join(c, "segment")
+        .join(th, "segment")
+        .select(
+            "segment",
+            F.col("nt").alias("n_treat"),
+            F.col("nc").alias("n_ctrl"),
+            F.round(
+                (
+                    F.col("syt").cast("double") / F.col("nt")
+                    - F.col("syc").cast("double") / F.col("nc")
+                )
+                / 100.0,
+                4,
+            ).alias("uplift_raw"),
+            F.when(
+                F.col("varx_n") != 0, F.round((adj_t - adj_c) / 100.0, 4)
+            ).alias("uplift_cuped"),
+            F.when(F.col("varx_n") != 0, F.round(theta, 6)).alias("theta"),
+        )
+        .orderBy("segment")
+    )

@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_experiment_snapshot",  # new in r8
     "dedup_media_lsh_persisted",  # new in r8
     "dedup_media_incremental",  # new in r8
+    "events_uplift_cuped_by_segment",  # new in r8
     # -- tier 2: function block changed since last green row ----------
     "ann_bruteforce_topk",
     "dedup_embedding_cosine",
@@ -126,7 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "dedup_fingerprint",
     "fn_array_explode",
-    "fn_array_ops",
 )
 
 

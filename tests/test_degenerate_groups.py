@@ -74,6 +74,8 @@ DEGENERATE_KEYS = [
     # r8: warm index path over the zero-byte-pair fixture
     "dedup_media_lsh_persisted",
     "dedup_media_incremental",
+    # r8: per-segment CUPED — single-arm segments must emit no row
+    "events_uplift_cuped_by_segment",
 ]
 
 
@@ -207,6 +209,7 @@ TIES_KEYS = [
     "events_experiment_report",
     # r8: constant values => zero variance => NULL t under both engines
     "stats_welch_ttest",
+    "events_uplift_cuped_by_segment",
 ]
 
 

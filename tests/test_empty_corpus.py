@@ -135,6 +135,7 @@ EMPTY_SLICE = [
     "stream_experiment_snapshot",
     "dedup_media_lsh_persisted",
     "dedup_media_incremental",
+    "events_uplift_cuped_by_segment",
 ]
 
 
