@@ -1755,13 +1755,24 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
 
     All statistics derive from EXACT integer microsecond deltas; the
     median is the rank-based lower median (smallest delta with
-    2·rank ≥ n, tie-broken by user_id) — the same exact-integer
-    selection rule as `agg_weighted_median`, so no float percentile
-    interpolation can diverge between engines.  Shape: user-keyed
-    aggregate, user-keyed join, then a global rank over the CONVERTED
-    cohort only (users who bought — orders of magnitude smaller than
-    the fact table; if that cohort were fact-sized the rank would move
-    to the chunked-ntile decomposition used by `window_ntile`)."""
+    2·rank ≥ n; the oracle's user_id tie-break orders equal deltas but
+    cannot change which DELTA VALUE sits at rank ⌈n/2⌉) — the same
+    exact-integer selection rule as `agg_weighted_median`, so no float
+    percentile interpolation can diverge between engines.
+
+    Scale shape (r9, retiring the last row-scale global window): after
+    the user-keyed aggregate + join, the converted cohort collapses to
+    its DISTINCT delta grid (one map-side-combined groupBy), and the
+    cumulative counts that locate rank ⌈n/2⌉ run as the banded
+    two-phase prefix sum (`_banded_rank_cums` — within-band windows
+    hash-partitioned on the signed-bit-length band; the only global
+    window is over the ≤ 128-row band summary).  min v with 2·cum(v) ≥ n
+    ≡ the delta at row_number ⌈n/2⌉, bit-identically, because ties in
+    delta are contiguous under any rank tie-break.  The cohort relation
+    is persisted: the moments branch and the value grid both read it,
+    so the signup/purchase join runs once."""
+    from mysql_postgres_debezium_cdc_spark.operators.stats import _banded_rank_cums
+
     ev = load(spark, sf_dir, "events")
     per_user = (
         ev.where(F.col("event_type") == "signup")
@@ -1776,12 +1787,8 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("t_us") > F.col("first_signup_us"))
         .groupBy("user_id", "first_signup_us")
         .agg((F.min("t_us") - F.col("first_signup_us").cast("bigint")).alias("delta_us"))
-        .select("user_id", F.col("delta_us").cast("bigint").alias("delta_us"))
-    )
-    ranked = conv.select(
-        "delta_us",
-        F.row_number().over(Window.orderBy("delta_us", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        .select(F.col("delta_us").cast("bigint").alias("delta_us"))
+        .persist()
     )
     hours = lambda c: F.round(c / F.lit(3.6e9), 4)  # noqa: E731
     stats = conv.agg(
@@ -1790,9 +1797,15 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         hours(F.min("delta_us")).alias("min_hours"),
         hours(F.max("delta_us")).alias("max_hours"),
     )
+    vals = (
+        conv.groupBy(F.col("delta_us").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+        .withColumn("cb", F.lit(0).cast("bigint"))
+    )
+    cums = _banded_rank_cums(vals)
     median = (
-        ranked.where(F.col("rn") * 2 >= F.col("n"))
-        .agg(hours(F.min("delta_us")).alias("median_hours"))
+        cums.where(F.col("c1") * 2 >= F.col("t1"))
+        .agg(hours(F.min("v")).alias("median_hours"))
     )
     return stats.crossJoin(F.broadcast(median))
 
@@ -1962,8 +1975,10 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The Kolmogorov-Smirnov α=0.05 constant: 1.358² scaled to 1e8-ths —
-# shared with stats_ks_test's exact integer verdict (stats.py).
+# The Kolmogorov-Smirnov α=0.05 constant: 1844164 = round(1.358² · 1e6),
+# i.e. 1.358² scaled to 1e6-ths (matching the _E6 suffix and the div-10⁶
+# verdict arithmetic) — shared with stats_ks_test's exact integer verdict
+# (stats.py).
 _KS_ALPHA05_SQ_E6 = 1844164
 
 
@@ -2552,7 +2567,16 @@ def stream_experiment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream_experiment_snapshot: streaming fold did not finish "
+            "within 300 s — refusing to report from a partial state "
+            "generation"
+        )
+    if q.exception() is not None:
+        raise q.exception()
     per_user = (
         spark.read.parquet(latest["path"])
         .select((F.col("user_id") % 2).alias("arm"), "x", "y")

@@ -587,12 +587,13 @@ def _banded_rank_cums(vals: DataFrame) -> DataFrame:
 
     1. band each value by its signed bit length — ``sign(v) ·
        (⌊log₂|v|⌋ + 1)``, 0 for v = 0.  Bands partition the BIGINT
-       axis into ≤ 127 DISJOINT, ORDERED ranges, so (band, v) sorts
+       axis into ≤ 128 DISJOINT, ORDERED ranges (63 positive + 64
+       negative signed bit-lengths + the zero band), so (band, v) sorts
        identically to (v) by construction;
     2. within-band cumulative sums run under ``partitionBy(band)`` —
        distributed work, no single-task value-grid sort;
     3. cross-band offsets come from an unpartitioned window over the
-       ≤ 127-row BAND SUMMARY — the one global window, bounded at any
+       ≤ 128-row BAND SUMMARY — the one global window, bounded at any
        data scale — and the sample totals ride the same summary.
 
     Returns v, ca, cb, t, before (exclusive pooled cumsum), c1/c2
@@ -708,7 +709,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation (map-side combined), then DISTRIBUTED cumulative counts
     via the banded two-phase prefix sum (`_banded_rank_cums` — the
     [[text_vocab_head_coverage]] device; the only unpartitioned window
-    is over the ≤ 127-row band summary), and a 1-row reduce.  Row-scale
+    is over the ≤ 128-row band summary), and a 1-row reduce.  Row-scale
     clean regardless of the value domain's width.
 
     Width horizon: the doubled rank sum is O(N²) (~9e18 at N≈3e9
@@ -1060,7 +1061,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the Mann-Whitney decomposition — one
     map-side-combined groupBy onto the distinct-cents relation, then
     DISTRIBUTED cumulative counts via the banded two-phase prefix sum
-    (`_banded_rank_cums`; the sample totals ride the ≤ 127-row band
+    (`_banded_rank_cums`; the sample totals ride the ≤ 128-row band
     summary, the only unpartitioned window) and a 1-row reduce.
     Empty either-side → NULL statistic/verdict, both engines.  Width
     horizon: the binding bound is the D numerator's BIGINT cast

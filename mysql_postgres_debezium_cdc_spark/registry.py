@@ -19,7 +19,9 @@ Determinism rules every registered query must follow (SURVEY.md §5.2):
 Cache contract: a few queries ``persist()`` a relation that feeds two
 branches of the RETURNED plan (`text_vocab_head_coverage`,
 `text_source_divergence`, `events_sessionize_gap_chunked`,
-`text_tfidf_topk`, `cluster_kmeans_embeddings`) — the cache populates
+`text_tfidf_topk`, `cluster_kmeans_embeddings`, the rank-statistic
+family via `_banded_rank_cums`, and `events_funnel_time_to_convert`'s
+converted cohort) — the cache populates
 when the caller executes the plan and cannot be released from inside the
 builder.  A long-lived session sweeping many queries should call
 ``spark.catalog.clearCache()`` between queries (``scripts/sweep_parity.py``

@@ -1104,7 +1104,7 @@ def test_mann_whitney_window_is_value_bounded(spark):
     """stats_mann_whitney_u: the fact-sized work is ONE map-side-combined
     groupBy onto the distinct-cents relation; the rank cumsums run as
     the r8 BANDED prefix sum (within-band window hash-partitioned on
-    band, cross-band offsets broadcast-joined from the <=127-row band
+    band, cross-band offsets broadcast-joined from the <=128-row band
     summary — the only join).  No Python anywhere."""
     r = _plan(spark, "stats_mann_whitney_u")
     assert r.n_sortmerge_joins == 0, r.ops
@@ -1197,7 +1197,7 @@ def test_rank_statistics_cumsums_are_band_partitioned(spark):
     distinct-value grid is PARTITIONED by the signed-bit-length band
     (an exchange hash-partitioned on band), and an UNPARTITIONED window
     ordered by v must not exist anywhere in the plan — the only global
-    windows run over the <=127-row band summary.  Both branches read
+    windows run over the <=128-row band summary.  Both branches read
     the persisted vals relation, so the fact-sized groupBy runs once."""
     import re
 
@@ -1209,6 +1209,26 @@ def test_rank_statistics_cumsums_are_band_partitioned(spark):
             "unpartitioned window over the value grid",
         )
         assert r.ops.count("InMemoryTableScan") >= 2, (key, r.ops)
+
+
+def test_funnel_median_is_band_partitioned(spark):
+    """events_funnel_time_to_convert (r9): the lower-median rank over the
+    converted cohort must run as the banded prefix sum, not a global
+    row_number — no unpartitioned window ordered on the delta grid
+    anywhere in the plan (the only global windows are over the <=128-row
+    band summary), the within-band cumsums hash-partition on band, and
+    the persisted cohort feeds both the moments branch and the value
+    grid (so the signup/purchase join runs once).  No Python."""
+    import re
+
+    r = _plan(spark, "events_funnel_time_to_convert")
+    assert "hashpartitioning(band" in r.text, "no band exchange"
+    assert not re.search(r"windowspecdefinition\((?:v|delta_us)#\d+L ASC", r.text), (
+        "unpartitioned window over the delta grid"
+    )
+    assert "row_number" not in r.text, "global rank survived the r9 rework"
+    assert r.ops.count("InMemoryTableScan") >= 2, r.ops
+    assert "BatchEvalPython" not in r.text
 
 
 def test_media_lsh_plan_is_bucketed_not_quadratic(spark):
