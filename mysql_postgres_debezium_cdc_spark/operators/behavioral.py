@@ -2488,6 +2488,44 @@ def events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_EXP_SLICES = 4  # staged event files = streaming micro-batches
 
 
+def _experiment_fold(sink, batch_df: DataFrame, batch_id: int) -> None:
+    """Fold one micro-batch's per-user (x, y) cent sums into a DURABLE
+    state sink, keyed by (batch_id, user_id).
+
+    foreachBatch is at-least-once across driver restarts: the batch
+    whose commit didn't land is REDELIVERED with the SAME batch_id.
+    Keying the state by generation makes the replay a self-overwrite —
+    the MERGE upserts the identical (batch_id, user_id) rows — instead
+    of a double fold, which a user-keyed additive state could not
+    distinguish.  The per-user relation is recovered downstream by
+    summing across generations ([[_experiment_state_per_user]]); at
+    100 TB a periodic compaction MERGE folds generations older than the
+    replay horizon into a base generation to bound state rows.  Sink =
+    the CDC state-sink protocol (streaming/cdc.py) — Delta-MERGE
+    semantics, versioned snapshots, atomic log swap."""
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import IS_DELETE, ORDER_COL
+
+    compacted = _experiment_per_user(batch_df).select(
+        F.lit(int(batch_id)).cast("long").alias("_pk_batch_id"),
+        F.col("user_id").alias("_pk_user_id"),
+        F.lit(False).alias(IS_DELETE),
+        F.struct("x", "y").alias("after"),
+        F.lit(int(batch_id)).cast("long").alias(ORDER_COL),
+    )
+    sink.merge(compacted)
+
+
+def _experiment_state_per_user(state: DataFrame) -> DataFrame:
+    """Collapse the generation-keyed durable state to the additive
+    per-user (x, y) relation — the exact frame the one-shot batch path
+    builds, because the generations partition the event stream and the
+    sums are additive."""
+    return state.groupBy("user_id").agg(
+        F.sum("x").cast("bigint").alias("x"),
+        F.sum("y").cast("bigint").alias("y"),
+    )
+
+
 @register(
     "stream_experiment_snapshot",
     oracle="{REPORT}",  # bound below: the batch report's oracle certifies it
@@ -2512,16 +2550,19 @@ def stream_experiment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanned.  At 100 TB the state merge is the textbook keyed
     MERGE a real deployment would run against a Delta state table
     (same protocol as the CDC state sink); the report math downstream
-    reads only the user-bounded state.  Durability note: the
-    generation pointer here is run-local (the key demonstrates
-    single-run equivalence); surviving a driver restart requires the
-    state in a transactional table keyed by batch_id — exactly what
-    the Delta state sink (streaming/cdc.py) provides — so replayed
-    batches MERGE idempotently instead of refolding."""
+    reads only the user-bounded state.  Durability (r9): the fold
+    commits through the CDC ``ParquetStateSink`` keyed by
+    (batch_id, user_id) — [[_experiment_fold]] — so a driver restart
+    resumes from the committed snapshot and a REPLAYED micro-batch
+    MERGEs idempotently instead of double-folding
+    (tests/test_streaming_restart.py kills and restarts this exact
+    fold; swap in ``DeltaStateSink`` on a cluster and nothing upstream
+    changes)."""
     import tempfile
     import uuid
 
     from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
 
     def _write_slices(p: str) -> None:
         (
@@ -2538,25 +2579,12 @@ def stream_experiment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{tempfile.gettempdir()}/spark_graft_stream_exp_"
         f"{spark.sparkContext.applicationId}_{uuid.uuid4().hex}"
     )
-    state0 = f"{run}/state_seed"
-    spark.createDataFrame([], "user_id bigint, x bigint, y bigint").write.mode(
-        "overwrite"
-    ).parquet(state0)
-    latest = {"path": state0}
+    sink = ParquetStateSink(
+        spark, f"{run}/state", pk_cols=("batch_id", "user_id"), row_cols=("x", "y")
+    )
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merged = (
-            spark.read.parquet(latest["path"])
-            .unionAll(_experiment_per_user(batch_df))
-            .groupBy("user_id")
-            .agg(
-                F.sum("x").cast("bigint").alias("x"),
-                F.sum("y").cast("bigint").alias("y"),
-            )
-        )
-        new_path = f"{run}/state_{batch_id}"
-        merged.write.mode("overwrite").parquet(new_path)
-        latest["path"] = new_path
+        _experiment_fold(sink, batch_df, batch_id)
 
     q = (
         spark.readStream.schema(schema)
@@ -2577,8 +2605,11 @@ def stream_experiment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if q.exception() is not None:
         raise q.exception()
+    state = sink.read()
+    if state is None:  # zero micro-batches committed (empty source)
+        state = spark.createDataFrame([], "batch_id bigint, user_id bigint, x bigint, y bigint")
     per_user = (
-        spark.read.parquet(latest["path"])
+        _experiment_state_per_user(state)
         .select((F.col("user_id") % 2).alias("arm"), "x", "y")
         .persist()
     )

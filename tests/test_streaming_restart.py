@@ -78,3 +78,109 @@ def test_checkpoint_restart_does_not_reprocess_old_files(spark, tmp_path):
     assert spark.read.parquet(str(out_dir)).count() == 8
     _run_once(spark, in_dir, out_dir, ckpt)  # restart, nothing new
     assert spark.read.parquet(str(out_dir)).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# Durable experiment state (r9): the stream_experiment_snapshot fold
+# committed through the CDC state-sink protocol must survive a driver
+# restart AND absorb a replayed micro-batch idempotently.
+# ---------------------------------------------------------------------------
+
+EXP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _exp_rows(users, day, value):
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, day, 12, 0, 0)
+    return [(u, ts, value) for u in users]
+
+
+def _exp_run_once(spark, in_dir, ckpt, sink):
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _experiment_fold,
+    )
+
+    q = (
+        spark.readStream.schema(EXP_SCHEMA)
+        .parquet(str(in_dir))
+        .writeStream.foreachBatch(
+            lambda df, bid: _experiment_fold(sink, df, bid)
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+
+def _per_user_rows(sink):
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _experiment_state_per_user,
+    )
+
+    state = sink.read()
+    return sorted(
+        (r.user_id, r.x, r.y)
+        for r in _experiment_state_per_user(state).collect()
+    )
+
+
+def test_experiment_fold_survives_restart_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Kill-and-restart the stream_experiment_snapshot fold: (a) a
+    restarted query with the same checkpoint + state sink processes only
+    the new file and the recovered snapshot equals the one-shot batch
+    answer; (b) a REPLAYED micro-batch (same batch_id — foreachBatch's
+    at-least-once redelivery after a crash between fold-commit and
+    offset-commit) MERGEs into its own generation instead of
+    double-folding, leaving the per-user sums bit-identical."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _experiment_fold,
+        _experiment_per_user,
+    )
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    sink = ParquetStateSink(
+        spark,
+        str(tmp_path / "state"),
+        pk_cols=("batch_id", "user_id"),
+        row_cols=("x", "y"),
+    )
+
+    first = _exp_rows(range(6), day=10, value=1.5)  # pre-cut -> x
+    batch0 = spark.createDataFrame(first, EXP_SCHEMA)
+    batch0.coalesce(1).write.mode("append").parquet(str(in_dir))
+    _exp_run_once(spark, in_dir, ckpt, sink)
+    s1 = _per_user_rows(sink)
+    assert s1 == [(u, 150, 0) for u in range(6)]
+
+    # (b) replay batch 0 verbatim: the fold must be a self-overwrite.
+    n_state = sink.read().count()
+    _experiment_fold(sink, batch0, 0)
+    assert _per_user_rows(sink) == s1, "replayed batch double-folded"
+    assert sink.read().count() == n_state
+
+    # (a) driver "dies"; new data lands; a fresh query restarts from the
+    # same checkpoint and the same durable state.
+    second = _exp_rows(range(3, 9), day=20, value=2.0)  # post-cut -> y
+    spark.createDataFrame(second, EXP_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    _exp_run_once(spark, in_dir, ckpt, sink)
+
+    everything = spark.createDataFrame(first + second, EXP_SCHEMA)
+    expected = sorted(
+        (r.user_id, r.x, r.y)
+        for r in _experiment_per_user(everything).collect()
+    )
+    assert _per_user_rows(sink) == expected
