@@ -475,3 +475,179 @@ def test_ols_engine_end_to_end_matches_exact_rational_solve(spark, tmp_path):
             assert abs(have - want) <= 1e-4 * max(1.0, abs(want)), (
                 g, col, have, want
             )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t / SRM chi-square (r9): the newest experiment-battery algebra
+# solved from first principles in exact rational arithmetic — the OLS
+# pattern, so a shared engine+oracle algebra error cannot survive parity.
+# ---------------------------------------------------------------------------
+
+welch_samples_strategy = st.tuples(
+    st.lists(st.integers(min_value=-100_000, max_value=100_000), min_size=2, max_size=30),
+    st.lists(st.integers(min_value=-100_000, max_value=100_000), min_size=2, max_size=30),
+)
+
+
+def _welch_engine_fracs(a, b):
+    """EXACT-arithmetic mirror of the engine's written expression tree
+    (operators/stats.py stats_welch_ttest: power sums -> se1/se2 ->
+    t^2 -> dof) — kept textually in step with the Spark Column code so
+    the algebra itself is what's under test."""
+    n1, n2 = len(a), len(b)
+    s1, s2 = sum(a), sum(b)
+    ss1, ss2 = sum(v * v for v in a), sum(v * v for v in b)
+    se1 = Fraction(n1 * ss1 - s1 * s1, n1 * (n1 - 1) * n1)
+    se2 = Fraction(n2 * ss2 - s2 * s2, n2 * (n2 - 1) * n2)
+    m1, m2 = Fraction(s1, n1), Fraction(s2, n2)
+    se = se1 + se2
+    t2 = (m1 - m2) ** 2 / se if se > 0 else None
+    dof_den = se1 * se1 * (n2 - 1) + se2 * se2 * (n1 - 1)
+    dof = (
+        se * se * (n1 - 1) * (n2 - 1) / dof_den if dof_den > 0 else None
+    )
+    return se1, se2, t2, dof
+
+
+def _welch_reference_fracs(a, b):
+    """First-principles Welch: sample variance as the literal
+    sum-of-squared-deviations definition, standard errors var/n, and
+    the Welch-Satterthwaite dof in its textbook (se^2/(n-1))-sum form —
+    NO shared algebra with the engine's power-sum rearrangement."""
+    n1, n2 = len(a), len(b)
+    m1 = Fraction(sum(a), n1)
+    m2 = Fraction(sum(b), n2)
+    var1 = sum((v - m1) ** 2 for v in a) / Fraction(n1 - 1)
+    var2 = sum((v - m2) ** 2 for v in b) / Fraction(n2 - 1)
+    se1, se2 = var1 / n1, var2 / n2
+    se = se1 + se2
+    t2 = (m1 - m2) ** 2 / se if se > 0 else None
+    den = se1**2 / (n1 - 1) + se2**2 / (n2 - 1)
+    dof = se * se / den if den > 0 else None
+    return se1, se2, t2, dof
+
+
+@settings(max_examples=60, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(samples=welch_samples_strategy)
+def test_welch_power_sum_algebra_matches_rational_reference(samples):
+    """The engine's power-sum standard errors, t^2 and rearranged
+    Welch-Satterthwaite dof must equal the textbook definitions in
+    exact rational arithmetic for ANY two integer samples — including
+    constant samples (zero variance), where both must agree the
+    statistic is undefined."""
+    a, b = samples
+    e = _welch_engine_fracs(a, b)
+    r = _welch_reference_fracs(a, b)
+    for name, ev, rv in zip(("se1", "se2", "t2", "dof"), e, r):
+        assert ev == rv, (name, ev, rv)
+
+
+def test_welch_engine_end_to_end_matches_exact_rational_reference(spark, tmp_path):
+    """The REGISTERED stats_welch_ttest (real parquet I/O, real Spark
+    plan, double tree, 4dp/2dp presentation rounds) must agree with the
+    exact rational reference on seeded random data."""
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_postgres_debezium_cdc_spark.operators.stats import stats_welch_ttest
+
+    rng = random.Random(20260815)
+    cents = {"purchase": [], "click": []}
+    rows = []
+    for i in range(300):
+        et = "purchase" if i % 3 == 0 else "click"
+        c = rng.randint(-50_000, 150_000)
+        cents[et].append(c)
+        rows.append((i, 1704067200_000000 + i * 1_000_000, i % 17, et, c / 100.0, "{}"))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = stats_welch_ttest(spark, str(tmp_path)).collect()[0]
+    a, b = cents["purchase"], cents["click"]
+    _, _, t2, dof = _welch_reference_fracs(a, b)
+    m1, m2 = Fraction(sum(a), len(a)), Fraction(sum(b), len(b))
+    t_ref = math.copysign(math.sqrt(float(t2)), float(m1 - m2))
+    assert got["n_purchase"] == len(a) and got["n_click"] == len(b)
+    assert abs(got["mean_diff"] - float(m1 - m2) / 100.0) <= 1e-3
+    assert abs(got["t_stat"] - t_ref) <= 1e-3 * max(1.0, abs(t_ref))
+    assert abs(got["dof"] - float(dof)) <= 0.02 + 1e-4 * float(dof)
+    assert got["significant_05"] == (abs(round(t_ref, 4)) >= 1.96)
+
+
+srm_counts_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3_000_000_000_000),  # nt
+        st.integers(min_value=0, max_value=3_000_000_000_000),  # nc
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rows=srm_counts_strategy)
+def test_srm_chi2_collapse_matches_two_cell_first_principles(rows):
+    """The (nt-nc)^2/(nt+nc) closed form the engine AND oracle share
+    must equal the literal two-cell goodness-of-fit sum
+    sum((obs-exp)^2/exp) with exp = total/2, in exact rationals, and
+    the integer verdict (nt-nc)^2 * 1e6 > C * (nt+nc) must be exactly
+    the rational predicate chi2 > C/1e6."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _SRM_CHI2_001_E6,
+    )
+
+    for nt, nc in rows:
+        total = nt + nc
+        if total == 0:
+            continue
+        exp = Fraction(total, 2)
+        chi2_cells = (nt - exp) ** 2 / exp + (nc - exp) ** 2 / exp
+        chi2_closed = Fraction((nt - nc) ** 2, total)
+        assert chi2_cells == chi2_closed
+        want = chi2_closed > Fraction(_SRM_CHI2_001_E6, 1_000_000)
+        got = (nt - nc) ** 2 * 1_000_000 > _SRM_CHI2_001_E6 * total
+        assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rows=srm_counts_strategy)
+def test_srm_verdict_decimal_expression_matches_bigint_reference(spark, rows):
+    """The engine's DECIMAL(38,0) verdict expression evaluated by Spark
+    must equal the Python big-int truth INCLUDING at ~3e12-user
+    magnitudes (where (nt-nc)^2 * 1e6 ~ 1e31 — far past BIGINT, inside
+    the documented DECIMAL horizon)."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _SRM_CHI2_001_E6,
+    )
+
+    data = [
+        (nt, nc, (nt - nc) ** 2 * 1_000_000 > _SRM_CHI2_001_E6 * (nt + nc))
+        for nt, nc in rows
+        if nt + nc > 0
+    ]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "nt bigint, nc bigint, want boolean")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nt, nc = F.col("nt"), F.col("nc")
+    got = df.select(
+        "want",
+        (
+            dec(nt - nc) * (nt - nc) * 1000000
+            > dec(F.lit(_SRM_CHI2_001_E6)) * (nt + nc)
+        ).alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], r
