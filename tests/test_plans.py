@@ -1256,6 +1256,15 @@ def test_experiment_report_is_single_scan_composition(spark):
     assert r.ops.count("InMemoryTableScan") >= 4, r.ops
     assert "hashpartitioning(band" in r.text
     assert r.n_sortmerge_joins == 0, r.ops
+    # The bench's one `WARN WindowExec: No Partition Defined` is THIS
+    # key (a mechanical sweep of all 30 bench plans found no other
+    # unpartitioned window; PLANS.md "WindowExec warning attribution"):
+    # every unpartitioned spec must order on `band` — the <=128-row
+    # band summary, bounded at any data scale — never a row-scale grid.
+    import re
+
+    unpart = re.findall(r"windowspecdefinition\((\w+)#\d+L? (?:ASC|DESC)", r.text)
+    assert unpart and set(unpart) == {"band"}, unpart
 
 
 def test_welch_and_srm_are_single_reduce_no_window(spark):
