@@ -2485,6 +2485,103 @@ def events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# z_{1-alpha/2} for alpha=0.05 and z_{power} for 80% power, 6dp literals in
+# BOTH engines (never computed from an inverse-normal at runtime — libm
+# quantile functions differ across engines; the constants don't).
+_Z_ALPHA05_2S = 1.959964
+_Z_POWER_80 = 0.841621
+
+
+@register(
+    "events_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS nt,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(conv), 0) AS BIGINT) AS conv_all
+      FROM per_user
+    )
+    SELECT nt AS n_treat, nc AS n_ctrl,
+           CASE WHEN nt > 0 AND nc > 0 THEN
+             ROUND(CAST(conv_all AS DOUBLE) / (nt + nc), 6) END AS p_pooled,
+           CASE WHEN nt > 0 AND nc > 0 THEN
+             ROUND(({_Z_ALPHA05_2S} + {_Z_POWER_80})
+                   * SQRT((CAST(conv_all AS DOUBLE) / (nt + nc))
+                          * (1.0 - CAST(conv_all AS DOUBLE) / (nt + nc))
+                          * (1.0 / nt + 1.0 / nc)), 6) END AS mde_abs,
+           CASE WHEN nt > 0 AND nc > 0 AND conv_all > 0 THEN
+             ROUND(({_Z_ALPHA05_2S} + {_Z_POWER_80})
+                   * SQRT((CAST(conv_all AS DOUBLE) / (nt + nc))
+                          * (1.0 - CAST(conv_all AS DOUBLE) / (nt + nc))
+                          * (1.0 / nt + 1.0 / nc))
+                   / (CAST(conv_all AS DOUBLE) / (nt + nc)), 6)
+           END AS mde_rel
+    FROM arms
+    """,
+    tags=("behavioral", "stats", "experiment"),
+)
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at alpha=0.05 / 80% power for the
+    conversion metric under the current enrollment — the experiment
+    DESIGN readout that belongs next to the battery's result readouts:
+    before trusting a null result, check whether the experiment could
+    have detected an effect of interesting size at all (Kohavi et al.,
+    Trustworthy Online Controlled Experiments, ch. 17).
+
+    MDE_abs = (z_half_alpha + z_power) · √(p̂(1−p̂)(1/n_t + 1/n_c)) with
+    pooled p̂ — the standard two-proportion sizing formula inverted for
+    effect size at fixed n.
+
+    Exactness device: the three counts are exact BIGINTs from one
+    per-user reduce; the z constants are 6dp literals in BOTH engines
+    (never runtime inverse-normal — libm quantiles differ across
+    engines); MDE derives in one fixed double tree, 6dp presentation
+    rounds.  Guards (both sides): an empty arm → NULL everything;
+    p̂ = 0 → NULL mde_rel (no base rate to scale by) while mde_abs is
+    legitimately 0.
+
+    Scale shape: one map-side-combined groupBy onto the user-bounded
+    relation, one 1-row reduce.  No window, no join."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "conv")
+    )
+    arms = per_user.agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
+        F.coalesce(F.sum("conv"), F.lit(0)).cast("bigint").alias("conv_all"),
+    )
+    nt, nc = F.col("nt"), F.col("nc")
+    p = F.col("conv_all").cast("double") / (nt + nc)
+    mde = F.lit(_Z_ALPHA05_2S + _Z_POWER_80) * F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / nt + F.lit(1.0) / nc)
+    )
+    both = (nt > 0) & (nc > 0)
+    return arms.select(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        F.when(both, F.round(p, 6)).alias("p_pooled"),
+        F.when(both, F.round(mde, 6)).alias("mde_abs"),
+        F.when(both & (F.col("conv_all") > 0), F.round(mde / p, 6)).alias(
+            "mde_rel"
+        ),
+    )
+
+
 STREAM_EXP_SLICES = 4  # staged event files = streaming micro-batches
 
 

@@ -56,79 +56,84 @@ _LOADED = False
 
 # The driver's correctness harness checks queries in registry order and caps
 # the sweep at the first 50 keys.  The prefix is ROTATED each round so the
-# union of driver rounds certifies the whole registry.  Rounds 1-7 checked
-# 281 distinct keys, ALL value-green (the lone r6 red row,
-# agg_collect_sorted, was fixed in r7 by serializing the array to a sorted
-# string on both sides — judge-verified but still awaiting its driver row).
+# union of driver rounds certifies the whole registry.  After round 8 the
+# union covers ALL registered keys with zero red latest rows; the remaining
+# program is REFRESH — no key's green driver row should predate its current
+# code.
 #
-# Round-8 prefix, three mechanical tiers (derivation in PLANS.md):
-#   1. The 10 keys with NO green driver row anywhere in r1-r7:
-#      agg_collect_sorted (the r6 red-row re-cert) + the 9 r7 additions.
-#   2. The 22 keys whose registered function block (AST-extracted, with
-#      decorators, so oracle SQL included) textually CHANGED since the
-#      round of their last green row — re-certification so no key's green
-#      row predates its current implementation.  Oldest vintage first.
-#   3. Oldest-standing r1 certifications from the most-edited modules
-#      (llm/text.py, llm/dedup.py, functions/) — helper-level drift that
-#      tier 2's function-block diff cannot see.
-# New r8 keys are inserted into tier 1 as they land.
+# Round-9 prefix, mechanically derived by `scripts/drift_audit.py` (the r8
+# method, now a repeatable script):
+#   1. New r9 keys (no driver row yet).
+#   2. The keys whose registered function block (AST-extracted, decorators
+#      + oracle SQL included) textually changed since the round of their
+#      last green row — the r9 funnel-median banding, the durable
+#      streaming-experiment fold, and the two rank-statistic band-bound
+#      corrections.
+#   3. The r4-vintage backlog (the oldest certs NOT already re-verified:
+#      the r8 judge's independent sweep cleared all 59 r1/r3-vintage keys,
+#      so r4 is the oldest unrefreshed vintage).  Within the tier, keys
+#      from the most-edited defining files first (git line churn since the
+#      r4 snapshot — helper-level drift the function-block diff cannot
+#      see), zero-churn files last in path order.  The 4 leftover r4 keys
+#      (q6/q7/salted pair) plus the 44 r5-vintage keys are exactly the
+#      r10 slate.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 1: no driver row yet ------------------------------------
-    "agg_collect_sorted",
-    "stats_mann_whitney_u",
-    "stats_ks_test",
-    "stats_ols_multivariate",
-    "events_uplift_cuped",
-    "dq_functional_dependency_audit",
-    "corpus_temperature_mixture",
-    "corpus_quality_prefilter_funnel",
-    "join_runtime_filter_pushdown",
-    "text_trigram_persisted_index",
-    "dedup_media_lsh",  # new in r8
-    "events_experiment_report",  # new in r8
-    "stats_welch_ttest",  # new in r8
-    "events_srm_check",  # new in r8
-    "dedup_media_clusters",  # new in r8
-    "events_proportion_ztest",  # new in r8
-    "stream_experiment_snapshot",  # new in r8
-    "dedup_media_lsh_persisted",  # new in r8
-    "dedup_media_incremental",  # new in r8
-    "events_uplift_cuped_by_segment",  # new in r8
-    # -- tier 2: function block changed since last green row ----------
-    "ann_bruteforce_topk",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "fn_map_ops",
-    "multimodal_metadata",
-    "subq_not_in_with_filter",
-    "agg_min_by_max_by",
-    "cdc_incremental_agg_maintenance",
-    "dedup_minhash_lsh",
-    "events_sessionize_gap",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "udtf_tokenize_positions",
-    "dedup_embedding_lsh",
-    "agg_approx_percentile",
-    "cdc_envelope_encode_roundtrip",
-    "corpus_rag_retrieval",
-    "dedup_bloom_incremental",
-    "embedding_dimension_correlation",
-    "multimodal_fake_features",
-    # -- tier 3: oldest-standing r1 certifications, most-edited modules
-    "corpus_preprocess_pipeline",
-    "corpus_stratified_sample",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_stats",
-    "text_token_count_regex",
-    "dedup_fingerprint",
-    "fn_array_explode",
+    # -- tier 1: new in r9, no driver row yet --------------------------
+    "events_power_mde",
+    # -- tier 2: function block changed since last green row -----------
+    "events_funnel_time_to_convert",  # r9 banded median (last green r7)
+    "stats_ks_test",  # band-bound docstring correction (last green r8)
+    "stats_mann_whitney_u",  # band-bound docstring correction (r8)
+    "stream_experiment_snapshot",  # r9 durable state-sink fold (r8)
+    # -- tier 3: r4-vintage refresh, churn-ranked defining files -------
+    "events_funnel_conversion",  # behavioral.py, churn 2061
+    "events_resample_ffill_1h",
+    "events_retention_cohort",
+    "text_edit_distance_pairs",  # llm/text.py, churn 991
+    "text_tfidf_topk",
+    "agg_histogram",  # aggregates.py, churn 430
+    "agg_percentiles",
+    "agg_stats",
+    "cdc_deadletter_isolation",  # streaming/cdc_queries.py, churn 189
+    "cdc_schema_drift_decode",
+    "window_first_last_nth",  # windows.py, churn 151
+    "window_ntile",
+    "window_range_frame",
+    "join_full_outer",  # joins.py, churn 139
+    "join_left_semi",
+    "join_right_outer",
+    "q11_important_parts",  # tpch_extra.py, churn 86
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "sql_api_revenue_by_nation",
+    "source_orc_scan",  # sources/text_formats.py, churn 73
+    "stream_sliding_window",  # streaming/event_windows.py, churn 62
+    "stream_user_running_state",
+    "udaf_pandas_grouped_agg",  # functions/udfs.py, churn 2
+    "udf_cogrouped_merge",
+    "filter_in_between_like",  # zero-churn files, path order
+    "filter_null_safe_eq",
+    "project_arithmetic",
+    "unpivot_balances",
+    "setop_intersect",
+    "subq_correlated_scalar",
+    "subq_in_list",
+    "subq_scalar_avg",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
 )
 
 

@@ -74,6 +74,8 @@ DEGENERATE_KEYS = [
     # r8: warm index path over the zero-byte-pair fixture
     "dedup_media_lsh_persisted",
     "dedup_media_incremental",
+    # r9: zero purchase users => p_pooled 0, mde_abs 0, NULL mde_rel
+    "events_power_mde",
     # r8: per-segment CUPED — single-arm segments must emit no row
     "events_uplift_cuped_by_segment",
 ]

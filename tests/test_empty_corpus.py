@@ -136,6 +136,8 @@ EMPTY_SLICE = [
     "dedup_media_lsh_persisted",
     "dedup_media_incremental",
     "events_uplift_cuped_by_segment",
+    # r9 additions
+    "events_power_mde",
 ]
 
 

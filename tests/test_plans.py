@@ -1272,7 +1272,12 @@ def test_welch_and_srm_are_single_reduce_no_window(spark):
     shapes — one map-side-combined keyed shuffle onto the bounded
     relation (distinct cents / distinct users), a 1-row reduce, and
     NOTHING else: no window, no join, no Python."""
-    for key in ("stats_welch_ttest", "events_srm_check", "events_proportion_ztest"):
+    for key in (
+        "stats_welch_ttest",
+        "events_srm_check",
+        "events_proportion_ztest",
+        "events_power_mde",  # r9: same sufficient-statistic contract
+    ):
         r = _plan(spark, key)
         assert "Window" not in r.ops, (key, r.ops)
         assert not any("Join" in o for o in r.ops), (key, r.ops)
