@@ -2729,6 +2729,141 @@ def _bind_stream_experiment_oracle() -> None:
 _bind_stream_experiment_oracle()
 
 
+def _srm_fold(sink, batch_df: DataFrame, batch_id: int) -> None:
+    """Upsert one micro-batch's DISTINCT enrolled users into the durable
+    first-seen state.  A SET-UNION state is idempotent under replay by
+    construction (the redelivered batch upserts the same user keys), so
+    unlike [[_experiment_fold]]'s additive sums it needs NO generation
+    keying — the natural pk (user_id) is already exactly-once."""
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import IS_DELETE, ORDER_COL
+
+    compacted = (
+        batch_df.where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("_pk_user_id"),
+            F.lit(False).alias(IS_DELETE),
+            F.struct((F.col("user_id") % 2).alias("arm")).alias("after"),
+            F.lit(int(batch_id)).cast("long").alias(ORDER_COL),
+        )
+    )
+    sink.merge(compacted)
+
+
+@register(
+    "stream_srm_monitor",
+    oracle="{SRM}",  # bound below: the batch SRM oracle certifies the stream
+    tags=("behavioral", "stats", "experiment", "streaming", "dq"),
+)
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE STREAMING twin of [[events_srm_check]] — the
+    experiment-health guardrail a production deployment runs
+    CONTINUOUSLY, because a sample-ratio mismatch must page before
+    anyone reads an effect metric, not at analysis time (Fabijan et
+    al. 2019).  Events arrive as the same real file-source micro-batches
+    as [[stream_experiment_snapshot]]; each foreachBatch upserts its
+    batch's DISTINCT enrolled users into a durable first-seen state
+    through the CDC ``ParquetStateSink`` keyed by user_id.
+
+    State-shape contrast with the experiment snapshot (the point of the
+    pair): an ADDITIVE state (per-user sums) must be keyed by
+    generation so a replayed batch overwrites itself; a SET-UNION
+    state (first-seen enrollment) is idempotent under replay BY
+    CONSTRUCTION — the redelivered batch upserts the same user keys —
+    so the natural pk (user_id) is already exactly-once.  Both twins
+    drain to relations the batch oracles certify bit-for-bit.
+
+    Scale shape: per-micro-batch cost is O(batch distinct users) for
+    the upsert probe; the SRM readout downstream is one conditional
+    count over the user-bounded state.  The 1e6-scaled integer chi²
+    verdict is [[events_srm_check]]'s, unchanged."""
+    import tempfile
+    import uuid
+
+    from mysql_postgres_debezium_cdc_spark.scratch import materialize_once
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    def _write_slices(p: str) -> None:
+        (
+            load(spark, sf_dir, "events")
+            .repartitionByRange(STREAM_EXP_SLICES, "event_id")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    slices = materialize_once(sf_dir, "exp_stream_slices", _write_slices)
+    schema = spark.read.parquet(slices).schema
+
+    run = (
+        f"{tempfile.gettempdir()}/spark_graft_stream_srm_"
+        f"{spark.sparkContext.applicationId}_{uuid.uuid4().hex}"
+    )
+    sink = ParquetStateSink(
+        spark, f"{run}/state", pk_cols=("user_id",), row_cols=("arm",)
+    )
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _srm_fold(sink, batch_df, batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+        .writeStream.foreachBatch(_fold_batch)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream_srm_monitor: streaming fold did not finish within "
+            "300 s — refusing to report from a partial state generation"
+        )
+    if q.exception() is not None:
+        raise q.exception()
+    state = sink.read()
+    if state is None:  # zero micro-batches committed (empty source)
+        state = spark.createDataFrame([], "user_id bigint, arm bigint")
+    arms = state.agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
+    )
+    nt, nc = F.col("nt"), F.col("nc")
+    tot = nt + nc
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return arms.select(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        F.when(tot > 0, F.round(nt.cast("double") / tot, 6)).alias("ratio_treat"),
+        F.when(
+            tot > 0,
+            F.round(((nt - nc) * (nt - nc)).cast("double") / tot, 4),
+        ).alias("chi2"),
+        F.when(
+            tot > 0,
+            dec(nt - nc) * (nt - nc) * 1000000
+            > dec(F.lit(_SRM_CHI2_001_E6)) * tot,
+        ).alias("srm_detected"),
+    )
+
+
+def _bind_stream_srm_oracle() -> None:
+    from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["stream_srm_monitor"]
+    object.__setattr__(
+        spec,
+        "oracle",
+        spec.oracle.replace("{SRM}", _REGISTRY["events_srm_check"].oracle),
+    )
+
+
+_bind_stream_srm_oracle()
+
+
 @register(
     "events_uplift_cuped_by_segment",
     oracle="""

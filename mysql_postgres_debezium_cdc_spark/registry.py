@@ -74,15 +74,16 @@ _LOADED = False
 #      so r4 is the oldest unrefreshed vintage).  Within the tier, keys
 #      from the most-edited defining files first (git line churn since the
 #      r4 snapshot — helper-level drift the function-block diff cannot
-#      see), zero-churn files last in path order.  The 4 leftover r4 keys
-#      (q6/q7/salted pair) plus the 44 r5-vintage keys are exactly the
-#      r10 slate.
+#      see), zero-churn files last in path order.
+#      The 5 leftover r4 keys (q6/q7/q19/salted pair) plus the 44
+#      r5-vintage keys are the r10 slate.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
     # -- tier 1: new in r9, no driver row yet --------------------------
     "events_power_mde",
+    "stream_srm_monitor",
     # -- tier 2: function block changed since last green row -----------
     "events_funnel_time_to_convert",  # r9 banded median (last green r7)
     "stats_ks_test",  # band-bound docstring correction (last green r8)
@@ -133,7 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "q12_priority_lines",
     "q14_promo_effect",
     "q18_large_volume_customers",
-    "q19_discounted_revenue",
 )
 
 

@@ -76,6 +76,8 @@ DEGENERATE_KEYS = [
     "dedup_media_incremental",
     # r9: zero purchase users => p_pooled 0, mde_abs 0, NULL mde_rel
     "events_power_mde",
+    # r9: streaming guardrail must equal the batch SRM on every fixture
+    "stream_srm_monitor",
     # r8: per-segment CUPED — single-arm segments must emit no row
     "events_uplift_cuped_by_segment",
 ]

@@ -138,6 +138,7 @@ EMPTY_SLICE = [
     "events_uplift_cuped_by_segment",
     # r9 additions
     "events_power_mde",
+    "stream_srm_monitor",
 ]
 
 

@@ -184,3 +184,34 @@ def test_experiment_fold_survives_restart_and_replays_idempotently(
         for r in _experiment_per_user(everything).collect()
     )
     assert _per_user_rows(sink) == expected
+
+
+def test_srm_monitor_set_union_state_replays_idempotently(spark, tmp_path):
+    """The SRM guardrail's set-union state needs NO generation keying:
+    a replayed micro-batch upserts the same user keys (state unchanged),
+    and a restarted query folding NEW users across a checkpoint gap
+    yields exactly the distinct-user arm counts of the one-shot batch."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import _srm_fold
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    sink = ParquetStateSink(
+        spark, str(tmp_path / "state"), pk_cols=("user_id",), row_cols=("arm",)
+    )
+    batch0 = spark.createDataFrame(
+        _exp_rows([1, 2, 3, 4, 5], day=10, value=1.0), EXP_SCHEMA
+    )
+    _srm_fold(sink, batch0, 0)
+    s1 = sorted((r.user_id, r.arm) for r in sink.read().collect())
+    assert s1 == [(u, u % 2) for u in [1, 2, 3, 4, 5]]
+
+    _srm_fold(sink, batch0, 0)  # replay: same batch redelivered
+    assert sorted((r.user_id, r.arm) for r in sink.read().collect()) == s1
+
+    # post-"restart" batch: 2 repeat users (already first-seen) + 3 new
+    batch1 = spark.createDataFrame(
+        _exp_rows([4, 5, 6, 7, 8], day=20, value=2.0), EXP_SCHEMA
+    )
+    _srm_fold(sink, batch1, 1)
+    assert sorted((r.user_id, r.arm) for r in sink.read().collect()) == [
+        (u, u % 2) for u in range(1, 9)
+    ]
