@@ -1,0 +1,69 @@
+"""Certification-refresh discipline: no registered key's implementation
+may drift past its last green driver row without being queued for
+re-certification.
+
+`scripts/drift_audit.py` derives, from the CORRECTNESS_r*.json driver
+artifacts and the `round N:` snapshot commits, the set of keys whose
+registered function block (decorators + oracle SQL included) textually
+changed since the round that last certified them.  Every such key —
+and every key with no driver row at all — MUST sit in the registry's
+_PRIORITY prefix, i.e. inside the driver's 50-key sweep window for the
+upcoming round.  This turns the per-round rotation protocol from a
+convention into an enforced invariant: editing a certified operator
+without queueing its re-certification fails the suite."""
+
+from __future__ import annotations
+
+import glob
+import subprocess
+
+import pytest
+
+from mysql_postgres_debezium_cdc_spark.registry import _PRIORITY, all_queries
+from scripts.drift_audit import (
+    REPO,
+    blocks_at,
+    latest_green_rounds,
+    round_commits,
+)
+
+
+def _git_available() -> bool:
+    try:
+        subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, check=True
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_drifted_and_unrowed_keys_are_queued_for_certification():
+    if not glob.glob(str(REPO / "CORRECTNESS_r*.json")) or not _git_available():
+        pytest.skip("driver artifacts or git history unavailable")
+
+    keys = list(all_queries())
+    green = latest_green_rounds()
+    commits = round_commits()
+    head_blocks = blocks_at(None)
+    prefix = set(_PRIORITY[:50])
+
+    offenders: list[str] = []
+    for k in keys:
+        if k not in green:  # never certified -> must be queued
+            if k not in prefix:
+                offenders.append(f"{k} (no driver row, not in prefix)")
+            continue
+        rnd = green[k]
+        if rnd not in commits:
+            continue  # artifact round without a snapshot commit yet
+        cache = test_drifted_and_unrowed_keys_are_queued_for_certification.__dict__
+        if rnd not in cache:
+            cache[rnd] = blocks_at(commits[rnd])
+        if cache[rnd].get(k) != head_blocks.get(k) and k not in prefix:
+            offenders.append(f"{k} (drifted since green row r{rnd}, not in prefix)")
+
+    assert not offenders, (
+        "keys edited past their certification without being queued in "
+        f"_PRIORITY: {offenders}"
+    )
