@@ -2595,11 +2595,11 @@ def _experiment_fold(sink, batch_df: DataFrame, batch_id: int) -> None:
     the MERGE upserts the identical (batch_id, user_id) rows — instead
     of a double fold, which a user-keyed additive state could not
     distinguish.  The per-user relation is recovered downstream by
-    summing across generations ([[_experiment_state_per_user]]); at
-    100 TB a periodic compaction MERGE folds generations older than the
-    replay horizon into a base generation to bound state rows.  Sink =
-    the CDC state-sink protocol (streaming/cdc.py) — Delta-MERGE
-    semantics, versioned snapshots, atomic log swap."""
+    summing across generations ([[_experiment_state_per_user]]); a
+    periodic [[_experiment_state_compact]] folds generations at or
+    below the replay horizon into the base generation to bound state
+    rows.  Sink = the CDC state-sink protocol (streaming/cdc.py) —
+    Delta-MERGE semantics, versioned snapshots, atomic log swap."""
     from mysql_postgres_debezium_cdc_spark.streaming.cdc import IS_DELETE, ORDER_COL
 
     compacted = _experiment_per_user(batch_df).select(
@@ -2610,6 +2610,52 @@ def _experiment_fold(sink, batch_df: DataFrame, batch_id: int) -> None:
         F.lit(int(batch_id)).cast("long").alias(ORDER_COL),
     )
     sink.merge(compacted)
+
+
+def _experiment_state_compact(sink, horizon: int) -> None:
+    """Fold every state generation with batch_id ≤ ``horizon`` into the
+    single base generation (batch_id = −1) through ONE atomic state-sink
+    MERGE — the compaction that bounds the generation-keyed state at
+    Σ per-batch users growth.
+
+    Safety contract (Delta VACUUM's, applied to replay): compact only
+    past the stream's COMMITTED offset horizon.  Structured Streaming
+    never redelivers a batch whose offsets are committed, so folding
+    those generations loses nothing a replay could need; batches ABOVE
+    the horizon keep their own generations and stay replay-idempotent.
+    The MERGE deletes the folded (batch_id, user_id) rows and upserts
+    the per-user base sums in the same commit, so a crash between the
+    two cannot double-count — the sink's log swap is atomic and readers
+    only ever see a committed snapshot.
+
+    Scale shape: one keyed aggregate over the ≤-horizon slice plus one
+    anti-join inside the sink's MERGE — both user-bounded, never
+    fact-scaled."""
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import IS_DELETE, ORDER_COL
+
+    state = sink.read()
+    if state is None:
+        return
+    old = state.where(F.col("batch_id") <= F.lit(int(horizon)))
+    base = old.groupBy("user_id").agg(
+        F.sum("x").cast("bigint").alias("x"),
+        F.sum("y").cast("bigint").alias("y"),
+    )
+    upserts = base.select(
+        F.lit(-1).cast("long").alias("_pk_batch_id"),
+        F.col("user_id").alias("_pk_user_id"),
+        F.lit(False).alias(IS_DELETE),
+        F.struct("x", "y").alias("after"),
+        F.lit(int(horizon)).cast("long").alias(ORDER_COL),
+    )
+    deletes = old.where(F.col("batch_id") != -1).select(
+        F.col("batch_id").alias("_pk_batch_id"),
+        F.col("user_id").alias("_pk_user_id"),
+        F.lit(True).alias(IS_DELETE),
+        F.struct("x", "y").alias("after"),
+        F.lit(int(horizon)).cast("long").alias(ORDER_COL),
+    )
+    sink.merge(deletes.unionByName(upserts))
 
 
 def _experiment_state_per_user(state: DataFrame) -> DataFrame:

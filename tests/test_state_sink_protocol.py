@@ -116,3 +116,68 @@ def test_delta_sink_requires_delta(spark, tmp_path):
         pytest.skip("delta-spark installed; import guard not reachable")
     with pytest.raises(ImportError):
         DeltaStateSink(spark, str(tmp_path / "d"), ["id"], ["name"])
+
+
+# ---------------------------------------------------------------------------
+# r9: property test — ANY sequence of envelope batches drained through the
+# sink equals a single-threaded dict reference applying Debezium op
+# semantics (last offset per key wins; c/r/u upsert, d delete), and the
+# retained time-travel version equals the reference one commit back.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+record_strategy = st.tuples(
+    st.sampled_from(["c", "u", "d"]),
+    st.integers(min_value=0, max_value=5),  # id (small space -> collisions)
+    st.sampled_from(["a", "b", "c", "dd"]),  # name
+)
+batches_strategy = st.lists(
+    st.lists(record_strategy, min_size=1, max_size=6), min_size=1, max_size=4
+)
+
+
+def _ref_apply(state: dict, batch, offset0: int) -> int:
+    """Single-threaded reference: records carry increasing offsets; the
+    LAST record per id in the batch wins (compact's max_by contract)."""
+    last = {}
+    off = offset0
+    for op, id_, name in batch:
+        last[id_] = (op, name)
+        off += 1
+    for id_, (op, name) in last.items():
+        if op == "d":
+            state.pop(id_, None)
+        else:
+            state[id_] = name
+    return off
+
+
+@settings(
+    max_examples=5, deadline=None, derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(batches=batches_strategy)
+def test_sink_merge_matches_dict_reference_for_any_batch_sequence(
+    spark, tmp_path_factory, batches
+):
+    import uuid
+
+    root = str(tmp_path_factory.mktemp("sinkprop") / uuid.uuid4().hex)
+    sink = ParquetStateSink(spark, root, ["id"], ["name"], retain=2)
+    ref: dict = {}
+    prev_ref = None
+    off = 0
+    for i, batch in enumerate(batches):
+        records = []
+        o = off
+        for op, id_, name in batch:
+            records.append((op, id_, None if op == "d" else name, o))
+            o += 1
+        sink.merge(_compacted(spark, records))
+        prev_ref, ref = dict(ref), ref
+        off = _ref_apply(ref, batch, off)
+        assert _state(sink) == ref, (i, batch)
+        if i >= 1:
+            assert _state(sink, -2) == prev_ref, (i, "time-travel -2")

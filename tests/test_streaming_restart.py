@@ -215,3 +215,48 @@ def test_srm_monitor_set_union_state_replays_idempotently(spark, tmp_path):
     assert sorted((r.user_id, r.arm) for r in sink.read().collect()) == [
         (u, u % 2) for u in range(1, 9)
     ]
+
+
+def test_experiment_state_compaction_preserves_sums_and_bounds_generations(
+    spark, tmp_path
+):
+    """Generation compaction: folding batches at or below the committed
+    horizon into the base generation (batch_id = -1) via one atomic
+    MERGE leaves the per-user sums bit-identical, shrinks the state to
+    base + above-horizon generations, keeps above-horizon replays
+    idempotent, and refolds its own base cleanly on the next pass."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _experiment_fold,
+        _experiment_state_compact,
+    )
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    sink = ParquetStateSink(
+        spark,
+        str(tmp_path / "state"),
+        pk_cols=("batch_id", "user_id"),
+        row_cols=("x", "y"),
+    )
+    batches = [
+        spark.createDataFrame(_exp_rows(range(6), day=10, value=1.5), EXP_SCHEMA),
+        spark.createDataFrame(_exp_rows(range(3, 9), day=20, value=2.0), EXP_SCHEMA),
+        spark.createDataFrame(_exp_rows(range(0, 3), day=21, value=3.0), EXP_SCHEMA),
+    ]
+    for i, b in enumerate(batches):
+        _experiment_fold(sink, b, i)
+    before = _per_user_rows(sink)
+
+    _experiment_state_compact(sink, horizon=1)  # batches 0 and 1 committed
+    assert _per_user_rows(sink) == before
+    gens = sorted(r.batch_id for r in sink.read().select("batch_id").distinct().collect())
+    assert gens == [-1, 2], gens
+
+    # a replay of the ABOVE-horizon batch is still a self-overwrite
+    _experiment_fold(sink, batches[2], 2)
+    assert _per_user_rows(sink) == before
+
+    # the next compaction pass refolds the base generation with batch 2
+    _experiment_state_compact(sink, horizon=2)
+    assert _per_user_rows(sink) == before
+    gens = sorted(r.batch_id for r in sink.read().select("batch_id").distinct().collect())
+    assert gens == [-1], gens
