@@ -142,3 +142,37 @@ def test_iqr_and_weighted_median_complete_under_forced_spill(spark):
             con.close()
     finally:
         _restore(spark, saved)
+
+
+def test_banded_rank_family_completes_under_forced_spill(spark):
+    """The banded prefix-sum family (r8 rank statistics; r9 funnel
+    median) must finish with oracle-matching values when window buffers
+    are forced to disk after 16 rows — the memory-pressure path the
+    within-band windows hit on a wide value domain at 100 TB.  The
+    composed experiment report rides the same device."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+    from tests.conftest import SF_DIR_SMOKE
+    from tests.parity import compare, duck_connection
+
+    confs = {
+        "spark.sql.windowExecBufferSpillThreshold": "16",
+        "spark.sql.windowExecBufferInMemoryThreshold": "16",
+    }
+    saved = _with_confs(spark, confs)
+    try:
+        con = duck_connection(SF_DIR_SMOKE)
+        try:
+            for key in (
+                "stats_mann_whitney_u",
+                "stats_ks_test",
+                "events_funnel_time_to_convert",
+                "events_experiment_report",
+            ):
+                spec = all_queries()[key]
+                errors = compare(spec.fn(spark, SF_DIR_SMOKE), con.sql(spec.oracle).df())
+                assert not errors, (key, errors[:1])
+                spark.catalog.clearCache()
+        finally:
+            con.close()
+    finally:
+        _restore(spark, saved)
