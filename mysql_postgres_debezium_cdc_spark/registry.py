@@ -61,79 +61,76 @@ _LOADED = False
 # program is REFRESH — no key's green driver row should predate its current
 # code.
 #
-# Round-9 prefix, mechanically derived by `scripts/drift_audit.py` (the r8
-# method, now a repeatable script):
-#   1. New r9 keys (no driver row yet).
-#   2. The keys whose registered function block (AST-extracted, decorators
-#      + oracle SQL included) textually changed since the round of their
-#      last green row — the r9 funnel-median banding, the durable
-#      streaming-experiment fold, and the two rank-statistic band-bound
-#      corrections.
-#   3. The r4-vintage backlog (the oldest certs NOT already re-verified:
-#      the r8 judge's independent sweep cleared all 59 r1/r3-vintage keys,
-#      so r4 is the oldest unrefreshed vintage).  Within the tier, keys
-#      from the most-edited defining files first (git line churn since the
-#      r4 snapshot — helper-level drift the function-block diff cannot
-#      see), zero-churn files last in path order.
-#      The 5 leftover r4 keys (q6/q7/q19/salted pair) plus the 44
-#      r5-vintage keys are the r10 slate.
+# Round-10 prefix, mechanically derived by `scripts/drift_audit.py`
+# (verbatim output; VERDICT r9 task #1):
+#   1. No new r10 keys — the round is pure refresh by design (the stale
+#      backlog exceeds two rounds of slots; every new key displaces one
+#      refresh slot).
+#   2. The 3 keys whose registered function block changed this round:
+#      the stream_incremental_dedup state-sink MERGE rework (VERDICT
+#      task #3), and the compaction-wired + dir-reclaiming streaming
+#      experiment twins (tasks #2/#4).
+#   3. The oldest-standing driver certs, vintage order: all 17
+#      r1-vintage keys, then 30 of the 42 r3-vintage keys (key order
+#      within a vintage).  Every one of these was independently
+#      judge-swept green in r8, so the refresh is freshness bookkeeping,
+#      not re-verification of suspect results.
+#      Remaining for r11: 12 r3 + 5 r4 + 44 r5 = 61 keys (r11 takes the
+#      oldest 50, r12 mops up the tail).
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    # -- tier 1: new in r9, no driver row yet --------------------------
-    "events_power_mde",
-    "stream_srm_monitor",
-    # -- tier 2: function block changed since last green row -----------
-    "events_funnel_time_to_convert",  # r9 banded median (last green r7)
-    "stats_ks_test",  # band-bound docstring correction (last green r8)
-    "stats_mann_whitney_u",  # band-bound docstring correction (r8)
-    "stream_experiment_snapshot",  # r9 durable state-sink fold (r8)
-    # -- tier 3: r4-vintage refresh, churn-ranked defining files -------
-    "events_funnel_conversion",  # behavioral.py, churn 2061
-    "events_resample_ffill_1h",
-    "events_retention_cohort",
-    "text_edit_distance_pairs",  # llm/text.py, churn 991
-    "text_tfidf_topk",
-    "agg_histogram",  # aggregates.py, churn 430
-    "agg_percentiles",
-    "agg_stats",
-    "cdc_deadletter_isolation",  # streaming/cdc_queries.py, churn 189
-    "cdc_schema_drift_decode",
-    "window_first_last_nth",  # windows.py, churn 151
-    "window_ntile",
-    "window_range_frame",
-    "join_full_outer",  # joins.py, churn 139
-    "join_left_semi",
-    "join_right_outer",
-    "q11_important_parts",  # tpch_extra.py, churn 86
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q20_promo_part_suppliers",
-    "q22_global_sales",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "sql_api_revenue_by_nation",
-    "source_orc_scan",  # sources/text_formats.py, churn 73
-    "stream_sliding_window",  # streaming/event_windows.py, churn 62
-    "stream_user_running_state",
-    "udaf_pandas_grouped_agg",  # functions/udfs.py, churn 2
-    "udf_cogrouped_merge",
-    "filter_in_between_like",  # zero-churn files, path order
-    "filter_null_safe_eq",
-    "project_arithmetic",
-    "unpivot_balances",
-    "setop_intersect",
-    "subq_correlated_scalar",
-    "subq_in_list",
-    "subq_scalar_avg",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_effect",
-    "q18_large_volume_customers",
+    "stream_incremental_dedup",  # tier 2: drifted (last green r7)
+    "stream_experiment_snapshot",  # tier 2: drifted (last green r9)
+    "stream_srm_monitor",  # tier 2: drifted (last green r9)
+    "agg_cube",  # tier 3: oldest-standing cert (r1)
+    "ann_cosine_pandas_udf",  # tier 3: oldest-standing cert (r1)
+    "fn_array_ops",  # tier 3: oldest-standing cert (r1)
+    "fn_conditional_bitwise",  # tier 3: oldest-standing cert (r1)
+    "fn_date_parts",  # tier 3: oldest-standing cert (r1)
+    "fn_epoch_millis_roundtrip",  # tier 3: oldest-standing cert (r1)
+    "fn_json_extract",  # tier 3: oldest-standing cert (r1)
+    "fn_math_basic",  # tier 3: oldest-standing cert (r1)
+    "fn_string_basic",  # tier 3: oldest-standing cert (r1)
+    "fn_string_regexp",  # tier 3: oldest-standing cert (r1)
+    "fn_string_split_tokens",  # tier 3: oldest-standing cert (r1)
+    "fn_try_arithmetic",  # tier 3: oldest-standing cert (r1)
+    "fn_variant_json",  # tier 3: oldest-standing cert (r1)
+    "scan_project",  # tier 3: oldest-standing cert (r1)
+    "source_csv_scan",  # tier 3: oldest-standing cert (r1)
+    "udf_pandas_scalar_tax",  # tier 3: oldest-standing cert (r1)
+    "udf_python_row",  # tier 3: oldest-standing cert (r1)
+    "agg_count_distinct",  # tier 3: oldest-standing cert (r3)
+    "agg_group_basic",  # tier 3: oldest-standing cert (r3)
+    "agg_grouping_sets",  # tier 3: oldest-standing cert (r3)
+    "agg_rollup",  # tier 3: oldest-standing cert (r3)
+    "ann_ivf_topk",  # tier 3: oldest-standing cert (r3)
+    "cdc_composite_pk_materialize",  # tier 3: oldest-standing cert (r3)
+    "cdc_envelope_decode",  # tier 3: oldest-standing cert (r3)
+    "cdc_incremental_convergence",  # tier 3: oldest-standing cert (r3)
+    "cdc_lastwrite_materialize",  # tier 3: oldest-standing cert (r3)
+    "cdc_scd2_history",  # tier 3: oldest-standing cert (r3)
+    "corpus_pack_sequences",  # tier 3: oldest-standing cert (r3)
+    "dedup_connected_components",  # tier 3: oldest-standing cert (r3)
+    "dedup_exact_text",  # tier 3: oldest-standing cert (r3)
+    "dq_referential_integrity",  # tier 3: oldest-standing cert (r3)
+    "fn_date_arithmetic",  # tier 3: oldest-standing cert (r3)
+    "fn_json_schema_parse",  # tier 3: oldest-standing cert (r3)
+    "join_asof_last_click",  # tier 3: oldest-standing cert (r3)
+    "join_broadcast_dim",  # tier 3: oldest-standing cert (r3)
+    "join_left_anti",  # tier 3: oldest-standing cert (r3)
+    "join_left_outer",  # tier 3: oldest-standing cert (r3)
+    "join_range_bucket",  # tier 3: oldest-standing cert (r3)
+    "join_sort_merge",  # tier 3: oldest-standing cert (r3)
+    "layout_partition_pruned_scan",  # tier 3: oldest-standing cert (r3)
+    "pivot_status_by_priority",  # tier 3: oldest-standing cert (r3)
+    "q13_customer_distribution",  # tier 3: oldest-standing cert (r3)
+    "q1_pricing_summary",  # tier 3: oldest-standing cert (r3)
+    "scan_filter_pushdown",  # tier 3: oldest-standing cert (r3)
+    "setop_except",  # tier 3: oldest-standing cert (r3)
+    "setop_union_distinct",  # tier 3: oldest-standing cert (r3)
+    "sort_global_limit",  # tier 3: oldest-standing cert (r3)
 )
 
 

@@ -59,14 +59,21 @@ def latest_green_rounds() -> dict[str, int]:
 
 
 def round_commits() -> dict[int, str]:
-    """round -> the artifact commit snapshotting that round's code."""
+    """round -> the artifact commit snapshotting that round's code.
+
+    The driver writes exactly one ``round N: ...`` commit per round; if
+    a later commit ever reused that subject prefix (hotfix, revert), the
+    OLDEST match is the one whose tree the round-N driver actually
+    certified — so iterate newest-first and let later (older) matches
+    overwrite (ADVICE r9: newest-match would silently shift the
+    certified snapshot under a reused subject)."""
     log = sh("git", "log", "--format=%H %s")
     out: dict[int, str] = {}
     for line in log.splitlines():
         sha, _, subject = line.partition(" ")
         m = re.match(r"round (\d+):", subject)
         if m:
-            out.setdefault(int(m.group(1)), sha)  # newest first; keep first
+            out[int(m.group(1))] = sha  # newest first; last write = oldest
     return out
 
 

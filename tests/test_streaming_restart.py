@@ -260,3 +260,139 @@ def test_experiment_state_compaction_preserves_sums_and_bounds_generations(
     assert _per_user_rows(sink) == before
     gens = sorted(r.batch_id for r in sink.read().select("batch_id").distinct().collect())
     assert gens == [-1], gens
+
+
+def test_live_fold_compacts_in_run_and_bounds_generations(spark, tmp_path):
+    """The compaction cadence WIRED INTO the live fold (r10, VERDICT r9
+    task #2): a real file-source stream drained through
+    _experiment_fold_with_compaction (the exact foreachBatch
+    stream_experiment_snapshot runs) must invoke compaction in-run, so
+    after STREAM_EXP_SLICES micro-batches the state holds only the base
+    generation plus the above-horizon tail — never one generation per
+    batch — while the per-user sums stay bit-identical to the one-shot
+    batch answer."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        STREAM_EXP_COMPACT_EVERY,
+        STREAM_EXP_SLICES,
+        _experiment_fold_with_compaction,
+        _experiment_per_user,
+    )
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    all_rows = []
+    for i in range(STREAM_EXP_SLICES):
+        rows = _exp_rows(range(3 * i, 3 * i + 6), day=10 + i, value=1.0 + i)
+        all_rows += rows
+        spark.createDataFrame(rows, EXP_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+    sink = ParquetStateSink(
+        spark,
+        str(tmp_path / "state"),
+        pk_cols=("batch_id", "user_id"),
+        row_cols=("x", "y"),
+    )
+    q = (
+        spark.readStream.schema(EXP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .writeStream.foreachBatch(
+            lambda df, bid: _experiment_fold_with_compaction(sink, df, bid)
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert q.exception() is None
+
+    gens = sorted(
+        r.batch_id for r in sink.read().select("batch_id").distinct().collect()
+    )
+    # base generation + everything above the last compaction horizon
+    last_compact = ((STREAM_EXP_SLICES - 1) // STREAM_EXP_COMPACT_EVERY) * (
+        STREAM_EXP_COMPACT_EVERY
+    )
+    expected_gens = [-1] + list(range(last_compact, STREAM_EXP_SLICES))
+    assert gens == expected_gens, (gens, expected_gens)
+    assert len(gens) <= STREAM_EXP_COMPACT_EVERY + 2 < STREAM_EXP_SLICES + 1
+
+    everything = spark.createDataFrame(all_rows, EXP_SCHEMA)
+    expected = sorted(
+        (r.user_id, r.x, r.y) for r in _experiment_per_user(everything).collect()
+    )
+    assert _per_user_rows(sink) == expected
+
+
+def test_dedup_pair_fold_replays_idempotently(spark, tmp_path):
+    """stream_incremental_dedup's pair accumulator (r10, VERDICT r9
+    task #3): set-shaped pair state MERGEd on the natural pk
+    (new_doc, dup_doc) absorbs an at-least-once redelivered micro-batch
+    as a self-overwrite — the drained state equals the single-delivery
+    union, never a double-append."""
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import _dedup_pair_fold
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    sink = ParquetStateSink(
+        spark,
+        str(tmp_path / "state"),
+        pk_cols=("new_doc", "dup_doc"),
+        row_cols=("jaccard",),
+    )
+    pairs0 = spark.createDataFrame(
+        [(13, 2, 0.9), (13, 4, 0.85), (23, 2, 0.8)],
+        "new_doc bigint, dup_doc bigint, jaccard double",
+    )
+    _dedup_pair_fold(sink, pairs0, 0)
+    s1 = sorted(map(tuple, sink.read().select("new_doc", "dup_doc", "jaccard").collect()))
+    assert s1 == [(13, 2, 0.9), (13, 4, 0.85), (23, 2, 0.8)]
+    n_versions = sink.latest_seq()
+
+    # replay: crash between pair-commit and offset-commit redelivers
+    # batch 0 verbatim -> MERGE self-overwrite, state unchanged
+    _dedup_pair_fold(sink, pairs0, 0)
+    assert (
+        sorted(map(tuple, sink.read().select("new_doc", "dup_doc", "jaccard").collect()))
+        == s1
+    )
+    assert sink.latest_seq() == n_versions + 1  # a commit happened...
+    assert sink.read().count() == 3  # ...but appended nothing
+
+    # next batch: disjoint new_doc cohort unions in
+    _dedup_pair_fold(
+        sink,
+        spark.createDataFrame(
+            [(33, 7, 0.95)], "new_doc bigint, dup_doc bigint, jaccard double"
+        ),
+        1,
+    )
+    assert sorted(
+        map(tuple, sink.read().select("new_doc", "dup_doc", "jaccard").collect())
+    ) == s1 + [(33, 7, 0.95)]
+
+
+def test_streaming_twins_reclaim_run_dirs(spark):
+    """VERDICT r9 task #4: the run-scoped /tmp state+checkpoint dirs the
+    three streaming twins create must be gone after the twin returns —
+    a double invocation leaves zero orphans."""
+    import glob
+    import tempfile
+
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    pattern = f"{tempfile.gettempdir()}/spark_graft_stream_*"
+    before = set(glob.glob(pattern))
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    for key in (
+        "stream_experiment_snapshot",
+        "stream_srm_monitor",
+        "stream_incremental_dedup",
+    ):
+        for _ in range(2):
+            qs[key].fn(spark, sf).collect()
+    spark.catalog.clearCache()
+    leaked = set(glob.glob(pattern)) - before
+    assert leaked == set(), leaked
