@@ -2379,6 +2379,146 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared literal constants for the sequential SRM mixture test — the SAME
+# 17-digit decimal literals appear in the Spark tree and the DuckDB oracle,
+# so both engines parse the identical double.
+_HALF_LN_2PI = "0.9189385332046727"  # 0.5 * ln(2π)
+_LN_2 = "0.6931471805599453"
+_LN_1000 = "6.907755278982137"  # ln(1/α) at α = 0.001
+
+
+def _lgamma_sql(x: str) -> str:
+    """ln Γ(x) for x ≥ 1 as a DuckDB double expression: shift-by-6 then a
+    3-term Stirling series on w = x+6 ≥ 7 (|err| < 2e-9 over the integer
+    grid — validated against math.lgamma in tests).  DuckDB HAS a native
+    lgamma, but the oracle deliberately replays THIS exact double tree so
+    engine and oracle share one formula — the fixed-double-tree device
+    ([[events_srm_check]]'s integer device is unavailable: the mixture
+    Bayes factor is genuinely transcendental)."""
+    w = f"({x} + 6.0)"
+    stirl = (
+        f"({w} - 0.5) * LN({w}) - {w} + {_HALF_LN_2PI}"
+        f" + 1.0 / (12.0 * {w}) - 1.0 / (360.0 * {w} * {w} * {w})"
+        f" + 1.0 / (1260.0 * {w} * {w} * {w} * {w} * {w})"
+    )
+    shift = " + ".join(f"LN({x} + {i}.0)" for i in range(6))
+    return f"({stirl} - ({shift}))"
+
+
+def _lgamma_col(x):
+    """The Spark twin of [[_lgamma_sql]] — same literals, same
+    left-associative grouping, so both engines evaluate the identical
+    IEEE-double DAG."""
+    w = x + F.lit(6.0)
+    stirl = (
+        (w - F.lit(0.5)) * F.log(w)
+        - w
+        + F.lit(float(_HALF_LN_2PI))
+        + F.lit(1.0) / (F.lit(12.0) * w)
+        - F.lit(1.0) / (F.lit(360.0) * w * w * w)
+        + F.lit(1.0) / (F.lit(1260.0) * w * w * w * w * w)
+    )
+    shift = F.log(x + F.lit(0.0))
+    for i in range(1, 6):
+        shift = shift + F.log(x + F.lit(float(i)))
+    return stirl - shift
+
+
+
+@register(
+    "events_srm_sequential",
+    oracle=f"""
+    WITH arms AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS nt,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS nc
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    bf AS (
+      SELECT nt, nc,
+             {_lgamma_sql("(CAST(nt AS DOUBLE) + 1.0)")}
+             + {_lgamma_sql("(CAST(nc AS DOUBLE) + 1.0)")}
+             - {_lgamma_sql("(CAST(nt + nc AS DOUBLE) + 2.0)")}
+             + CAST(nt + nc AS DOUBLE) * {_LN_2} AS log_bf
+      FROM arms
+    )
+    SELECT nt AS n_treat, nc AS n_ctrl,
+           CASE WHEN nt + nc > 0 THEN ROUND(log_bf, 6) END AS log_bf,
+           CASE WHEN nt + nc > 0 THEN
+             ROUND(LEAST(1.0, EXP(-log_bf)), 6) END AS p_always_valid,
+           CASE WHEN nt + nc > 0 THEN log_bf > {_LN_1000}
+           END AS srm_sequential
+    FROM bf
+    """,
+    tags=("behavioral", "stats", "experiment", "dq", "sequential"),
+)
+def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANYTIME-VALID sequential sample-ratio-mismatch monitor — the
+    always-valid complement to the fixed-horizon [[events_srm_check]]:
+    a production guardrail is CONTINUOUSLY peeked (every micro-batch of
+    [[stream_srm_monitor]] is a peek), and a repeatedly-peeked χ² at
+    α = 0.001 has unbounded false-positive probability over an unbounded
+    stream.  The mixture sequential probability ratio test (mSPRT —
+    Robbins 1970; applied to SRM by Lindon, Sanden & Shirikian 2022)
+    fixes this: under H₀ each enrollment is Bernoulli(½) between arms,
+    and the Beta(1,1)-mixture Bayes factor
+
+        BF = B(nt+1, nc+1) / 2^{{-(nt+nc)}}
+        log BF = lnΓ(nt+1) + lnΓ(nc+1) − lnΓ(nt+nc+2) + (nt+nc)·ln 2
+
+    is a nonnegative supermartingale under H₀, so by Ville's inequality
+    the rule "page when BF > 1/α" holds the false-positive probability
+    at ≤ α over ALL peeks simultaneously, and min(1, 1/BF) is an
+    always-valid p-value.  Balanced arms keep log BF ≈ −½·ln n
+    (negative, never paging); a real mismatch grows it linearly.
+
+    Exactness device: the Bayes factor is genuinely transcendental, so
+    the integer-verdict device of the χ² gate is unavailable — instead
+    engine and oracle evaluate ONE shared fixed double tree
+    ([[_lgamma_col]] / [[_lgamma_sql]]: shift-by-6 + 3-term Stirling,
+    |err| < 2e-9, identical 17-digit literals, identical
+    left-associative grouping) and the paging verdict compares that
+    shared tree against the ln(1/α) literal.  log BF / p are 6dp
+    presentation rounds, safe per the registry's log-valued rule.
+    Zero enrolled users → NULL under identical guards.
+
+    Scale shape: identical to [[events_srm_check]] — one DISTINCT over
+    user ids (map-side combined), then a 1-row scalar expression.  No
+    window, no join; the formula consumes only the two exact BIGINT
+    arm counts, so at 100 TB the test costs exactly what the χ² gate
+    costs."""
+    arms = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .agg(
+            F.count(F.when(F.col("user_id") % 2 == 1, 1))
+            .cast("bigint")
+            .alias("nt"),
+            F.count(F.when(F.col("user_id") % 2 == 0, 1))
+            .cast("bigint")
+            .alias("nc"),
+        )
+    )
+    nt, nc = F.col("nt"), F.col("nc")
+    tot = nt + nc
+    log_bf = (
+        _lgamma_col(nt.cast("double") + F.lit(1.0))
+        + _lgamma_col(nc.cast("double") + F.lit(1.0))
+        - _lgamma_col(tot.cast("double") + F.lit(2.0))
+        + tot.cast("double") * F.lit(float(_LN_2))
+    )
+    return arms.select(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        F.when(tot > 0, F.round(log_bf, 6)).alias("log_bf"),
+        F.when(tot > 0, F.round(F.least(F.lit(1.0), F.exp(-log_bf)), 6)).alias(
+            "p_always_valid"
+        ),
+        F.when(tot > 0, log_bf > F.lit(float(_LN_1000))).alias("srm_sequential"),
+    )
+
+
 @register(
     "events_proportion_ztest",
     oracle="""

@@ -63,9 +63,10 @@ _LOADED = False
 #
 # Round-10 prefix, mechanically derived by `scripts/drift_audit.py`
 # (verbatim output; VERDICT r9 task #1):
-#   1. No new r10 keys — the round is pure refresh by design (the stale
-#      backlog exceeds two rounds of slots; every new key displaces one
-#      refresh slot).
+#   1. The one new r10 key (events_srm_sequential — the anytime-valid
+#      mSPRT SRM monitor).  The round is otherwise refresh-focused by
+#      design: the stale backlog exceeds two rounds of slots and every
+#      new key displaces one refresh slot.
 #   2. The 3 keys whose registered function block changed this round:
 #      the stream_incremental_dedup state-sink MERGE rework (VERDICT
 #      task #3), and the compaction-wired + dir-reclaiming streaming
@@ -81,6 +82,7 @@ _LOADED = False
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
+    "events_srm_sequential",  # tier 1: new in r10, no driver row
     "stream_incremental_dedup",  # tier 2: drifted (last green r7)
     "stream_experiment_snapshot",  # tier 2: drifted (last green r9)
     "stream_srm_monitor",  # tier 2: drifted (last green r9)

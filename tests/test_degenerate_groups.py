@@ -78,6 +78,10 @@ DEGENERATE_KEYS = [
     "events_power_mde",
     # r9: streaming guardrail must equal the batch SRM on every fixture
     "stream_srm_monitor",
+    # r10: anytime-valid SRM — same degenerate enrollment regimes as the
+    # fixed-horizon gate (empty arm, zero users) through the shared
+    # fixed double tree
+    "events_srm_sequential",
     # r8: per-segment CUPED — single-arm segments must emit no row
     "events_uplift_cuped_by_segment",
 ]

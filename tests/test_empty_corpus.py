@@ -139,6 +139,8 @@ EMPTY_SLICE = [
     # r9 additions
     "events_power_mde",
     "stream_srm_monitor",
+    # r10 additions
+    "events_srm_sequential",
 ]
 
 

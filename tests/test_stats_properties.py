@@ -651,3 +651,95 @@ def test_srm_verdict_decimal_expression_matches_bigint_reference(spark, rows):
     ).collect()
     for r in got:
         assert r["got"] == r["want"], r
+
+
+# ---------------------------------------------------------------------------
+# Sequential SRM (r10): the mixture Bayes factor for integer arm counts
+# is EXACTLY nt!*nc!/(nt+nc+1)! * 2^(nt+nc) in rational arithmetic, so
+# the engine's shared Stirling double tree can be checked from first
+# principles — the same device that pinned the Welch power sums and the
+# SRM chi-square collapse (r9).
+# ---------------------------------------------------------------------------
+
+
+def _exact_bf_fraction(nt: int, nc: int):
+    from fractions import Fraction
+    from math import factorial
+
+    return Fraction(
+        factorial(nt) * factorial(nc) * 2 ** (nt + nc),
+        factorial(nt + nc + 1),
+    )
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    nt=st.integers(min_value=0, max_value=400),
+    nc=st.integers(min_value=0, max_value=400),
+)
+def test_sequential_srm_bayes_factor_matches_exact_rational(spark, nt, nc):
+    """The engine's log BF (shift-by-6 + 3-term Stirling, evaluated by
+    Spark itself on a 1-row frame) must agree with ln of the exact
+    Fraction Bayes factor to well under the 6dp presentation round, and
+    the alpha=0.001 paging verdict must agree with the exact rational
+    comparison BF > 1000 whenever log BF is not within 1e-6 of the
+    boundary (it never is on an integer count grid this small)."""
+    import math
+
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _LN_2,
+        _LN_1000,
+        _lgamma_col,
+    )
+
+    row = spark.createDataFrame([(nt, nc)], "nt bigint, nc bigint")
+    tot = F.col("nt") + F.col("nc")
+    log_bf = (
+        _lgamma_col(F.col("nt").cast("double") + F.lit(1.0))
+        + _lgamma_col(F.col("nc").cast("double") + F.lit(1.0))
+        - _lgamma_col(tot.cast("double") + F.lit(2.0))
+        + tot.cast("double") * F.lit(float(_LN_2))
+    )
+    got = row.select(
+        log_bf.alias("log_bf"),
+        (log_bf > F.lit(float(_LN_1000))).alias("paged"),
+    ).collect()[0]
+
+    exact = _exact_bf_fraction(nt, nc)
+    expected = math.log(exact.numerator) - math.log(exact.denominator)
+    assert abs(got.log_bf - expected) < 1e-6, (nt, nc, got.log_bf, expected)
+    assert got.paged == (exact > 1000), (nt, nc, float(exact))
+
+
+def test_sequential_srm_is_conservative_under_balanced_enrollment(spark):
+    """Supermartingale sanity: under exactly balanced arms the Bayes
+    factor is maximal over the H0 ratio yet still ~1/sqrt(n) — the
+    monitor must never page, at any peek size."""
+    import math
+
+    rows = [(n, n) for n in (1, 10, 75, 1000, 10**6)]
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _LN_2,
+        _LN_1000,
+        _lgamma_col,
+    )
+
+    df = spark.createDataFrame(rows, "nt bigint, nc bigint")
+    tot = F.col("nt") + F.col("nc")
+    log_bf = (
+        _lgamma_col(F.col("nt").cast("double") + F.lit(1.0))
+        + _lgamma_col(F.col("nc").cast("double") + F.lit(1.0))
+        - _lgamma_col(tot.cast("double") + F.lit(2.0))
+        + tot.cast("double") * F.lit(float(_LN_2))
+    )
+    out = df.select("nt", log_bf.alias("lb")).collect()
+    for r in out:
+        assert r.lb < 0, r  # balanced arms: BF < 1 always
+        # and the engine tree stays within 1e-6 of true lgamma math
+        expected = (
+            math.lgamma(r.nt + 1)
+            + math.lgamma(r.nt + 1)
+            - math.lgamma(2 * r.nt + 2)
+            + 2 * r.nt * math.log(2.0)
+        )
+        assert abs(r.lb - expected) < 1e-6, (r.nt, r.lb, expected)
