@@ -2519,6 +2519,166 @@ def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixture-variance literal for the effect-metric mSPRT: τ is the PRIOR
+# scale of plausible treatment effects on the per-user post-period cents
+# metric (here $1 = 100 cents, τ² = 10⁴).  Any value FIXED IN ADVANCE
+# keeps the test anytime-valid (it is a mixture over H₁, not a tuning of
+# H₀); τ only trades early-detection speed against asymptotic sharpness,
+# and since V_n → 0 as enrollment grows, every fixed τ detects any real
+# effect eventually (Johari et al. 2017 §3).
+_TAU2_MSPRT = "10000.0"
+_LN_20 = "2.995732273553991"  # ln(1/α) at α = 0.05
+
+
+def _msprt_cols(nt, nc, st, sc, sst, ssc):
+    """The mSPRT fixed double tree from exact integer sufficient
+    statistics (per-arm count / Σy / Σy² as BIGINTs): returns
+    (theta, v, log_bf) Columns.  Mirrored literal-for-literal by the
+    oracle SQL in [[events_effect_msprt]]; property-tested from
+    first-principles Fraction statistics in tests."""
+    ntd, ncd = nt.cast("double"), nc.cast("double")
+    theta = st.cast("double") / nt - sc.cast("double") / nc
+    v = (ntd * sst.cast("double") - st.cast("double") * st) / (
+        ntd * (nt - F.lit(1)) * nt
+    ) + (ncd * ssc.cast("double") - sc.cast("double") * sc) / (
+        ncd * (nc - F.lit(1)) * nc
+    )
+    tau2 = F.lit(float(_TAU2_MSPRT))
+    log_bf = F.lit(0.5) * F.log(v / (v + tau2)) + theta * theta * tau2 / (
+        F.lit(2.0) * v * (v + tau2)
+    )
+    return theta, v, log_bf
+
+
+@register(
+    "events_effect_msprt",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS nt,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(y) FILTER (WHERE arm = 1), 0) AS BIGINT) AS st,
+             CAST(COALESCE(SUM(y) FILTER (WHERE arm = 0), 0) AS BIGINT) AS sc,
+             CAST(COALESCE(SUM(y * y) FILTER (WHERE arm = 1), 0) AS BIGINT)
+               AS sst,
+             CAST(COALESCE(SUM(y * y) FILTER (WHERE arm = 0), 0) AS BIGINT)
+               AS ssc
+      FROM per_user
+    ),
+    d AS (
+      SELECT nt, nc,
+             nt >= 2 AND nc >= 2 AS ok,
+             CAST(nt AS HUGEINT) * sst - CAST(st AS HUGEINT) * st
+               + (CAST(nc AS HUGEINT) * ssc - CAST(sc AS HUGEINT) * sc) > 0
+               AS var_pos,
+             CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc AS theta,
+             (CAST(nt AS DOUBLE) * sst - CAST(st AS DOUBLE) * st)
+               / (CAST(nt AS DOUBLE) * (nt - 1) * nt)
+             + (CAST(nc AS DOUBLE) * ssc - CAST(sc AS DOUBLE) * sc)
+               / (CAST(nc AS DOUBLE) * (nc - 1) * nc) AS v
+      FROM s
+    ),
+    bf AS (
+      SELECT nt, nc, ok, var_pos, theta, v,
+             0.5 * LN(v / (v + {_TAU2_MSPRT}))
+             + theta * theta * {_TAU2_MSPRT}
+               / (2.0 * v * (v + {_TAU2_MSPRT})) AS log_bf
+      FROM d
+    )
+    SELECT nt AS n_treat, nc AS n_ctrl,
+           CASE WHEN ok THEN ROUND(theta / 100.0, 4) END AS mean_diff,
+           CASE WHEN ok AND var_pos THEN ROUND(log_bf, 6) END AS log_bf,
+           CASE WHEN ok AND var_pos THEN
+             ROUND(LEAST(1.0, EXP(-log_bf)), 6) END AS p_always_valid,
+           CASE WHEN ok AND var_pos THEN log_bf > {_LN_20}
+           END AS effect_detected
+    FROM bf
+    """,
+    tags=("behavioral", "stats", "experiment", "sequential"),
+)
+def events_effect_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANYTIME-VALID treatment-effect monitor — the metric-side
+    companion to [[events_srm_sequential]], completing the sequential
+    pair a continuously-peeked experiment needs: the mixture sequential
+    probability ratio test of Johari, Koomen, Pekelis & Walsh (2017,
+    "Peeking at A/B tests"), the test behind Optimizely's always-valid
+    results page.  Under H₀: θ = 0 for the per-user post-period metric
+    difference θ̂ = m_t − m_c with variance V_n = s²_t/n_t + s²_c/n_c,
+    the N(0, τ²)-mixture likelihood ratio
+
+        Λ_n = √(V_n/(V_n+τ²)) · exp(θ̂²τ² / (2·V_n·(V_n+τ²)))
+
+    is a supermartingale under H₀, so "report when Λ > 1/α" is
+    α-valid over ALL peeks (Ville), and min(1, 1/Λ) is an always-valid
+    p-value — unlike [[stats_welch_ttest]]'s fixed-horizon |t| ≥ 1.96,
+    which is only valid if the analysis time was chosen blind to the
+    data.  Early in an experiment V_n is large and the monitor stays
+    quiet (correctly: little evidence); V_n shrinks as 1/n, so any real
+    effect eventually pages.
+
+    Exactness device: the battery's — per-arm count/Σy/Σy² are exact
+    BIGINTs off the additive [[_experiment_per_user]] relation, the
+    statistic derives in ONE fixed double tree ([[_msprt_cols]],
+    literal-for-literal mirrored in the oracle, property-tested against
+    first-principles Fraction statistics), the degenerate guards are
+    INTEGER predicates (arm n ≥ 2; pooled squared-deviation sum > 0 in
+    HUGEINT/DECIMAL(38,0) — never a float-equality test), and outputs
+    are 4dp/6dp presentation rounds.
+
+    Scale shape: one map-side-combined per-user groupBy, one 1-row
+    per-arm reduce, then scalar math — the experiment battery's cost
+    envelope, no window, no join."""
+    per_user = _experiment_per_user(load(spark, sf_dir, "events")).select(
+        (F.col("user_id") % 2).alias("arm"), "y"
+    )
+    s = per_user.agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("y"))), F.lit(0))
+        .cast("bigint")
+        .alias("st"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("y"))), F.lit(0))
+        .cast("bigint")
+        .alias("sc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("y") * F.col("y"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sst"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("y") * F.col("y"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ssc"),
+    )
+    nt, nc = F.col("nt"), F.col("nc")
+    st, sc, sst, ssc = F.col("st"), F.col("sc"), F.col("sst"), F.col("ssc")
+    theta, v, log_bf = _msprt_cols(nt, nc, st, sc, sst, ssc)
+    ok = (nt >= 2) & (nc >= 2)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    var_pos = (dec(nt) * sst - dec(st) * st + (dec(nc) * ssc - dec(sc) * sc)) > 0
+    return s.select(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        F.when(ok, F.round(theta / F.lit(100.0), 4)).alias("mean_diff"),
+        F.when(ok & var_pos, F.round(log_bf, 6)).alias("log_bf"),
+        F.when(
+            ok & var_pos, F.round(F.least(F.lit(1.0), F.exp(-log_bf)), 6)
+        ).alias("p_always_valid"),
+        F.when(ok & var_pos, log_bf > F.lit(float(_LN_20))).alias(
+            "effect_detected"
+        ),
+    )
+
+
 @register(
     "events_proportion_ztest",
     oracle="""

@@ -82,6 +82,9 @@ DEGENERATE_KEYS = [
     # fixed-horizon gate (empty arm, zero users) through the shared
     # fixed double tree
     "events_srm_sequential",
+    # r10: anytime-valid effect monitor — undersized arm / zero pooled
+    # variance guards (integer predicates, both engines)
+    "events_effect_msprt",
     # r8: per-segment CUPED — single-arm segments must emit no row
     "events_uplift_cuped_by_segment",
 ]

@@ -141,6 +141,7 @@ EMPTY_SLICE = [
     "stream_srm_monitor",
     # r10 additions
     "events_srm_sequential",
+    "events_effect_msprt",
 ]
 
 

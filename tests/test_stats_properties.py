@@ -743,3 +743,115 @@ def test_sequential_srm_is_conservative_under_balanced_enrollment(spark):
             + 2 * r.nt * math.log(2.0)
         )
         assert abs(r.lb - expected) < 1e-6, (r.nt, r.lb, expected)
+
+
+# ---------------------------------------------------------------------------
+# Effect-metric mSPRT (r10): the engine's fixed double tree from integer
+# sufficient statistics vs a first-principles reference — theta and V_n
+# derived with exact Fraction arithmetic from the raw per-user lists
+# (textbook sample variance, never the engine's rearranged power-sum
+# form), the log Bayes factor assembled in plain math.  Catches the
+# shared-algebra bug class the r9 exact-rational Welch test pinned.
+# ---------------------------------------------------------------------------
+
+arm_strategy = st.lists(
+    st.integers(min_value=-2000, max_value=2000), min_size=2, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(yt=arm_strategy, yc=arm_strategy)
+def test_effect_msprt_tree_matches_first_principles(spark, yt, yc):
+    import math
+    from fractions import Fraction
+
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _LN_20,
+        _TAU2_MSPRT,
+        _msprt_cols,
+    )
+
+    # first-principles reference: exact rational theta and V_n
+    def var(xs):
+        m = Fraction(sum(xs), len(xs))
+        return sum((Fraction(x) - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    theta_ref = Fraction(sum(yt), len(yt)) - Fraction(sum(yc), len(yc))
+    v_ref = var(yt) / len(yt) + var(yc) / len(yc)
+    if v_ref == 0:
+        return  # guarded to NULL in the engine; degenerate sweep covers it
+    tau2 = Fraction(_TAU2_MSPRT)
+    lam_exp_term = theta_ref**2 * tau2 / (2 * v_ref * (v_ref + tau2))  # rational
+    log_bf_ref = 0.5 * math.log(float(v_ref / (v_ref + tau2))) + float(lam_exp_term)
+
+    # engine tree, evaluated by Spark from the integer sufficient stats
+    row = spark.createDataFrame(
+        [
+            (
+                len(yt),
+                len(yc),
+                sum(yt),
+                sum(yc),
+                sum(x * x for x in yt),
+                sum(x * x for x in yc),
+            )
+        ],
+        "nt bigint, nc bigint, st bigint, sc bigint, sst bigint, ssc bigint",
+    )
+    theta, v, log_bf = _msprt_cols(
+        F.col("nt"), F.col("nc"), F.col("st"), F.col("sc"), F.col("sst"), F.col("ssc")
+    )
+    got = row.select(
+        theta.alias("theta"),
+        v.alias("v"),
+        log_bf.alias("log_bf"),
+        (log_bf > F.lit(float(_LN_20))).alias("detected"),
+    ).collect()[0]
+
+    assert abs(got.theta - float(theta_ref)) < 1e-9 * max(1.0, abs(float(theta_ref)))
+    assert abs(got.v - float(v_ref)) < 1e-9 * max(1.0, float(v_ref))
+    assert abs(got.log_bf - log_bf_ref) < 1e-7 * max(1.0, abs(log_bf_ref)), (
+        yt,
+        yc,
+        got.log_bf,
+        log_bf_ref,
+    )
+    # the paging rule agrees with the exact-side comparison away from
+    # the (measure-zero) boundary
+    if abs(log_bf_ref - float(_LN_20)) > 1e-6:
+        assert got.detected == (log_bf_ref > float(_LN_20))
+
+
+def test_effect_msprt_detects_a_strong_synthetic_effect(spark):
+    """Sanity in both directions: a flat A/A split must not page; a
+    large shift with tight variance must page."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _LN_20,
+        _msprt_cols,
+    )
+
+    def eval_lb(yt, yc):
+        row = spark.createDataFrame(
+            [
+                (
+                    len(yt),
+                    len(yc),
+                    sum(yt),
+                    sum(yc),
+                    sum(x * x for x in yt),
+                    sum(x * x for x in yc),
+                )
+            ],
+            "nt bigint, nc bigint, st bigint, sc bigint, sst bigint, ssc bigint",
+        )
+        _, _, lb = _msprt_cols(
+            F.col("nt"), F.col("nc"), F.col("st"), F.col("sc"),
+            F.col("sst"), F.col("ssc"),
+        )
+        return row.select(lb.alias("lb")).collect()[0].lb
+
+    aa = [100 + (i % 7) for i in range(50)]
+    assert eval_lb(aa, aa) < float(_LN_20)  # A/A: never pages
+    treat = [1000 + (i % 3) for i in range(200)]
+    ctrl = [100 + (i % 3) for i in range(200)]
+    assert eval_lb(treat, ctrl) > float(_LN_20)  # 9x lift, tight variance
