@@ -2444,8 +2444,8 @@ def _lgamma_col(x):
     SELECT nt AS n_treat, nc AS n_ctrl,
            CASE WHEN nt + nc > 0 THEN ROUND(log_bf, 6) END AS log_bf,
            CASE WHEN nt + nc > 0 THEN
-             ROUND(LEAST(1.0, EXP(-log_bf)), 6) END AS p_always_valid,
-           CASE WHEN nt + nc > 0 THEN log_bf > {_LN_1000}
+             ROUND(LEAST(1.0, EXP(-ROUND(log_bf, 6))), 6) END AS p_always_valid,
+           CASE WHEN nt + nc > 0 THEN ROUND(log_bf, 6) > {_LN_1000}
            END AS srm_sequential
     FROM bf
     """,
@@ -2476,10 +2476,13 @@ def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine and oracle evaluate ONE shared fixed double tree
     ([[_lgamma_col]] / [[_lgamma_sql]]: shift-by-6 + 3-term Stirling,
     |err| < 2e-9, identical 17-digit literals, identical
-    left-associative grouping) and the paging verdict compares that
-    shared tree against the ln(1/α) literal.  log BF / p are 6dp
-    presentation rounds, safe per the registry's log-valued rule.
-    Zero enrolled users → NULL under identical guards.
+    left-associative grouping) and the paging verdict compares the
+    6dp-ROUNDED log BF against the ln(1/α) literal — the
+    [[events_proportion_ztest]] device: both engines compare the
+    identical hash-checked double, so a last-ulp libm difference
+    cannot flip the boolean.  log BF / p are 6dp presentation rounds,
+    safe per the registry's log-valued rule.  Zero enrolled users →
+    NULL under identical guards.
 
     Scale shape: identical to [[events_srm_check]] — one DISTINCT over
     user ids (map-side combined), then a 1-row scalar expression.  No
@@ -2512,10 +2515,13 @@ def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt.alias("n_treat"),
         nc.alias("n_ctrl"),
         F.when(tot > 0, F.round(log_bf, 6)).alias("log_bf"),
-        F.when(tot > 0, F.round(F.least(F.lit(1.0), F.exp(-log_bf)), 6)).alias(
-            "p_always_valid"
+        F.when(
+            tot > 0,
+            F.round(F.least(F.lit(1.0), F.exp(-F.round(log_bf, 6))), 6),
+        ).alias("p_always_valid"),
+        F.when(tot > 0, F.round(log_bf, 6) > F.lit(float(_LN_1000))).alias(
+            "srm_sequential"
         ),
-        F.when(tot > 0, log_bf > F.lit(float(_LN_1000))).alias("srm_sequential"),
     )
 
 
@@ -2597,8 +2603,9 @@ def _msprt_cols(nt, nc, st, sc, sst, ssc):
            CASE WHEN ok THEN ROUND(theta / 100.0, 4) END AS mean_diff,
            CASE WHEN ok AND var_pos THEN ROUND(log_bf, 6) END AS log_bf,
            CASE WHEN ok AND var_pos THEN
-             ROUND(LEAST(1.0, EXP(-log_bf)), 6) END AS p_always_valid,
-           CASE WHEN ok AND var_pos THEN log_bf > {_LN_20}
+             ROUND(LEAST(1.0, EXP(-ROUND(log_bf, 6))), 6)
+           END AS p_always_valid,
+           CASE WHEN ok AND var_pos THEN ROUND(log_bf, 6) > {_LN_20}
            END AS effect_detected
     FROM bf
     """,
@@ -2630,8 +2637,10 @@ def events_effect_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-for-literal mirrored in the oracle, property-tested against
     first-principles Fraction statistics), the degenerate guards are
     INTEGER predicates (arm n ≥ 2; pooled squared-deviation sum > 0 in
-    HUGEINT/DECIMAL(38,0) — never a float-equality test), and outputs
-    are 4dp/6dp presentation rounds.
+    HUGEINT/DECIMAL(38,0) — never a float-equality test), outputs are
+    4dp/6dp presentation rounds, and the paging verdict compares the
+    6dp-ROUNDED log Λ (the [[events_proportion_ztest]] device — a
+    last-ulp libm difference cannot flip the boolean).
 
     Scale shape: one map-side-combined per-user groupBy, one 1-row
     per-arm reduce, then scalar math — the experiment battery's cost
@@ -2671,9 +2680,10 @@ def events_effect_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(theta / F.lit(100.0), 4)).alias("mean_diff"),
         F.when(ok & var_pos, F.round(log_bf, 6)).alias("log_bf"),
         F.when(
-            ok & var_pos, F.round(F.least(F.lit(1.0), F.exp(-log_bf)), 6)
+            ok & var_pos,
+            F.round(F.least(F.lit(1.0), F.exp(-F.round(log_bf, 6))), 6),
         ).alias("p_always_valid"),
-        F.when(ok & var_pos, log_bf > F.lit(float(_LN_20))).alias(
+        F.when(ok & var_pos, F.round(log_bf, 6) > F.lit(float(_LN_20))).alias(
             "effect_detected"
         ),
     )
