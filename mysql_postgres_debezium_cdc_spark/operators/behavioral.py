@@ -2689,6 +2689,173 @@ def events_effect_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_PCT = 99  # upper winsorization percentile (p99, the revenue default)
+
+
+def _winsorized_welch(per_user: DataFrame) -> DataFrame:
+    """The winsorized-Welch readout over an (arm, y) relation — factored
+    from [[events_experiment_winsorized]] so the property tests can feed
+    arbitrary frames.  Cap = the exact lower {WINSOR_PCT}th percentile
+    of y over the POOLED users (the repo's integer rank rule: smallest
+    v with 100·cum ≥ {WINSOR_PCT}·n over the distinct-value grid — a
+    value-domain-bounded window, never a row-scale one), applied
+    upper-only; then the Welch fixed double tree of
+    [[stats_welch_ttest]] on the capped integers."""
+    grid = per_user.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cap = (
+        grid.select(
+            "y",
+            F.sum("c").over(wcum).alias("cw"),
+            F.sum("c").over(wall).alias("tw"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cw") * 100 >= F.col("tw") * F.lit(WINSOR_PCT), F.col("y")
+                )
+            ).alias("cap")
+        )
+    )
+    capped = per_user.crossJoin(F.broadcast(cap)).select(
+        "arm", F.least(F.col("y"), F.col("cap")).alias("y"), "cap"
+    )
+    s = capped.agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("y"))), F.lit(0))
+        .cast("bigint")
+        .alias("st"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("y"))), F.lit(0))
+        .cast("bigint")
+        .alias("sc"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("y") * F.col("y"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sst"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("y") * F.col("y"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ssc"),
+        F.max("cap").alias("cap"),
+    )
+    nt, nc = F.col("nt"), F.col("nc")
+    st, sc, sst, ssc = F.col("st"), F.col("sc"), F.col("sst"), F.col("ssc")
+    ntd, ncd = nt.cast("double"), nc.cast("double")
+    theta = st.cast("double") / nt - sc.cast("double") / nc
+    v = (ntd * sst.cast("double") - st.cast("double") * st) / (
+        ntd * (nt - F.lit(1)) * nt
+    ) + (ncd * ssc.cast("double") - sc.cast("double") * sc) / (
+        ncd * (nc - F.lit(1)) * nc
+    )
+    t_stat = F.round(theta / F.sqrt(v), 4)
+    ok = (nt >= 2) & (nc >= 2)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    var_pos = (dec(nt) * sst - dec(st) * st + (dec(nc) * ssc - dec(sc) * sc)) > 0
+    return s.select(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        F.col("cap").alias("winsor_cap_cents"),
+        F.when(ok, F.round(theta / F.lit(100.0), 4)).alias("mean_diff"),
+        F.when(ok & var_pos, t_stat).alias("t_stat"),
+        F.when(ok & var_pos, F.abs(t_stat) >= F.lit(1.96)).alias("significant_05"),
+    )
+
+
+@register(
+    "events_experiment_winsorized",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM per_user GROUP BY y
+    ),
+    cumg AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cw, SUM(c) OVER () AS tw FROM grid
+    ),
+    cap AS (
+      SELECT MIN(v) AS cap FROM cumg WHERE cw * 100 >= tw * {WINSOR_PCT}
+    ),
+    w AS (
+      SELECT arm, LEAST(y, (SELECT cap FROM cap)) AS y FROM per_user
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS nt,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(y) FILTER (WHERE arm = 1), 0) AS BIGINT) AS st,
+             CAST(COALESCE(SUM(y) FILTER (WHERE arm = 0), 0) AS BIGINT) AS sc,
+             CAST(COALESCE(SUM(y * y) FILTER (WHERE arm = 1), 0) AS BIGINT)
+               AS sst,
+             CAST(COALESCE(SUM(y * y) FILTER (WHERE arm = 0), 0) AS BIGINT)
+               AS ssc
+      FROM w
+    ),
+    d AS (
+      SELECT nt, nc,
+             nt >= 2 AND nc >= 2 AS ok,
+             CAST(nt AS HUGEINT) * sst - CAST(st AS HUGEINT) * st
+               + (CAST(nc AS HUGEINT) * ssc - CAST(sc AS HUGEINT) * sc) > 0
+               AS var_pos,
+             CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc AS theta,
+             (CAST(nt AS DOUBLE) * sst - CAST(st AS DOUBLE) * st)
+               / (CAST(nt AS DOUBLE) * (nt - 1) * nt)
+             + (CAST(nc AS DOUBLE) * ssc - CAST(sc AS DOUBLE) * sc)
+               / (CAST(nc AS DOUBLE) * (nc - 1) * nc) AS v
+      FROM s
+    )
+    SELECT nt AS n_treat, nc AS n_ctrl,
+           (SELECT cap FROM cap) AS winsor_cap_cents,
+           CASE WHEN ok THEN ROUND(theta / 100.0, 4) END AS mean_diff,
+           CASE WHEN ok AND var_pos THEN ROUND(theta / SQRT(v), 4)
+           END AS t_stat,
+           CASE WHEN ok AND var_pos THEN ABS(ROUND(theta / SQRT(v), 4)) >= 1.96
+           END AS significant_05
+    FROM d
+    """,
+    tags=("behavioral", "stats", "experiment", "robust"),
+)
+def events_experiment_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED experiment readout — the robust-metrics default for
+    heavy-tailed per-user revenue (Kohavi-Tang-Xu 2020 §22: a handful of
+    whale users can swamp the mean-difference variance; capping the
+    metric at a high pooled percentile trades a small bias for a large
+    variance reduction and is standard practice at every large
+    experimentation platform).  Per-user post-period cents are capped
+    UPPER-ONLY at the exact pooled p{WINSOR_PCT}, then Welch's t runs
+    on the capped metric ([[stats_welch_ttest]]'s fixed double tree).
+
+    Exactness devices, all established: the cap is an exact-integer
+    rank selection on the distinct-value grid (smallest v with
+    100·cum ≥ {WINSOR_PCT}·n — [[dq_outlier_iqr]]'s rule; the grid
+    window is value-domain bounded, not row-scale); capped values stay
+    exact BIGINTs so the per-arm power sums are exact; the t verdict
+    compares the ROUNDED statistic ([[events_proportion_ztest]]
+    device); degenerate guards are integer predicates.  Property-tested
+    end-to-end against a first-principles Fraction reference (textbook
+    percentile-by-scan + sample variance on the capped lists).
+
+    Scale shape: one per-user groupBy (map-side combined), one
+    value-grid aggregate for the cap (distinct cents, value-domain
+    bounded), a BROADCAST 1-row cap join, one per-arm reduce.  No
+    fact-scale window, no fact-fact join."""
+    per_user = _experiment_per_user(load(spark, sf_dir, "events")).select(
+        (F.col("user_id") % 2).alias("arm"), "y"
+    )
+    return _winsorized_welch(per_user)
+
+
 @register(
     "events_proportion_ztest",
     oracle="""

@@ -84,6 +84,7 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     "events_srm_sequential",  # tier 1: new in r10, no driver row
     "events_effect_msprt",  # tier 1: new in r10, no driver row
+    "events_experiment_winsorized",  # tier 1: new in r10, no driver row
     "stream_incremental_dedup",  # tier 2: drifted (last green r7)
     "stream_experiment_snapshot",  # tier 2: drifted (last green r9)
     "stream_srm_monitor",  # tier 2: drifted (last green r9)

@@ -85,6 +85,9 @@ DEGENERATE_KEYS = [
     # r10: anytime-valid effect monitor — undersized arm / zero pooled
     # variance guards (integer predicates, both engines)
     "events_effect_msprt",
+    # r10: winsorized readout — degenerate cap (all-tied values => cap
+    # = the tie, zero capped variance) and undersized arms
+    "events_experiment_winsorized",
     # r8: per-segment CUPED — single-arm segments must emit no row
     "events_uplift_cuped_by_segment",
 ]

@@ -142,6 +142,7 @@ EMPTY_SLICE = [
     # r10 additions
     "events_srm_sequential",
     "events_effect_msprt",
+    "events_experiment_winsorized",
 ]
 
 

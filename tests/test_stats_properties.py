@@ -855,3 +855,87 @@ def test_effect_msprt_detects_a_strong_synthetic_effect(spark):
     treat = [1000 + (i % 3) for i in range(200)]
     ctrl = [100 + (i % 3) for i in range(200)]
     assert eval_lb(treat, ctrl) > float(_LN_20)  # 9x lift, tight variance
+
+
+# ---------------------------------------------------------------------------
+# Winsorized Welch readout (r10): end-to-end property — the factored
+# _winsorized_welch over an arbitrary (arm, y) relation vs a
+# first-principles reference (percentile by single-threaded scan,
+# textbook sample variance on the capped lists in Fraction arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def _ref_winsorized(yt, yc, pct):
+    """Reference: pooled lower-pct percentile cap by scan, upper-only
+    capping, exact Fraction Welch t (or None when guarded)."""
+    import math
+    from fractions import Fraction
+
+    pooled = sorted(yt + yc)
+    n = len(pooled)
+    cap = next(v for i, v in enumerate(pooled, 1) if 100 * i >= pct * n)
+    ct = [min(v, cap) for v in yt]
+    cc = [min(v, cap) for v in yc]
+
+    def var(xs):
+        m = Fraction(sum(xs), len(xs))
+        return sum((Fraction(x) - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    theta = Fraction(sum(ct), len(ct)) - Fraction(sum(cc), len(cc))
+    v = var(ct) / len(ct) + var(cc) / len(cc)
+    t = None if v == 0 else float(theta) / math.sqrt(float(v))
+    return cap, float(theta), t
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(yt=arm_strategy, yc=arm_strategy)
+def test_winsorized_welch_matches_first_principles(spark, yt, yc):
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        WINSOR_PCT,
+        _winsorized_welch,
+    )
+
+    per_user = spark.createDataFrame(
+        [(1, v) for v in yt] + [(0, v) for v in yc], "arm bigint, y bigint"
+    )
+    got = _winsorized_welch(per_user).collect()[0]
+    cap, theta, t = _ref_winsorized(yt, yc, WINSOR_PCT)
+
+    assert got.n_treat == len(yt) and got.n_ctrl == len(yc)
+    assert got.winsor_cap_cents == cap, (got.winsor_cap_cents, cap)
+    # half a 4dp grid step: the engine/oracle share half-away-from-zero
+    # rounding (parity-checked); Python's banker's round may differ on
+    # an exact .5-grid theta, so compare against the UNROUNDED reference
+    assert abs(got.mean_diff - theta / 100.0) <= 5.01e-5
+    if t is None:
+        assert got.t_stat is None and got.significant_05 is None
+    else:
+        assert abs(got.t_stat - t) < 1e-3 + 1e-4 * abs(t), (got.t_stat, t)
+        if abs(abs(round(t, 4)) - 1.96) > 1e-3:
+            assert got.significant_05 == (abs(round(t, 4)) >= 1.96)
+
+
+def test_winsorized_cap_tames_a_whale_user(spark):
+    """The point of the operator: one 10^7-cent whale in treatment flips
+    the RAW Welch verdict to noise (huge variance) while the winsorized
+    readout still resolves the true small lift."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        _winsorized_welch,
+    )
+
+    treat = [105 + (i % 11) for i in range(99)] + [10_000_000]  # +10 lift, one whale
+    ctrl = [95 + (i % 11) for i in range(100)]
+    per_user = spark.createDataFrame(
+        [(1, v) for v in treat] + [(0, v) for v in ctrl], "arm bigint, y bigint"
+    )
+    got = _winsorized_welch(per_user).collect()[0]
+    assert got.winsor_cap_cents == 115  # p99 of the pooled multiset
+    assert got.significant_05 is True  # capped: the lift resolves
+    assert got.t_stat > 10
+    # and the RAW (uncapped) Welch on the same data is noise — the
+    # whale's variance swamps the lift
+    import math
+    from statistics import mean, variance
+
+    v_raw = variance(treat) / len(treat) + variance(ctrl) / len(ctrl)
+    assert abs(mean(treat) - mean(ctrl)) / math.sqrt(v_raw) < 1.96
