@@ -2697,28 +2697,30 @@ def _winsorized_welch(per_user: DataFrame) -> DataFrame:
     from [[events_experiment_winsorized]] so the property tests can feed
     arbitrary frames.  Cap = the exact lower {WINSOR_PCT}th percentile
     of y over the POOLED users (the repo's integer rank rule: smallest
-    v with 100·cum ≥ {WINSOR_PCT}·n over the distinct-value grid — a
-    value-domain-bounded window, never a row-scale one), applied
-    upper-only; then the Welch fixed double tree of
-    [[stats_welch_ttest]] on the capped integers."""
-    grid = per_user.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wcum = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("y").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    v with 100·cum ≥ {WINSOR_PCT}·n), applied upper-only; then the
+    Welch fixed double tree of [[stats_welch_ttest]] on the capped
+    integers.
+
+    The percentile rank runs through [[_banded_rank_cums]], NOT a raw
+    unpartitioned window: unlike event-value grids (bounded cents
+    domain), distinct per-user SUMS rarely collide, so this grid is
+    USER-scale — exactly the regime the banded prefix sum exists for
+    (the same reason the funnel median and the rank statistics band
+    their per-user grids).  The only global window is the ≤128-row
+    band summary."""
+    from mysql_postgres_debezium_cdc_spark.operators.stats import _banded_rank_cums
+
+    vals = per_user.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca"),
+        F.lit(0).cast("bigint").alias("cb"),
     )
-    cap = (
-        grid.select(
-            "y",
-            F.sum("c").over(wcum).alias("cw"),
-            F.sum("c").over(wall).alias("tw"),
-        )
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cw") * 100 >= F.col("tw") * F.lit(WINSOR_PCT), F.col("y")
-                )
-            ).alias("cap")
-        )
+    cums = _banded_rank_cums(vals)
+    cap = cums.agg(
+        F.min(
+            F.when(
+                F.col("c1") * 100 >= F.col("t1") * F.lit(WINSOR_PCT), F.col("v")
+            )
+        ).alias("cap")
     )
     capped = per_user.crossJoin(F.broadcast(cap)).select(
         "arm", F.least(F.col("y"), F.col("cap")).alias("y"), "cap"
@@ -2837,19 +2839,22 @@ def events_experiment_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the capped metric ([[stats_welch_ttest]]'s fixed double tree).
 
     Exactness devices, all established: the cap is an exact-integer
-    rank selection on the distinct-value grid (smallest v with
-    100·cum ≥ {WINSOR_PCT}·n — [[dq_outlier_iqr]]'s rule; the grid
-    window is value-domain bounded, not row-scale); capped values stay
-    exact BIGINTs so the per-arm power sums are exact; the t verdict
-    compares the ROUNDED statistic ([[events_proportion_ztest]]
-    device); degenerate guards are integer predicates.  Property-tested
-    end-to-end against a first-principles Fraction reference (textbook
-    percentile-by-scan + sample variance on the capped lists).
+    rank selection (smallest v with 100·cum ≥ {WINSOR_PCT}·n —
+    [[dq_outlier_iqr]]'s rule) computed through [[_banded_rank_cums]],
+    because distinct per-user SUMS rarely collide — the grid is
+    user-scale, the banded regime, not a bounded value domain; capped
+    values stay exact BIGINTs so the per-arm power sums are exact; the
+    t verdict compares the ROUNDED statistic
+    ([[events_proportion_ztest]] device); degenerate guards are integer
+    predicates.  Property-tested end-to-end against a first-principles
+    Fraction reference (textbook percentile-by-scan + sample variance
+    on the capped lists); plan-asserted band-partitioned.
 
-    Scale shape: one per-user groupBy (map-side combined), one
-    value-grid aggregate for the cap (distinct cents, value-domain
-    bounded), a BROADCAST 1-row cap join, one per-arm reduce.  No
-    fact-scale window, no fact-fact join."""
+    Scale shape: one per-user groupBy (map-side combined), the banded
+    prefix sum over the per-user-sum grid for the cap (within-band
+    windows hash-partition on band; the one global window is the
+    ≤128-row band summary), a BROADCAST 1-row cap join, one per-arm
+    reduce.  No row-scale window, no fact-fact join."""
     per_user = _experiment_per_user(load(spark, sf_dir, "events")).select(
         (F.col("user_id") % 2).alias("arm"), "y"
     )

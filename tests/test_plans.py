@@ -1298,3 +1298,23 @@ def test_media_persisted_index_plan_has_no_python_or_blob_read(spark):
     assert "BatchEvalPython" not in r.text
     assert "media_feat_index" in r.text, "warm path must scan the index"
     assert "text" not in r.text.split("ReadSchema:")[-1][:200]
+
+
+def test_winsorized_cap_is_band_partitioned(spark):
+    """events_experiment_winsorized (r10): the p99 cap rank over the
+    per-user-sum grid must run as the banded prefix sum — distinct
+    per-user SUMS rarely collide, so that grid is user-scale and a raw
+    unpartitioned window over it would be a row-scale global window
+    (the funnel-median lesson).  Band exchange present, no
+    unpartitioned window ordered on the value grid, the 1-row cap meets
+    the per-user relation in a broadcast join, and no Python anywhere."""
+    import re
+
+    r = _plan(spark, "events_experiment_winsorized")
+    assert "hashpartitioning(band" in r.text, "no band exchange"
+    assert not re.search(r"windowspecdefinition\(v#\d+L ASC", r.text), (
+        "unpartitioned window over the per-user-sum grid"
+    )
+    assert "BroadcastExchange" in r.text, "cap join not broadcast"
+    assert "BatchEvalPython" not in r.text
+    assert "CartesianProduct" not in r.ops
