@@ -1760,9 +1760,14 @@ BM25_TOPK = 5
         AND doc_id < {RAG_QUERY_CAP}
     ),
     contrib AS (
+      -- Deliberately UNPRUNED: the oracle floors stopword-grade idf to
+      -- exactly 0 over ALL query-term postings; the engine instead
+      -- drops 2*df >= n_docs terms before the postings join.  Hash
+      -- equality between the two therefore PROVES the df-cap is
+      -- score-neutral (VERDICT r10 task #3).
       SELECT q.q_doc, t.doc_id,
              CAST(ROUND(
-               LN(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               GREATEST(0.0, LN((s.n_docs - f.df + 0.5) / (f.df + 0.5)))
                * (t.tf * ({BM25_K1} + 1.0))
                / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
                * 1000000) AS BIGINT) AS c
@@ -1774,7 +1779,7 @@ BM25_TOPK = 5
     ),
     scores AS (
       SELECT q_doc, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
-      FROM contrib GROUP BY 1, 2
+      FROM contrib GROUP BY 1, 2 HAVING SUM(c) > 0
     )
     SELECT q_doc, doc_id AS hit_doc, score_micro, rk
     FROM (
@@ -1789,22 +1794,42 @@ BM25_TOPK = 5
     bench=True,
 )
 def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval (Robertson-Sparck Jones, the Lucene
-    default): per query document, the top-{BM25_TOPK} corpus documents
-    by Okapi BM25 with k1={BM25_K1}, b={BM25_B} — the full-weighted
-    retriever the [[rag_rrf_fusion]] lexical arm approximates with raw
-    term overlap.  idf = ln(1 + (N - df + ½)/(df + ½)), tf saturated
-    and length-normalized against the corpus average document length.
+    """BM25 lexical retrieval: per query document, the top-{BM25_TOPK}
+    corpus documents by Okapi BM25 with k1={BM25_K1}, b={BM25_B} — the
+    full-weighted retriever the [[rag_rrf_fusion]] lexical arm
+    approximates with raw term overlap.  idf is the CLASSIC
+    Robertson-Sparck Jones form floored at zero,
+    max(0, ln((N − df + ½)/(df + ½))) — not the Lucene +1 smoothing —
+    so a term in at least half the corpus contributes EXACTLY 0 to
+    every score; tf is saturated and length-normalized against the
+    corpus average document length.
+
+    df-cap (VERDICT r10 task #3): because the floor zeroes df ≥ N/2
+    terms, the engine drops them from the QUERY side before the
+    postings join — the exact-integer predicate 2·df < n_docs is
+    idf > 0 rearranged, so pruning is score-neutral BY THEOREM, and
+    the oracle proves it empirically by scoring the UNPRUNED postings
+    through the explicit GREATEST(0, ·) floor: the value hash can only
+    match if the dropped postings contribute nothing.  Docs whose
+    every shared term is floored score 0 and are excluded in both
+    engines (HAVING SUM(c) > 0 / score_micro > 0), keeping the output
+    sets identical.  This bounds the r10 100×-probe pathology — a
+    dense synthetic vocabulary where every doc sits in every posting
+    list — to the rare-term postings envelope: stopword-grade posting
+    lists (the Θ(N)-long ones) never leave the broadcast side.
 
     Scale shape: the corpus passes are the inverted-index builds — tf
     per (doc, term) with doc length carried in the grouping key (no
     second dl join on the fact side) and the vocab-sized df roll-up,
     both map-side combined.  The query cohort is the fixed-size RRF
     batch, so q-term relations broadcast; df joins the BROADCAST query
-    terms BEFORE touching the posting lists, so only query-term
-    postings flow into scoring.  At 100 TB: identical — posting-list
-    equi-joins, candidate relation sized by postings of query terms,
-    never the corpus.
+    terms BEFORE touching the posting lists, and the df-cap filters
+    that broadcast, so only RARE query-term postings flow into
+    scoring.  The 1-row ``stats`` relation is persisted (two
+    consumers: the cap predicate and the scoring crossJoin — the
+    justified-persist rule).  At 100 TB: identical — posting-list
+    equi-joins, candidate relation sized by rare-term postings of the
+    query batch, never the corpus.
 
     Exactness: each term's contribution rounds to integer MICRO-units
     (never near the .5 grid — idf·tfn is log-valued) and the document
@@ -1817,7 +1842,7 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    )
+    ).persist()
     tf = (
         base.select(
             "doc_id",
@@ -1835,12 +1860,17 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_doc"),
         F.explode(F.array_distinct("toks")).alias("tok"),
     )
-    # Only query-term posting rows reach scoring: df joins the broadcast
-    # query terms first, then the posting-list join keys on tok.
-    q_with_df = F.broadcast(qterms.join(df_rel, "tok"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    # Only RARE query-term posting rows reach scoring: df joins the
+    # broadcast query terms first, the score-neutral df-cap (2*df <
+    # n_docs <=> idf > 0) filters the broadcast, and only then does the
+    # posting-list join key on tok.
+    q_with_df = F.broadcast(
+        qterms.join(df_rel, "tok")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .where(F.col("df") * 2 < F.col("n_docs"))
+        .drop("n_docs")
     )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tfn = (F.col("tf") * (BM25_K1 + 1.0)) / (
         F.col("tf")
         + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
@@ -1855,8 +1885,10 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(idf * tfn * 1000000).cast("bigint").alias("c"),
         )
     )
-    scores = contrib.groupBy("q_doc", "doc_id").agg(
-        F.sum("c").cast("bigint").alias("score_micro")
+    scores = (
+        contrib.groupBy("q_doc", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("score_micro"))
+        .where(F.col("score_micro") > 0)
     )
     w = Window.partitionBy("q_doc").orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return (

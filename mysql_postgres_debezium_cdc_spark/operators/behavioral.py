@@ -2450,6 +2450,7 @@ def _lgamma_col(x):
     FROM bf
     """,
     tags=("behavioral", "stats", "experiment", "dq", "sequential"),
+    bench=True,  # r11: wall-time tracking for the r10 sequential family
 )
 def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANYTIME-VALID sequential sample-ratio-mismatch monitor — the
@@ -2707,9 +2708,16 @@ def _winsorized_welch(per_user: DataFrame) -> DataFrame:
     USER-scale — exactly the regime the banded prefix sum exists for
     (the same reason the funnel median and the rank statistics band
     their per-user grids).  The only global window is the ≤128-row
-    band summary."""
+    band summary.
+
+    ``per_user`` is persisted here (justified-persist rule, ADVICE
+    r10): TWO branches of the returned plan consume it — the
+    distinct-value percentile grid and the capping crossJoin — and
+    without the persist the upstream per-user groupBy over the fact
+    table would execute twice."""
     from mysql_postgres_debezium_cdc_spark.operators.stats import _banded_rank_cums
 
+    per_user = per_user.persist()
     vals = per_user.groupBy(F.col("y").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("ca"),
         F.lit(0).cast("bigint").alias("cb"),
@@ -2827,6 +2835,7 @@ def _winsorized_welch(per_user: DataFrame) -> DataFrame:
     FROM d
     """,
     tags=("behavioral", "stats", "experiment", "robust"),
+    bench=True,  # r11: wall-time tracking for the r10 robust readout
 )
 def events_experiment_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINSORIZED experiment readout — the robust-metrics default for
@@ -3176,6 +3185,7 @@ def _experiment_state_per_user(state: DataFrame) -> DataFrame:
     "stream_experiment_snapshot",
     oracle="{REPORT}",  # bound below: the batch report's oracle certifies it
     tags=("behavioral", "stats", "experiment", "streaming"),
+    bench=True,  # r11: wall-time tracking for the durable streaming family
 )
 def stream_experiment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE STREAMING twin of [[events_experiment_report]] — the
@@ -3346,7 +3356,21 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed here (contrast [[stream_experiment_snapshot]]): the
     set-union state is already one row per user — the MERGE itself is
     the bound.  Run-scoped state/checkpoint dirs are reclaimed in a
-    ``finally`` once the state is pinned (VERDICT r9 task #4)."""
+    ``finally`` once the state is pinned (VERDICT r9 task #4).
+
+    Paging verdicts (VERDICT r10 task #2): the monitor emits BOTH the
+    fixed-horizon χ² verdict of [[events_srm_check]] AND the
+    anytime-valid mSPRT verdict of [[events_srm_sequential]] — because
+    THIS key is precisely the continuous-peeking regime the sequential
+    test exists for: every micro-batch readout is a peek, and paging on
+    the repeatedly-peeked χ² alone has unbounded false-positive
+    probability over an unbounded stream.  ``srm_detected`` is kept as
+    the analysis-time (single-look) diagnostic; ``srm_sequential`` is
+    the verdict a live pager should act on.  Both are pure column math
+    over the same (nt, nc) scalar row — no new shuffle — via the shared
+    fixed double tree [[_lgamma_col]]/[[_lgamma_sql]], and the bound
+    oracle replays the column-union of the two batch oracles from the
+    identical literals."""
     import shutil
     import tempfile
     import uuid
@@ -3409,6 +3433,12 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt, nc = F.col("nt"), F.col("nc")
     tot = nt + nc
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    log_bf = (
+        _lgamma_col(nt.cast("double") + F.lit(1.0))
+        + _lgamma_col(nc.cast("double") + F.lit(1.0))
+        - _lgamma_col(tot.cast("double") + F.lit(2.0))
+        + tot.cast("double") * F.lit(float(_LN_2))
+    )
     return arms.select(
         nt.alias("n_treat"),
         nc.alias("n_ctrl"),
@@ -3422,18 +3452,59 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(nt - nc) * (nt - nc) * 1000000
             > dec(F.lit(_SRM_CHI2_001_E6)) * tot,
         ).alias("srm_detected"),
+        F.when(tot > 0, F.round(log_bf, 6)).alias("log_bf"),
+        F.when(
+            tot > 0,
+            F.round(F.least(F.lit(1.0), F.exp(-F.round(log_bf, 6))), 6),
+        ).alias("p_always_valid"),
+        F.when(tot > 0, F.round(log_bf, 6) > F.lit(float(_LN_1000))).alias(
+            "srm_sequential"
+        ),
     )
 
 
 def _bind_stream_srm_oracle() -> None:
+    """Bind the stream monitor's oracle as the COLUMN-UNION of the two
+    batch SRM oracles ([[events_srm_check]]'s exact-integer χ² columns
+    + [[events_srm_sequential]]'s shared-double-tree mSPRT columns),
+    built from the same module-level literals (`_lgamma_sql`, `_LN_2`,
+    `_LN_1000`, `_SRM_CHI2_001_E6`) so the batch keys certify the
+    stream bit-for-bit (VERDICT r10 task #2)."""
     from mysql_postgres_debezium_cdc_spark.registry import _REGISTRY
 
-    spec = _REGISTRY["stream_srm_monitor"]
-    object.__setattr__(
-        spec,
-        "oracle",
-        spec.oracle.replace("{SRM}", _REGISTRY["events_srm_check"].oracle),
+    composite = f"""
+    WITH arms AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS nt,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS nc
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    bf AS (
+      SELECT nt, nc,
+             {_lgamma_sql("(CAST(nt AS DOUBLE) + 1.0)")}
+             + {_lgamma_sql("(CAST(nc AS DOUBLE) + 1.0)")}
+             - {_lgamma_sql("(CAST(nt + nc AS DOUBLE) + 2.0)")}
+             + CAST(nt + nc AS DOUBLE) * {_LN_2} AS log_bf
+      FROM arms
     )
+    SELECT nt AS n_treat, nc AS n_ctrl,
+           CASE WHEN nt + nc > 0 THEN
+             ROUND(CAST(nt AS DOUBLE) / (nt + nc), 6) END AS ratio_treat,
+           CASE WHEN nt + nc > 0 THEN
+             ROUND(CAST((nt - nc) * (nt - nc) AS DOUBLE) / (nt + nc), 4)
+           END AS chi2,
+           CASE WHEN nt + nc > 0 THEN
+             CAST((nt - nc) AS HUGEINT) * (nt - nc) * 1000000
+               > CAST({_SRM_CHI2_001_E6} AS HUGEINT) * (nt + nc)
+           END AS srm_detected,
+           CASE WHEN nt + nc > 0 THEN ROUND(log_bf, 6) END AS log_bf,
+           CASE WHEN nt + nc > 0 THEN
+             ROUND(LEAST(1.0, EXP(-ROUND(log_bf, 6))), 6) END AS p_always_valid,
+           CASE WHEN nt + nc > 0 THEN ROUND(log_bf, 6) > {_LN_1000}
+           END AS srm_sequential
+    FROM bf
+    """
+    spec = _REGISTRY["stream_srm_monitor"]
+    object.__setattr__(spec, "oracle", spec.oracle.replace("{SRM}", composite))
 
 
 _bind_stream_srm_oracle()

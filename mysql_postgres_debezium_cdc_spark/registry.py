@@ -20,7 +20,9 @@ Cache contract: a few queries ``persist()`` a relation that feeds two
 branches of the RETURNED plan (`text_vocab_head_coverage`,
 `text_source_divergence`, `events_sessionize_gap_chunked`,
 `text_tfidf_topk`, `cluster_kmeans_embeddings`, the rank-statistic
-family via `_banded_rank_cums`, and `events_funnel_time_to_convert`'s
+family via `_banded_rank_cums`, `events_experiment_winsorized`'s
+per-user relation, `rag_bm25_topk`'s 1-row corpus stats, and
+`events_funnel_time_to_convert`'s
 converted cohort) — the cache populates
 when the caller executes the plan and cannot be released from inside the
 builder.  A long-lived session sweeping many queries should call

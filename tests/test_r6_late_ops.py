@@ -234,14 +234,21 @@ def test_ab_test_arms_partition_users(spark):
 
 
 def test_bm25_hits_share_terms_with_query(spark):
-    """Positive BM25 score implies lexical overlap; ranks contiguous."""
+    """Positive BM25 score implies lexical overlap; ranks contiguous.
+
+    Runs at SF_DIR_ORACLE: under the r11 score-neutral df-cap (classic
+    floored idf — terms in ≥ half the corpus contribute exactly 0),
+    the sf0.001 fixture's 31-word dense vocabulary leaves no positive
+    scoring term shared between any query doc and the corpus, so the
+    smoke fixture legitimately returns zero hits; sf0.01's query 107
+    shares the one rare term."""
     from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
-    hits = _run(spark, "rag_bm25_topk", SF_DIR_SMOKE).collect()
+    hits = _run(spark, "rag_bm25_topk", SF_DIR_ORACLE).collect()
     assert hits
     toks = {
         r.doc_id: set(r.text.split(" "))
-        for r in load(spark, SF_DIR_SMOKE, "documents").collect()
+        for r in load(spark, SF_DIR_ORACLE, "documents").collect()
     }
     per_q: dict[int, list] = {}
     for r in hits:

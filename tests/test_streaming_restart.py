@@ -326,6 +326,65 @@ def test_live_fold_compacts_in_run_and_bounds_generations(spark, tmp_path):
     assert _per_user_rows(sink) == expected
 
 
+def test_crash_between_fold_and_compact_replays_cleanly(spark, tmp_path):
+    """ADVICE r10: _experiment_fold_with_compaction issues TWO sink
+    commits per compaction batch (the fold MERGE, then the compact
+    MERGE); a crash in the window between them leaves a
+    folded-but-uncompacted state, and correctness across the restart
+    rests on each merge being individually replay-idempotent.  Pin that
+    invariant: fold batch N WITHOUT its compaction (the crash), then
+    redeliver batch N through the full fold-with-compaction (the
+    restart) — per-user sums must equal the one-shot answer and the
+    deferred compaction must land as if the crash never happened."""
+    from mysql_postgres_debezium_cdc_spark.operators.behavioral import (
+        STREAM_EXP_COMPACT_EVERY,
+        _experiment_fold,
+        _experiment_fold_with_compaction,
+        _experiment_per_user,
+    )
+    from mysql_postgres_debezium_cdc_spark.streaming.cdc import ParquetStateSink
+
+    sink = ParquetStateSink(
+        spark,
+        str(tmp_path / "state"),
+        pk_cols=("batch_id", "user_id"),
+        row_cols=("x", "y"),
+    )
+    crash_bid = STREAM_EXP_COMPACT_EVERY  # first batch that compacts
+    batches = [
+        spark.createDataFrame(
+            _exp_rows(range(3 * i, 3 * i + 6), day=10 + i, value=1.0 + i),
+            EXP_SCHEMA,
+        )
+        for i in range(crash_bid + 1)
+    ]
+    for bid in range(crash_bid):
+        _experiment_fold_with_compaction(sink, batches[bid], bid)
+
+    # the crash: batch N's fold commit lands, its compact commit does not
+    _experiment_fold(sink, batches[crash_bid], crash_bid)
+    gens_crashed = sorted(
+        r.batch_id for r in sink.read().select("batch_id").distinct().collect()
+    )
+    assert crash_bid - 1 in gens_crashed  # uncompacted evidence of the window
+
+    # the restart: foreachBatch redelivers the SAME batch_id through the
+    # full cadence — the fold self-overwrites, the compaction catches up
+    _experiment_fold_with_compaction(sink, batches[crash_bid], crash_bid)
+
+    everything = batches[0]
+    for b in batches[1:]:
+        everything = everything.unionByName(b)
+    expected = sorted(
+        (r.user_id, r.x, r.y) for r in _experiment_per_user(everything).collect()
+    )
+    assert _per_user_rows(sink) == expected
+    gens = sorted(
+        r.batch_id for r in sink.read().select("batch_id").distinct().collect()
+    )
+    assert gens == [-1, crash_bid], gens  # horizon N-1 folded, N's gen kept
+
+
 def test_dedup_pair_fold_replays_idempotently(spark, tmp_path):
     """stream_incremental_dedup's pair accumulator (r10, VERDICT r9
     task #3): set-shaped pair state MERGEd on the natural pk
