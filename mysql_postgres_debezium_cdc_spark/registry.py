@@ -63,80 +63,78 @@ _LOADED = False
 # program is REFRESH — no key's green driver row should predate its current
 # code.
 #
-# Round-10 prefix, mechanically derived by `scripts/drift_audit.py`
-# (verbatim output; VERDICT r9 task #1):
-#   1. The one new r10 key (events_srm_sequential — the anytime-valid
-#      mSPRT SRM monitor).  The round is otherwise refresh-focused by
-#      design: the stale backlog exceeds two rounds of slots and every
-#      new key displaces one refresh slot.
-#   2. The 3 keys whose registered function block changed this round:
-#      the stream_incremental_dedup state-sink MERGE rework (VERDICT
-#      task #3), and the compaction-wired + dir-reclaiming streaming
-#      experiment twins (tasks #2/#4).
-#   3. The oldest-standing driver certs, vintage order: all 17
-#      r1-vintage keys, then 30 of the 42 r3-vintage keys (key order
-#      within a vintage).  Every one of these was independently
-#      judge-swept green in r8, so the refresh is freshness bookkeeping,
-#      not re-verification of suspect results.
-#      Remaining for r11: 12 r3 + 5 r4 + 44 r5 = 61 keys (r11 takes the
-#      oldest 50, r12 mops up the tail).
+# Round-11 prefix, mechanically derived by `scripts/drift_audit.py`
+# (verbatim output; VERDICT r10 task #1):
+#   1. No never-rowed keys: r11 adds no new registry entries — the round
+#      spends its slots on the refresh backlog by design.
+#   2. The 5 keys whose registered function block changed this round:
+#      rag_bm25_topk (score-neutral df-cap + classic floored idf, task
+#      #3), stream_srm_monitor (anytime-valid verdict columns, task #2),
+#      and the three r10 experiment keys whose decorators gained
+#      bench=True (task #5: events_srm_sequential,
+#      events_experiment_winsorized — which also gained the justified
+#      per-user persist — and stream_experiment_snapshot).
+#   3. The oldest-standing driver certs, vintage order: all 15 r3-vintage
+#      keys, all 5 r4-vintage keys, then 25 of the 44 r5-vintage keys
+#      (key order within a vintage).  5 drifted + 15 + 5 + 25 = 50.
+#      Every one of these was independently judge-swept green in r10, so
+#      the refresh is freshness bookkeeping, not re-verification of
+#      suspect results.  Remaining for r12: the other 19 r5-vintage keys
+#      (the rotation tail), after which no green row predates r6.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    "events_srm_sequential",  # tier 1: new in r10, no driver row
-    "events_effect_msprt",  # tier 1: new in r10, no driver row
-    "events_experiment_winsorized",  # tier 1: new in r10, no driver row
-    "stream_incremental_dedup",  # tier 2: drifted (last green r7)
-    "stream_experiment_snapshot",  # tier 2: drifted (last green r9)
-    "stream_srm_monitor",  # tier 2: drifted (last green r9)
-    "agg_cube",  # tier 3: oldest-standing cert (r1)
-    "ann_cosine_pandas_udf",  # tier 3: oldest-standing cert (r1)
-    "fn_array_ops",  # tier 3: oldest-standing cert (r1)
-    "fn_conditional_bitwise",  # tier 3: oldest-standing cert (r1)
-    "fn_date_parts",  # tier 3: oldest-standing cert (r1)
-    "fn_epoch_millis_roundtrip",  # tier 3: oldest-standing cert (r1)
-    "fn_json_extract",  # tier 3: oldest-standing cert (r1)
-    "fn_math_basic",  # tier 3: oldest-standing cert (r1)
-    "fn_string_basic",  # tier 3: oldest-standing cert (r1)
-    "fn_string_regexp",  # tier 3: oldest-standing cert (r1)
-    "fn_string_split_tokens",  # tier 3: oldest-standing cert (r1)
-    "fn_try_arithmetic",  # tier 3: oldest-standing cert (r1)
-    "fn_variant_json",  # tier 3: oldest-standing cert (r1)
-    "scan_project",  # tier 3: oldest-standing cert (r1)
-    "source_csv_scan",  # tier 3: oldest-standing cert (r1)
-    "udf_pandas_scalar_tax",  # tier 3: oldest-standing cert (r1)
-    "udf_python_row",  # tier 3: oldest-standing cert (r1)
-    "agg_count_distinct",  # tier 3: oldest-standing cert (r3)
-    "agg_group_basic",  # tier 3: oldest-standing cert (r3)
-    "agg_grouping_sets",  # tier 3: oldest-standing cert (r3)
-    "agg_rollup",  # tier 3: oldest-standing cert (r3)
-    "ann_ivf_topk",  # tier 3: oldest-standing cert (r3)
-    "cdc_composite_pk_materialize",  # tier 3: oldest-standing cert (r3)
-    "cdc_envelope_decode",  # tier 3: oldest-standing cert (r3)
-    "cdc_incremental_convergence",  # tier 3: oldest-standing cert (r3)
-    "cdc_lastwrite_materialize",  # tier 3: oldest-standing cert (r3)
-    "cdc_scd2_history",  # tier 3: oldest-standing cert (r3)
-    "corpus_pack_sequences",  # tier 3: oldest-standing cert (r3)
-    "dedup_connected_components",  # tier 3: oldest-standing cert (r3)
-    "dedup_exact_text",  # tier 3: oldest-standing cert (r3)
-    "dq_referential_integrity",  # tier 3: oldest-standing cert (r3)
-    "fn_date_arithmetic",  # tier 3: oldest-standing cert (r3)
-    "fn_json_schema_parse",  # tier 3: oldest-standing cert (r3)
-    "join_asof_last_click",  # tier 3: oldest-standing cert (r3)
-    "join_broadcast_dim",  # tier 3: oldest-standing cert (r3)
-    "join_left_anti",  # tier 3: oldest-standing cert (r3)
-    "join_left_outer",  # tier 3: oldest-standing cert (r3)
-    "join_range_bucket",  # tier 3: oldest-standing cert (r3)
-    "join_sort_merge",  # tier 3: oldest-standing cert (r3)
-    "layout_partition_pruned_scan",  # tier 3: oldest-standing cert (r3)
-    "pivot_status_by_priority",  # tier 3: oldest-standing cert (r3)
-    "q13_customer_distribution",  # tier 3: oldest-standing cert (r3)
-    "q1_pricing_summary",  # tier 3: oldest-standing cert (r3)
-    "scan_filter_pushdown",  # tier 3: oldest-standing cert (r3)
+    "rag_bm25_topk",  # tier 2: drifted (last green r7)
+    "events_experiment_winsorized",  # tier 2: drifted (last green r10)
+    "events_srm_sequential",  # tier 2: drifted (last green r10)
+    "stream_experiment_snapshot",  # tier 2: drifted (last green r10)
+    "stream_srm_monitor",  # tier 2: drifted (last green r10)
     "setop_except",  # tier 3: oldest-standing cert (r3)
     "setop_union_distinct",  # tier 3: oldest-standing cert (r3)
     "sort_global_limit",  # tier 3: oldest-standing cert (r3)
+    "source_jsonl_scan",  # tier 3: oldest-standing cert (r3)
+    "stream_dedup_first_event",  # tier 3: oldest-standing cert (r3)
+    "stream_session_window",  # tier 3: oldest-standing cert (r3)
+    "stream_stream_join_attribution",  # tier 3: oldest-standing cert (r3)
+    "stream_tumbling_window",  # tier 3: oldest-standing cert (r3)
+    "subq_correlated_exists",  # tier 3: oldest-standing cert (r3)
+    "text_quality_score",  # tier 3: oldest-standing cert (r3)
+    "topk_per_group",  # tier 3: oldest-standing cert (r3)
+    "udaf_grouped_zscore",  # tier 3: oldest-standing cert (r3)
+    "window_lag_lead",  # tier 3: oldest-standing cert (r3)
+    "window_rank_dense_rownum",  # tier 3: oldest-standing cert (r3)
+    "window_running_sum",  # tier 3: oldest-standing cert (r3)
+    "agg_salted_two_phase",  # tier 3: oldest-standing cert (r4)
+    "join_salted_skew",  # tier 3: oldest-standing cert (r4)
+    "q19_discounted_revenue",  # tier 3: oldest-standing cert (r4)
+    "q6_forecast_revenue",  # tier 3: oldest-standing cert (r4)
+    "q7_volume_shipping",  # tier 3: oldest-standing cert (r4)
+    "agg_approx_count_distinct",  # tier 3: oldest-standing cert (r5)
+    "agg_heavy_hitters_mg",  # tier 3: oldest-standing cert (r5)
+    "agg_hll_sketch_mergeable",  # tier 3: oldest-standing cert (r5)
+    "agg_mode_deterministic",  # tier 3: oldest-standing cert (r5)
+    "ann_ivfpq_persisted_index",  # tier 3: oldest-standing cert (r5)
+    "ann_ivfpq_topk",  # tier 3: oldest-standing cert (r5)
+    "ann_knn_label_eval",  # tier 3: oldest-standing cert (r5)
+    "ann_lsh_topk",  # tier 3: oldest-standing cert (r5)
+    "cdc_gdpr_scrub",  # tier 3: oldest-standing cert (r5)
+    "cdc_scd2_point_in_time_join",  # tier 3: oldest-standing cert (r5)
+    "cluster_kmeans_embeddings",  # tier 3: oldest-standing cert (r5)
+    "corpus_bpe_encode",  # tier 3: oldest-standing cert (r5)
+    "corpus_bpe_pair_counts",  # tier 3: oldest-standing cert (r5)
+    "corpus_bpe_train_and_encode",  # tier 3: oldest-standing cert (r5)
+    "corpus_bpe_train_merges",  # tier 3: oldest-standing cert (r5)
+    "corpus_dataset_card",  # tier 3: oldest-standing cert (r5)
+    "corpus_global_shuffle_shards",  # tier 3: oldest-standing cert (r5)
+    "corpus_mixture_weighted_sample",  # tier 3: oldest-standing cert (r5)
+    "corpus_near_dedup_pipeline",  # tier 3: oldest-standing cert (r5)
+    "corpus_reservoir_per_group",  # tier 3: oldest-standing cert (r5)
+    "corpus_semantic_dedup",  # tier 3: oldest-standing cert (r5)
+    "corpus_train_val_test_split",  # tier 3: oldest-standing cert (r5)
+    "dedup_cross_source_leak",  # tier 3: oldest-standing cert (r5)
+    "dedup_embedding_clusters",  # tier 3: oldest-standing cert (r5)
+    "dedup_exact_substring_spans",  # tier 3: oldest-standing cert (r5)
 )
 
 
