@@ -1981,11 +1981,23 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (stats.py).
 _KS_ALPHA05_SQ_E6 = 1844164
 
+# Mixture-variance literal for the effect-metric mSPRT: τ is the PRIOR
+# scale of plausible treatment effects on the per-user post-period cents
+# metric (here $1 = 100 cents, τ² = 10⁴).  Any value FIXED IN ADVANCE
+# keeps the test anytime-valid (it is a mixture over H₁, not a tuning of
+# H₀); τ only trades early-detection speed against asymptotic sharpness,
+# and since V_n → 0 as enrollment grows, every fixed τ detects any real
+# effect eventually (Johari et al. 2017 §3).  Defined here, above the
+# experiment report, because the report's r11 msprt row and
+# [[events_effect_msprt]] share these literals in their oracles.
+_TAU2_MSPRT = "10000.0"
+_LN_20 = "2.995732273553991"  # ln(1/α) at α = 0.05
+
 
 @register(
     "events_experiment_report",
     bench=True,
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       SELECT user_id, user_id % 2 AS arm,
              CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
@@ -2011,14 +2023,38 @@ _KS_ALPHA05_SQ_E6 = 1844164
     ),
     arms AS (
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a, SUM(x) AS sx_a,
-             SUM(y) AS sy_a
+             SUM(y) AS sy_a, SUM(y * y) AS syy_a
       FROM per_user GROUP BY arm
     ),
     tc AS (
-      SELECT t.n_a AS nt, t.sx_a AS sxt, t.sy_a AS syt,
-             c.n_a AS nc, c.sx_a AS sxc, c.sy_a AS syc
+      SELECT t.n_a AS nt, t.sx_a AS sxt, t.sy_a AS syt, t.syy_a AS syyt,
+             c.n_a AS nc, c.sx_a AS sxc, c.sy_a AS syc, c.syy_a AS syyc
       FROM (SELECT * FROM arms WHERE arm = 1) t
       CROSS JOIN (SELECT * FROM arms WHERE arm = 0) c
+    ),
+    mp AS (
+      SELECT nt, nc,
+             nt >= 2 AND nc >= 2 AS ok,
+             CAST(nt AS HUGEINT) * syyt - CAST(syt AS HUGEINT) * syt
+               + (CAST(nc AS HUGEINT) * syyc - CAST(syc AS HUGEINT) * syc) > 0
+               AS var_pos,
+             CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc AS theta,
+             (CAST(nt AS DOUBLE) * syyt - CAST(syt AS DOUBLE) * syt)
+               / (CAST(nt AS DOUBLE) * (nt - 1) * nt)
+             + (CAST(nc AS DOUBLE) * syyc - CAST(syc AS DOUBLE) * syc)
+               / (CAST(nc AS DOUBLE) * (nc - 1) * nc) AS v
+      FROM tc
+    ),
+    mbf AS (
+      -- the CASE guard is load-bearing, not just presentation: on an
+      -- all-tied metric v = 0 exactly and DuckDB's LN(0) THROWS (Spark
+      -- returns NULL) — var_pos is the exact-integer v > 0 predicate
+      SELECT nt, nc, ok, var_pos, theta,
+             CASE WHEN ok AND var_pos THEN
+               0.5 * LN(v / (v + {_TAU2_MSPRT}))
+               + theta * theta * {_TAU2_MSPRT}
+                 / (2.0 * v * (v + {_TAU2_MSPRT})) END AS log_bf
+      FROM mp
     ),
     vals AS (
       SELECT y AS v,
@@ -2068,6 +2104,13 @@ _KS_ALPHA05_SQ_E6 = 1844164
              CAST(NULL AS BOOLEAN)
       FROM tc CROSS JOIN th
       UNION ALL
+      SELECT 'msprt', b.nt, b.nc,
+             CASE WHEN b.ok THEN ROUND(b.theta / 100.0, 4) END,
+             CASE WHEN b.ok AND b.var_pos THEN ROUND(b.log_bf, 6) END,
+             CASE WHEN b.ok AND b.var_pos
+               THEN ROUND(b.log_bf, 6) > {_LN_20} END
+      FROM mbf b
+      UNION ALL
       SELECT 'mann_whitney', m.n1, m.n2,
              CASE WHEN m.n1 > 0
                THEN (m.r2x - m.n1 * (m.n1 + 1)) / 2.0 END,
@@ -2113,14 +2156,25 @@ def events_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The experimenter's one-call readout — the reference's
     verification-query analogue for A/B owners (Consumer.java's
     post-load verification SELECT, reimagined as an experiment gate):
-    CUPED-adjusted uplift, Mann-Whitney location shift, and KS shape
+    CUPED-adjusted uplift, the anytime-valid mSPRT effect verdict
+    (r11 — see below), Mann-Whitney location shift, and KS shape
     shift, ALL over the SAME deterministic arm split (user_id % 2) and
     the SAME per-user pre/post metric relation, reported in the staged
     tall shape of [[corpus_quality_prefilter_funnel]] — one row per
     statistic: (metric, n_treat, n_ctrl, estimate, stat, significant).
 
-    Composition is the point: the three constituent devices are the
+    The msprt row (VERDICT r10 task #2, the "consider" half): this
+    report IS the live dashboard — [[stream_experiment_snapshot]]
+    drains into exactly this function — and a live dashboard is
+    continuously peeked, so the one verdict that remains valid under
+    peeking ([[events_effect_msprt]]'s mixture SPRT, same
+    [[_msprt_cols]] fixed double tree, same exact-integer variance
+    guard, ln(1/α) at the report's α = 0.05) sits next to the
+    fixed-horizon statistics it guards.
+
+    Composition is the point: the constituent devices are the
     certified [[events_uplift_cuped]] sufficient statistics, the
+    [[events_effect_msprt]] mixture tree, the
     [[stats_mann_whitney_u]] doubled-midrank identity, and the
     [[stats_ks_test]] exact integer verdict (the same rearranged
     d² > B div 10⁶ arithmetic) — run here over per-USER post-period
@@ -2194,12 +2248,19 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_a"),
         F.sum("x").alias("sx_a"),
         F.sum("y").alias("sy_a"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_a"),
     )
     t = arms.where(F.col("arm") == 1).select(
-        F.col("n_a").alias("nt"), F.col("sx_a").alias("sxt"), F.col("sy_a").alias("syt")
+        F.col("n_a").alias("nt"),
+        F.col("sx_a").alias("sxt"),
+        F.col("sy_a").alias("syt"),
+        F.col("syy_a").alias("syyt"),
     )
     c = arms.where(F.col("arm") == 0).select(
-        F.col("n_a").alias("nc"), F.col("sx_a").alias("sxc"), F.col("sy_a").alias("syc")
+        F.col("n_a").alias("nc"),
+        F.col("sx_a").alias("sxc"),
+        F.col("sy_a").alias("syc"),
+        F.col("syy_a").alias("syyc"),
     )
     tc = t.crossJoin(F.broadcast(c))
 
@@ -2237,6 +2298,35 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         ),
         F.when(F.col("varx_n") != 0, F.round(theta, 6)).alias("stat"),
         nullb.alias("significant"),
+    )
+
+    # r11 (VERDICT r10 task #2's "consider"): the anytime-valid mSPRT
+    # effect row — the live dashboard this report feeds through
+    # [[stream_experiment_snapshot]] is CONTINUOUSLY peeked, so the
+    # report carries the verdict that stays valid under peeking next to
+    # the fixed-horizon statistics.  Same fixed double tree as
+    # [[events_effect_msprt]] ([[_msprt_cols]]), same exact-integer
+    # guards, same ln(1/α) literal at the report's α = 0.05.
+    m_nt, m_nc = F.col("nt"), F.col("nc")
+    m_theta, _m_v, m_log_bf = _msprt_cols(
+        m_nt, m_nc, F.col("syt"), F.col("syc"), F.col("syyt"), F.col("syyc")
+    )
+    m_ok = (m_nt >= 2) & (m_nc >= 2)
+    decg = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m_var_pos = (
+        decg(m_nt) * F.col("syyt")
+        - decg(F.col("syt")) * F.col("syt")
+        + (decg(m_nc) * F.col("syyc") - decg(F.col("syc")) * F.col("syc"))
+    ) > 0
+    msprt_row = tc.select(
+        F.lit("msprt").alias("metric"),
+        m_nt.alias("n_treat"),
+        m_nc.alias("n_ctrl"),
+        F.when(m_ok, F.round(m_theta / F.lit(100.0), 4)).alias("estimate"),
+        F.when(m_ok & m_var_pos, F.round(m_log_bf, 6)).alias("stat"),
+        F.when(
+            m_ok & m_var_pos, F.round(m_log_bf, 6) > F.lit(float(_LN_20))
+        ).alias("significant"),
     )
 
     vals = per_user.groupBy(F.col("y").alias("v")).agg(
@@ -2294,7 +2384,8 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         ).alias("significant"),
     )
     return (
-        raw_row.unionAll(cuped_row).unionAll(mw_row).unionAll(ks_row)
+        raw_row.unionAll(cuped_row).unionAll(msprt_row)
+        .unionAll(mw_row).unionAll(ks_row)
         .orderBy("metric")
     )
 
@@ -2526,17 +2617,6 @@ def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mixture-variance literal for the effect-metric mSPRT: τ is the PRIOR
-# scale of plausible treatment effects on the per-user post-period cents
-# metric (here $1 = 100 cents, τ² = 10⁴).  Any value FIXED IN ADVANCE
-# keeps the test anytime-valid (it is a mixture over H₁, not a tuning of
-# H₀); τ only trades early-detection speed against asymptotic sharpness,
-# and since V_n → 0 as enrollment grows, every fixed τ detects any real
-# effect eventually (Johari et al. 2017 §3).
-_TAU2_MSPRT = "10000.0"
-_LN_20 = "2.995732273553991"  # ln(1/α) at α = 0.05
-
-
 def _msprt_cols(nt, nc, st, sc, sst, ssc):
     """The mSPRT fixed double tree from exact integer sufficient
     statistics (per-arm count / Σy / Σy² as BIGINTs): returns
@@ -2594,10 +2674,13 @@ def _msprt_cols(nt, nc, st, sc, sst, ssc):
       FROM s
     ),
     bf AS (
+      -- CASE guard load-bearing (r11): all-tied metric => v = 0 and
+      -- DuckDB's LN(0) THROWS; var_pos is the exact-integer v > 0 test
       SELECT nt, nc, ok, var_pos, theta, v,
-             0.5 * LN(v / (v + {_TAU2_MSPRT}))
-             + theta * theta * {_TAU2_MSPRT}
-               / (2.0 * v * (v + {_TAU2_MSPRT})) AS log_bf
+             CASE WHEN ok AND var_pos THEN
+               0.5 * LN(v / (v + {_TAU2_MSPRT}))
+               + theta * theta * {_TAU2_MSPRT}
+                 / (2.0 * v * (v + {_TAU2_MSPRT})) END AS log_bf
       FROM d
     )
     SELECT nt AS n_treat, nc AS n_ctrl,

@@ -67,25 +67,30 @@ _LOADED = False
 # (verbatim output; VERDICT r10 task #1):
 #   1. No never-rowed keys: r11 adds no new registry entries — the round
 #      spends its slots on the refresh backlog by design.
-#   2. The 5 keys whose registered function block changed this round:
+#   2. The 7 keys whose registered function block changed this round:
 #      rag_bm25_topk (score-neutral df-cap + classic floored idf, task
 #      #3), stream_srm_monitor (anytime-valid verdict columns, task #2),
-#      and the three r10 experiment keys whose decorators gained
+#      events_experiment_report (the msprt anytime-valid row, task #2's
+#      "consider" half) and events_effect_msprt (load-bearing CASE guard
+#      on the oracle's LN — the ties fixture found DuckDB's LN(0) throw),
+#      plus the three r10 experiment keys whose decorators gained
 #      bench=True (task #5: events_srm_sequential,
 #      events_experiment_winsorized — which also gained the justified
 #      per-user persist — and stream_experiment_snapshot).
 #   3. The oldest-standing driver certs, vintage order: all 15 r3-vintage
-#      keys, all 5 r4-vintage keys, then 25 of the 44 r5-vintage keys
-#      (key order within a vintage).  5 drifted + 15 + 5 + 25 = 50.
+#      keys, all 5 r4-vintage keys, then 23 of the 44 r5-vintage keys
+#      (key order within a vintage).  7 drifted + 15 + 5 + 23 = 50.
 #      Every one of these was independently judge-swept green in r10, so
 #      the refresh is freshness bookkeeping, not re-verification of
-#      suspect results.  Remaining for r12: the other 19 r5-vintage keys
+#      suspect results.  Remaining for r12: the other 21 r5-vintage keys
 #      (the rotation tail), after which no green row predates r6.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
     "rag_bm25_topk",  # tier 2: drifted (last green r7)
+    "events_experiment_report",  # tier 2: drifted (last green r8)
+    "events_effect_msprt",  # tier 2: drifted (last green r10)
     "events_experiment_winsorized",  # tier 2: drifted (last green r10)
     "events_srm_sequential",  # tier 2: drifted (last green r10)
     "stream_experiment_snapshot",  # tier 2: drifted (last green r10)
@@ -133,8 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_semantic_dedup",  # tier 3: oldest-standing cert (r5)
     "corpus_train_val_test_split",  # tier 3: oldest-standing cert (r5)
     "dedup_cross_source_leak",  # tier 3: oldest-standing cert (r5)
-    "dedup_embedding_clusters",  # tier 3: oldest-standing cert (r5)
-    "dedup_exact_substring_spans",  # tier 3: oldest-standing cert (r5)
 )
 
 

@@ -224,6 +224,12 @@ TIES_KEYS = [
     # r8: constant values => zero variance => NULL t under both engines
     "stats_welch_ttest",
     "events_uplift_cuped_by_segment",
+    # r11: all-tied metric => V_n = 0 exactly => DuckDB LN(0) throws
+    # unless the oracle's CASE guard masks the mixture tree — the report's
+    # msprt row surfaced this; the standalone key had the same latent
+    # unguarded LN and is pinned here with it
+    "events_effect_msprt",
+    "events_experiment_winsorized",
 ]
 
 

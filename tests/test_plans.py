@@ -1246,9 +1246,10 @@ def test_media_lsh_plan_is_bucketed_not_quadratic(spark):
 
 def test_experiment_report_is_single_scan_composition(spark):
     """events_experiment_report: ONE events scan feeds the persisted
-    per-user relation; all four statistics' branches read the cache
-    (>=4 InMemoryTableScans: pooled moments, two arm slices, the
-    two-sample value relation), the rank cumsums run band-partitioned,
+    per-user relation; all five statistics' branches read the cache
+    (>=4 InMemoryTableScans: pooled moments, the arm slices — reused
+    by the raw/cuped/msprt rows — and the two-sample value relation),
+    the rank cumsums run band-partitioned,
     and the small aggregates meet in broadcast joins — no sort-merge
     join anywhere."""
     r = _plan(spark, "events_experiment_report")

@@ -939,3 +939,25 @@ def test_winsorized_cap_tames_a_whale_user(spark):
 
     v_raw = variance(treat) / len(treat) + variance(ctrl) / len(ctrl)
     assert abs(mean(treat) - mean(ctrl)) / math.sqrt(v_raw) < 1.96
+
+
+def test_report_msprt_row_equals_standalone_key(spark):
+    """The r11 msprt row of events_experiment_report must be the SAME
+    statistic as the standalone events_effect_msprt key — identical
+    (n, estimate, 6dp log-BF, verdict) on the same fixture — because
+    both route through the one _msprt_cols fixed double tree over the
+    same per-user sufficient statistics.  A divergence would mean the
+    report grew its own variant of the test."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    row = {
+        r.metric: r for r in qs["events_experiment_report"].fn(spark, sf).collect()
+    }["msprt"]
+    ref = qs["events_effect_msprt"].fn(spark, sf).collect()[0]
+    spark.catalog.clearCache()
+    assert (row.n_treat, row.n_ctrl) == (ref.n_treat, ref.n_ctrl)
+    assert row.estimate == ref.mean_diff
+    assert row.stat == ref.log_bf
+    assert row.significant == ref.effect_detected
