@@ -1319,3 +1319,24 @@ def test_winsorized_cap_is_band_partitioned(spark):
     assert "BroadcastExchange" in r.text, "cap join not broadcast"
     assert "BatchEvalPython" not in r.text
     assert "CartesianProduct" not in r.ops
+
+
+def test_stream_srm_readout_adds_no_exchange_for_sequential_verdict(spark):
+    """stream_srm_monitor (r11): the anytime-valid columns are pure
+    column math over the same (nt, nc) scalar row — the readout plan
+    downstream of the drained state must show exactly the one two-phase
+    aggregate exchange it always had (the user-bounded state reduce),
+    no window, no join, no Python, and both paging verdicts in the
+    output schema.  Building the plan executes the stream fold once;
+    the audit is of the RETURNED readout plan."""
+    q = all_queries()["stream_srm_monitor"]
+    df = q.fn(spark, SF_DIR_SMOKE)
+    assert {"srm_detected", "srm_sequential", "log_bf", "p_always_valid"} <= set(
+        df.columns
+    )
+    r = plan_report(df)
+    assert r.n_shuffles <= 1, r.ops  # the single agg exchange
+    assert "Window" not in r.ops, r.ops
+    assert r.n_broadcast_joins == 0 and r.n_sortmerge_joins == 0, r.ops
+    assert "BatchEvalPython" not in r.text
+    spark.catalog.clearCache()
