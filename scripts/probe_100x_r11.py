@@ -99,6 +99,12 @@ def main() -> None:
     for key, hundred in (
         ("events_experiment_winsorized", ev_dir),
         ("rag_bm25_topk", rag_dir),
+        # the durable streaming twins (bench-flagged in r11): 100x events
+        # through the real availableNow micro-batch folds — the claim is
+        # per-batch O(batch + |users|) with the corpus never re-scanned,
+        # so wall should scale with the fold volume, not the machinery
+        ("stream_experiment_snapshot", ev_dir),
+        ("stream_srm_monitor", ev_dir),
     ):
         w1, n1 = _time_key(spark, qs, key, SF_DIR)
         w100, n100 = _time_key(spark, qs, key, hundred)
