@@ -145,3 +145,26 @@ def test_hard_negatives_are_cross_label_and_rank_monotone(spark):
         assert [rk for rk, _ in pairs] == list(range(1, HN_K + 1))
         sims = [s for _, s in pairs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_bm25_df_cap_predicate_is_exactly_idf_positive():
+    """The r11 df-cap theorem, pinned: the engine's exact-integer prune
+    predicate 2·df < N must coincide with idf > 0 under the classic
+    zero-floored Robertson idf ln((N − df + ½)/(df + ½)) for EVERY
+    (df, N) with 1 ≤ df ≤ N — so dropping capped terms before the
+    postings join removes only exactly-zero contributions.  Exhaustive
+    over small N, plus boundary rows of large N."""
+    import math
+
+    def idf(n, df):
+        return max(0.0, math.log((n - df + 0.5) / (df + 0.5)))
+
+    cases = [(n, df) for n in range(1, 200) for df in range(1, n + 1)]
+    cases += [
+        (n, df)
+        for n in (10**6, 10**9, 10**12)
+        for df in (1, n // 2 - 1, n // 2, n // 2 + 1, n - 1, n)
+        if 1 <= df <= n
+    ]
+    for n, df in cases:
+        assert (2 * df < n) == (idf(n, df) > 0.0), (n, df, idf(n, df))
