@@ -1993,6 +1993,11 @@ _KS_ALPHA05_SQ_E6 = 1844164
 _TAU2_MSPRT = "10000.0"
 _LN_20 = "2.995732273553991"  # ln(1/α) at α = 0.05
 
+# Upper winsorization percentile (p99, the revenue default).  Defined
+# here, above the experiment report, because the report's r12 winsorized
+# row and [[events_experiment_winsorized]] share it in their oracles.
+WINSOR_PCT = 99
+
 
 @register(
     "events_experiment_report",
@@ -2048,9 +2053,14 @@ _LN_20 = "2.995732273553991"  # ln(1/α) at α = 0.05
     mbf AS (
       -- the CASE guard is load-bearing, not just presentation: on an
       -- all-tied metric v = 0 exactly and DuckDB's LN(0) THROWS (Spark
-      -- returns NULL) — var_pos is the exact-integer v > 0 predicate
+      -- returns NULL) — var_pos is the exact-integer v > 0 predicate,
+      -- and the extra v > 0 guards the DOUBLE actually passed to LN
+      -- against catastrophic cancellation (var_pos true, double v <= 0;
+      -- unreachable at fixture scale per the PLANS.md bound, but DuckDB
+      -- would throw where Spark yields NULL).  var_pos alone stays the
+      -- reported verdict predicate in the final projection.
       SELECT nt, nc, ok, var_pos, theta,
-             CASE WHEN ok AND var_pos THEN
+             CASE WHEN ok AND var_pos AND v > 0 THEN
                0.5 * LN(v / (v + {_TAU2_MSPRT}))
                + theta * theta * {_TAU2_MSPRT}
                  / (2.0 * v * (v + {_TAU2_MSPRT})) END AS log_bf
@@ -2080,6 +2090,43 @@ _LN_20 = "2.995732273553991"  # ln(1/α) at α = 0.05
     ks AS (
       SELECT CAST(MAX(ABS(c1 * m.n2 - c2 * m.n1)) AS BIGINT) AS d_num
       FROM cum CROSS JOIN mw m
+    ),
+    -- r12 winsorized row: exact pooled p{WINSOR_PCT} cap off the same
+    -- distinct-value grid, winsorized power sums as grid-weighted sums
+    -- (ca·LEAST(v,cap)), then the [[events_experiment_winsorized]]
+    -- Welch fixed double tree — identical literals, identical guards.
+    wgrid AS (
+      SELECT v, SUM(ca + cb) OVER (ORDER BY v) AS cw,
+             SUM(ca + cb) OVER () AS tw
+      FROM vals
+    ),
+    wcap AS (
+      SELECT MIN(CASE WHEN cw * 100 >= tw * {WINSOR_PCT} THEN v END) AS cap
+      FROM wgrid
+    ),
+    ws AS (
+      SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS nt,
+             CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(ca * LEAST(g.v, w.cap)), 0) AS BIGINT) AS st,
+             CAST(COALESCE(SUM(cb * LEAST(g.v, w.cap)), 0) AS BIGINT) AS sc,
+             CAST(COALESCE(SUM(ca * LEAST(g.v, w.cap) * LEAST(g.v, w.cap)), 0)
+               AS BIGINT) AS sst,
+             CAST(COALESCE(SUM(cb * LEAST(g.v, w.cap) * LEAST(g.v, w.cap)), 0)
+               AS BIGINT) AS ssc
+      FROM vals g CROSS JOIN wcap w
+    ),
+    wd AS (
+      SELECT nt, nc,
+             nt >= 2 AND nc >= 2 AS ok,
+             CAST(nt AS HUGEINT) * sst - CAST(st AS HUGEINT) * st
+               + (CAST(nc AS HUGEINT) * ssc - CAST(sc AS HUGEINT) * sc) > 0
+               AS var_pos,
+             CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc AS theta,
+             (CAST(nt AS DOUBLE) * sst - CAST(st AS DOUBLE) * st)
+               / (CAST(nt AS DOUBLE) * (nt - 1) * nt)
+             + (CAST(nc AS DOUBLE) * ssc - CAST(sc AS DOUBLE) * sc)
+               / (CAST(nc AS DOUBLE) * (nc - 1) * nc) AS v
+      FROM ws
     )
     SELECT * FROM (
       SELECT 'uplift_raw' AS metric, tc.nt AS n_treat, tc.nc AS n_ctrl,
@@ -2148,6 +2195,14 @@ _LN_20 = "2.995732273553991"  # ln(1/α) at α = 0.05
                    // 1000000
              END
       FROM ks k CROSS JOIN mw m
+      UNION ALL
+      SELECT 'winsorized', d.nt, d.nc,
+             CASE WHEN d.ok THEN ROUND(d.theta / 100.0, 4) END,
+             CASE WHEN d.ok AND d.var_pos
+               THEN ROUND(d.theta / SQRT(d.v), 4) END,
+             CASE WHEN d.ok AND d.var_pos
+               THEN ABS(ROUND(d.theta / SQRT(d.v), 4)) >= 1.96 END
+      FROM wd d
     ) ORDER BY metric
     """,
     tags=("behavioral", "stats", "experiment"),
@@ -2383,9 +2438,69 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
             > _dec_floordiv_1e6(dec(F.lit(_KS_ALPHA05_SQ_E6)) * (n1 + n2) * n1 * n2),
         ).alias("significant"),
     )
+
+    # r12 (VERDICT r11 task #7): the winsorized robust row.  NO new
+    # row-scale shuffle: the exact pooled p{WINSOR_PCT} cap is a 1-row
+    # aggregate over the SAME banded `cum` grid the rank statistics
+    # already built (pooled inclusive cumsum = c1 + c2, totals t1 + t2 —
+    # the [[events_experiment_winsorized]] rank rule), and the
+    # winsorized power sums are grid-weighted sums over the SAME `vals`
+    # relation (Σ ca·LEAST(v, cap) ≡ Σ_users LEAST(y, cap), exact
+    # BIGINTs), meeting the broadcast 1-row cap — the `vals` exchange is
+    # reused across branches, and no per-user re-scan is needed at all.
+    # Downstream is the standalone key's Welch fixed double tree with
+    # identical guards, pinned equal by test.
+    wcap = cum.agg(
+        F.min(
+            F.when(
+                (F.col("c1") + F.col("c2")) * 100
+                >= (F.col("t1") + F.col("t2")) * F.lit(WINSOR_PCT),
+                F.col("v"),
+            )
+        ).alias("cap")
+    )
+    wy = F.least(F.col("v"), F.col("cap"))
+    wsums = vals.crossJoin(F.broadcast(wcap)).agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("wnt"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("wnc"),
+        F.coalesce(F.sum(F.col("ca") * wy), F.lit(0)).cast("bigint").alias("wst"),
+        F.coalesce(F.sum(F.col("cb") * wy), F.lit(0)).cast("bigint").alias("wsc"),
+        F.coalesce(F.sum(F.col("ca") * wy * wy), F.lit(0))
+        .cast("bigint")
+        .alias("wsst"),
+        F.coalesce(F.sum(F.col("cb") * wy * wy), F.lit(0))
+        .cast("bigint")
+        .alias("wssc"),
+    )
+    wnt, wnc = F.col("wnt"), F.col("wnc")
+    wst, wsc, wsst, wssc = (
+        F.col("wst"),
+        F.col("wsc"),
+        F.col("wsst"),
+        F.col("wssc"),
+    )
+    w_theta = wst.cast("double") / wnt - wsc.cast("double") / wnc
+    w_v = (wnt.cast("double") * wsst.cast("double") - wst.cast("double") * wst) / (
+        wnt.cast("double") * (wnt - F.lit(1)) * wnt
+    ) + (wnc.cast("double") * wssc.cast("double") - wsc.cast("double") * wsc) / (
+        wnc.cast("double") * (wnc - F.lit(1)) * wnc
+    )
+    w_t = F.round(w_theta / F.sqrt(w_v), 4)
+    w_ok = (wnt >= 2) & (wnc >= 2)
+    w_var_pos = (
+        dec(wnt) * wsst - dec(wst) * wst + (dec(wnc) * wssc - dec(wsc) * wsc)
+    ) > 0
+    winsor_row = wsums.select(
+        F.lit("winsorized").alias("metric"),
+        wnt.alias("n_treat"),
+        wnc.alias("n_ctrl"),
+        F.when(w_ok, F.round(w_theta / F.lit(100.0), 4)).alias("estimate"),
+        F.when(w_ok & w_var_pos, w_t).alias("stat"),
+        F.when(w_ok & w_var_pos, F.abs(w_t) >= F.lit(1.96)).alias("significant"),
+    )
     return (
         raw_row.unionAll(cuped_row).unionAll(msprt_row)
-        .unionAll(mw_row).unionAll(ks_row)
+        .unionAll(mw_row).unionAll(ks_row).unionAll(winsor_row)
         .orderBy("metric")
     )
 
@@ -2675,9 +2790,13 @@ def _msprt_cols(nt, nc, st, sc, sst, ssc):
     ),
     bf AS (
       -- CASE guard load-bearing (r11): all-tied metric => v = 0 and
-      -- DuckDB's LN(0) THROWS; var_pos is the exact-integer v > 0 test
+      -- DuckDB's LN(0) THROWS; var_pos is the exact-integer v > 0 test.
+      -- r12: also guard the DOUBLE v itself — under catastrophic
+      -- cancellation var_pos can be true while double v <= 0, and the
+      -- eager CTE would throw in DuckDB (Spark yields NULL).  The final
+      -- projection keeps var_pos as the verdict predicate.
       SELECT nt, nc, ok, var_pos, theta, v,
-             CASE WHEN ok AND var_pos THEN
+             CASE WHEN ok AND var_pos AND v > 0 THEN
                0.5 * LN(v / (v + {_TAU2_MSPRT}))
                + theta * theta * {_TAU2_MSPRT}
                  / (2.0 * v * (v + {_TAU2_MSPRT})) END AS log_bf
@@ -2694,6 +2813,7 @@ def _msprt_cols(nt, nc, st, sc, sst, ssc):
     FROM bf
     """,
     tags=("behavioral", "stats", "experiment", "sequential"),
+    bench=True,  # r12: completes wall-time tracking for the experiment family
 )
 def events_effect_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANYTIME-VALID treatment-effect monitor — the metric-side
@@ -2773,7 +2893,8 @@ def events_effect_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINSOR_PCT = 99  # upper winsorization percentile (p99, the revenue default)
+# WINSOR_PCT (p99) is defined above the experiment report — its r12
+# winsorized row shares the literal with this key's oracle.
 
 
 def _winsorized_welch(per_user: DataFrame) -> DataFrame:
@@ -3413,6 +3534,7 @@ def _srm_fold(sink, batch_df: DataFrame, batch_id: int) -> None:
     "stream_srm_monitor",
     oracle="{SRM}",  # bound below: the batch SRM oracle certifies the stream
     tags=("behavioral", "stats", "experiment", "streaming", "dq"),
+    bench=True,  # r12: completes wall-time tracking for the experiment family
 )
 def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE STREAMING twin of [[events_srm_check]] — the

@@ -961,3 +961,28 @@ def test_report_msprt_row_equals_standalone_key(spark):
     assert row.estimate == ref.mean_diff
     assert row.stat == ref.log_bf
     assert row.significant == ref.effect_detected
+
+
+def test_report_winsorized_row_equals_standalone_key(spark):
+    """The r12 winsorized row of events_experiment_report must be the
+    SAME statistic as the standalone events_experiment_winsorized key —
+    identical (n, mean-diff, 4dp t, verdict) on the same fixture.  The
+    report computes the winsorized power sums as grid-weighted sums
+    over its distinct-value relation (Σ ca·LEAST(v, cap)) while the
+    standalone caps per-user rows directly; both reduce to the same
+    exact BIGINTs, so the downstream Welch fixed double trees must
+    agree bit-for-bit.  A divergence would mean the grid-weighted
+    rewrite changed the statistic."""
+    from mysql_postgres_debezium_cdc_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    row = {
+        r.metric: r for r in qs["events_experiment_report"].fn(spark, sf).collect()
+    }["winsorized"]
+    ref = qs["events_experiment_winsorized"].fn(spark, sf).collect()[0]
+    spark.catalog.clearCache()
+    assert (row.n_treat, row.n_ctrl) == (ref.n_treat, ref.n_ctrl)
+    assert row.estimate == ref.mean_diff
+    assert row.stat == ref.t_stat
+    assert row.significant == ref.significant_05
