@@ -63,81 +63,78 @@ _LOADED = False
 # program is REFRESH — no key's green driver row should predate its current
 # code.
 #
-# Round-11 prefix, mechanically derived by `scripts/drift_audit.py`
-# (verbatim output; VERDICT r10 task #1):
-#   1. No never-rowed keys: r11 adds no new registry entries — the round
-#      spends its slots on the refresh backlog by design.
-#   2. The 7 keys whose registered function block changed this round:
-#      rag_bm25_topk (score-neutral df-cap + classic floored idf, task
-#      #3), stream_srm_monitor (anytime-valid verdict columns, task #2),
-#      events_experiment_report (the msprt anytime-valid row, task #2's
-#      "consider" half) and events_effect_msprt (load-bearing CASE guard
-#      on the oracle's LN — the ties fixture found DuckDB's LN(0) throw),
-#      plus the three r10 experiment keys whose decorators gained
-#      bench=True (task #5: events_srm_sequential,
-#      events_experiment_winsorized — which also gained the justified
-#      per-user persist — and stream_experiment_snapshot).
-#   3. The oldest-standing driver certs, vintage order: all 15 r3-vintage
-#      keys, all 5 r4-vintage keys, then 23 of the 44 r5-vintage keys
-#      (key order within a vintage).  7 drifted + 15 + 5 + 23 = 50.
-#      Every one of these was independently judge-swept green in r10, so
-#      the refresh is freshness bookkeeping, not re-verification of
-#      suspect results.  Remaining for r12: the other 21 r5-vintage keys
-#      (the rotation tail), after which no green row predates r6.
+# Round-12 prefix, mechanically derived by `scripts/drift_audit.py`
+# (verbatim output; VERDICT r11 task #1 — the rotation tail):
+#   1. No never-rowed keys: the registry is closed at 306.
+#   2. The 5 drifted keys.  Four by this round's code: events_effect_msprt
+#      (double-side LN guard, ADVICE #1, + bench=True), stream_srm_monitor
+#      (bench=True), events_experiment_report (the winsorized row,
+#      VERDICT #7) and stream_experiment_snapshot — the latter caught by
+#      the audit's NEW same-module helper-closure hash (its own block is
+#      untouched but `_experiment_report_from_per_user` gained the
+#      winsorized row, so its output shape changed; the bare-block hash
+#      missed exactly this class).  Plus dedup_ngram_containment, whose
+#      `_shingles`/`_shingles_of` helpers changed after its r5 cert —
+#      the closure hash surfacing old helper-mediated staleness
+#      (judge-swept green in r11; freshness, not suspicion).
+#   3. The oldest-standing driver certs, vintage order: the remaining 20
+#      r5-vintage keys, then the 25 oldest r6 keys (key order within a
+#      vintage).  5 drifted + 20 + 25 = 50.  After this round NO green
+#      driver row predates r6 — the rotation tail is cleared.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
-    "rag_bm25_topk",  # tier 2: drifted (last green r7)
-    "events_experiment_report",  # tier 2: drifted (last green r8)
-    "events_effect_msprt",  # tier 2: drifted (last green r10)
-    "events_experiment_winsorized",  # tier 2: drifted (last green r10)
-    "events_srm_sequential",  # tier 2: drifted (last green r10)
-    "stream_experiment_snapshot",  # tier 2: drifted (last green r10)
-    "stream_srm_monitor",  # tier 2: drifted (last green r10)
-    "setop_except",  # tier 3: oldest-standing cert (r3)
-    "setop_union_distinct",  # tier 3: oldest-standing cert (r3)
-    "sort_global_limit",  # tier 3: oldest-standing cert (r3)
-    "source_jsonl_scan",  # tier 3: oldest-standing cert (r3)
-    "stream_dedup_first_event",  # tier 3: oldest-standing cert (r3)
-    "stream_session_window",  # tier 3: oldest-standing cert (r3)
-    "stream_stream_join_attribution",  # tier 3: oldest-standing cert (r3)
-    "stream_tumbling_window",  # tier 3: oldest-standing cert (r3)
-    "subq_correlated_exists",  # tier 3: oldest-standing cert (r3)
-    "text_quality_score",  # tier 3: oldest-standing cert (r3)
-    "topk_per_group",  # tier 3: oldest-standing cert (r3)
-    "udaf_grouped_zscore",  # tier 3: oldest-standing cert (r3)
-    "window_lag_lead",  # tier 3: oldest-standing cert (r3)
-    "window_rank_dense_rownum",  # tier 3: oldest-standing cert (r3)
-    "window_running_sum",  # tier 3: oldest-standing cert (r3)
-    "agg_salted_two_phase",  # tier 3: oldest-standing cert (r4)
-    "join_salted_skew",  # tier 3: oldest-standing cert (r4)
-    "q19_discounted_revenue",  # tier 3: oldest-standing cert (r4)
-    "q6_forecast_revenue",  # tier 3: oldest-standing cert (r4)
-    "q7_volume_shipping",  # tier 3: oldest-standing cert (r4)
-    "agg_approx_count_distinct",  # tier 3: oldest-standing cert (r5)
-    "agg_heavy_hitters_mg",  # tier 3: oldest-standing cert (r5)
-    "agg_hll_sketch_mergeable",  # tier 3: oldest-standing cert (r5)
-    "agg_mode_deterministic",  # tier 3: oldest-standing cert (r5)
-    "ann_ivfpq_persisted_index",  # tier 3: oldest-standing cert (r5)
-    "ann_ivfpq_topk",  # tier 3: oldest-standing cert (r5)
-    "ann_knn_label_eval",  # tier 3: oldest-standing cert (r5)
-    "ann_lsh_topk",  # tier 3: oldest-standing cert (r5)
-    "cdc_gdpr_scrub",  # tier 3: oldest-standing cert (r5)
-    "cdc_scd2_point_in_time_join",  # tier 3: oldest-standing cert (r5)
-    "cluster_kmeans_embeddings",  # tier 3: oldest-standing cert (r5)
-    "corpus_bpe_encode",  # tier 3: oldest-standing cert (r5)
-    "corpus_bpe_pair_counts",  # tier 3: oldest-standing cert (r5)
-    "corpus_bpe_train_and_encode",  # tier 3: oldest-standing cert (r5)
-    "corpus_bpe_train_merges",  # tier 3: oldest-standing cert (r5)
-    "corpus_dataset_card",  # tier 3: oldest-standing cert (r5)
-    "corpus_global_shuffle_shards",  # tier 3: oldest-standing cert (r5)
-    "corpus_mixture_weighted_sample",  # tier 3: oldest-standing cert (r5)
-    "corpus_near_dedup_pipeline",  # tier 3: oldest-standing cert (r5)
-    "corpus_reservoir_per_group",  # tier 3: oldest-standing cert (r5)
-    "corpus_semantic_dedup",  # tier 3: oldest-standing cert (r5)
-    "corpus_train_val_test_split",  # tier 3: oldest-standing cert (r5)
-    "dedup_cross_source_leak",  # tier 3: oldest-standing cert (r5)
+    "dedup_ngram_containment",  # tier 2: drifted (last green r5)
+    "events_effect_msprt",  # tier 2: drifted (last green r11)
+    "events_experiment_report",  # tier 2: drifted (last green r11)
+    "stream_experiment_snapshot",  # tier 2: drifted (last green r11)
+    "stream_srm_monitor",  # tier 2: drifted (last green r11)
+    "dedup_embedding_clusters",  # tier 3: oldest-standing cert (r5)
+    "dedup_exact_substring_spans",  # tier 3: oldest-standing cert (r5)
+    "dq_contamination_ngram_overlap",  # tier 3: oldest-standing cert (r5)
+    "dq_decontaminate_corpus",  # tier 3: oldest-standing cert (r5)
+    "embedding_dimension_stats",  # tier 3: oldest-standing cert (r5)
+    "embedding_normalize_quantize",  # tier 3: oldest-standing cert (r5)
+    "events_ewma_hourly",  # tier 3: oldest-standing cert (r5)
+    "events_markov_transition",  # tier 3: oldest-standing cert (r5)
+    "events_sessionize_gap_chunked",  # tier 3: oldest-standing cert (r5)
+    "layout_dpp_join_pruned_scan",  # tier 3: oldest-standing cert (r5)
+    "layout_zorder_cells",  # tier 3: oldest-standing cert (r5)
+    "stream_static_enrichment",  # tier 3: oldest-standing cert (r5)
+    "stream_stream_join_left_outer",  # tier 3: oldest-standing cert (r5)
+    "stream_user_running_state_stateful",  # tier 3: oldest-standing cert (r5)
+    "text_pii_redaction",  # tier 3: oldest-standing cert (r5)
+    "text_pmi_bigrams",  # tier 3: oldest-standing cert (r5)
+    "text_quality_classifier",  # tier 3: oldest-standing cert (r5)
+    "text_source_divergence",  # tier 3: oldest-standing cert (r5)
+    "text_vocab_head_coverage",  # tier 3: oldest-standing cert (r5)
+    "udf_map_in_arrow",  # tier 3: oldest-standing cert (r5)
+    "agg_bitmap_exact_distinct",  # tier 3: oldest-standing cert (r6)
+    "agg_bool_and_or",  # tier 3: oldest-standing cert (r6)
+    "agg_skew_profile",  # tier 3: oldest-standing cert (r6)
+    "agg_string_concat_ordered",  # tier 3: oldest-standing cert (r6)
+    "ann_ivf_recall_eval",  # tier 3: oldest-standing cert (r6)
+    "corpus_bigram_lm_counts",  # tier 3: oldest-standing cert (r6)
+    "corpus_chunk_documents",  # tier 3: oldest-standing cert (r6)
+    "corpus_length_bucketed_batches",  # tier 3: oldest-standing cert (r6)
+    "corpus_rag_persisted_chunks",  # tier 3: oldest-standing cert (r6)
+    "corpus_span_corruption_plan",  # tier 3: oldest-standing cert (r6)
+    "dedup_boilerplate_lines",  # tier 3: oldest-standing cert (r6)
+    "dedup_boilerplate_removal",  # tier 3: oldest-standing cert (r6)
+    "dedup_lsh_recall_eval",  # tier 3: oldest-standing cert (r6)
+    "dedup_minhash_incremental",  # tier 3: oldest-standing cert (r6)
+    "dedup_minhash_recall_eval",  # tier 3: oldest-standing cert (r6)
+    "dq_null_profile",  # tier 3: oldest-standing cert (r6)
+    "events_anomaly_mad",  # tier 3: oldest-standing cert (r6)
+    "events_cumulative_unique_users",  # tier 3: oldest-standing cert (r6)
+    "events_multi_granularity_rollup",  # tier 3: oldest-standing cert (r6)
+    "events_seasonal_anomaly_hours",  # tier 3: oldest-standing cert (r6)
+    "events_seasonal_naive_eval",  # tier 3: oldest-standing cert (r6)
+    "fn_string_collation",  # tier 3: oldest-standing cert (r6)
+    "fn_url_parse",  # tier 3: oldest-standing cert (r6)
+    "fn_xml_parse",  # tier 3: oldest-standing cert (r6)
+    "graph_pagerank_distributed",  # tier 3: oldest-standing cert (r6)
 )
 
 

@@ -10,10 +10,17 @@ method (PLANS.md "r8 _PRIORITY rotation") as a repeatable audit:
 2. locate each round's code snapshot (the `round N: ...` artifact
    commits — the snapshot the round-N driver actually certified);
 3. AST-extract each key's registered function block (decorators
-   included, so the oracle SQL is part of the block) at HEAD and at
-   its last-green snapshot; textual mismatch -> DRIFTED;
+   included, so the oracle SQL is part of the block) PLUS the closure
+   of same-module private helpers it references (r12: the winsorized
+   report row changed `_experiment_report_from_per_user` and the
+   streaming twin's OUTPUT gained a row while its own registered block
+   was untouched — helper-mediated drift the bare-block hash missed),
+   at HEAD and at its last-green snapshot; textual mismatch -> DRIFTED.
+   Cross-module helpers (e.g. stats._banded_rank_cums used from
+   behavioral) are still invisible to the hash;
 4. emit tiers: never-rowed keys, drifted keys (oldest vintage first),
-   then oldest-standing green keys as helper-drift proxies.
+   then oldest-standing green keys as proxies for the remaining
+   cross-module helper drift.
 
 Usage: python scripts/drift_audit.py [--slots 50]
 Prints a proposed _PRIORITY block plus the accounting behind it.
@@ -77,17 +84,27 @@ def round_commits() -> dict[int, str]:
     return out
 
 
-def function_blocks(source: str) -> dict[str, str]:
-    """key -> registered function block text (decorators included)."""
+def _module_info(source: str):
+    """(registered key -> def name, def name -> (block text, referenced
+    names)) for one module's top-level functions, decorators included."""
     try:
         tree = ast.parse(source)
     except SyntaxError:
-        return {}
+        return {}, {}
     lines = source.splitlines()
-    out: dict[str, str] = {}
-    for node in ast.walk(tree):
+    registered: dict[str, str] = {}
+    fns: dict[str, tuple[str, set[str]]] = {}
+    for node in tree.body:
         if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             continue
+        start = (
+            min(d.lineno for d in node.decorator_list) - 1
+            if node.decorator_list
+            else node.lineno - 1
+        )
+        block = "\n".join(lines[start : node.end_lineno])
+        refs = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+        fns[node.name] = (block, refs)
         for dec in node.decorator_list:
             if (
                 isinstance(dec, ast.Call)
@@ -97,8 +114,29 @@ def function_blocks(source: str) -> dict[str, str]:
                 and isinstance(dec.args[0], ast.Constant)
                 and isinstance(dec.args[0].value, str)
             ):
-                start = min(d.lineno for d in node.decorator_list) - 1
-                out[dec.args[0].value] = "\n".join(lines[start : node.end_lineno])
+                registered[dec.args[0].value] = node.name
+    return registered, fns
+
+
+def function_blocks(source: str) -> dict[str, str]:
+    """key -> registered block text + the recursive closure of
+    same-module private helpers (_-prefixed top-level defs) it
+    references, helpers sorted by name so the text is order-stable."""
+    registered, fns = _module_info(source)
+    out: dict[str, str] = {}
+    for key, fname in registered.items():
+        seen: set[str] = set()
+        stack = [fname]
+        parts: list[tuple[str, str]] = []
+        while stack:
+            f = stack.pop()
+            if f in seen or f not in fns:
+                continue
+            seen.add(f)
+            block, refs = fns[f]
+            parts.append((f, block))
+            stack.extend(r for r in refs if r.startswith("_") and r in fns)
+        out[key] = "\n#---\n".join(b for _, b in sorted(parts))
     return out
 
 
