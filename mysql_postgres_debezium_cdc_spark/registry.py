@@ -31,6 +31,12 @@ and ``bench.py`` do; a one-shot driver invocation doesn't need to).  The
 ITERATIVE builders (BPE trainer, IVM loop) are exempt: they materialize
 eagerly and release superseded generations themselves
 (tests/test_iterative_memory.py).
+
+Ulp exposure: every ROUNDED transcendental output (LN/SQRT/EXP/LOG
+trees, ~56 keys) relies on cross-engine libm agreement at the final
+rounding boundary; the authoritative key list and the per-column remedy
+live in PLANS.md ("The ulp-exposure ledger", r12) — a future last-digit
+hash flake on one of those keys is a lookup there, not an investigation.
 """
 
 from __future__ import annotations
