@@ -72,34 +72,36 @@ _LOADED = False
 # Round-12 prefix, mechanically derived by `scripts/drift_audit.py`
 # (verbatim output; VERDICT r11 task #1 — the rotation tail):
 #   1. No never-rowed keys: the registry is closed at 306.
-#   2. The 5 drifted keys.  Four by this round's code: events_effect_msprt
+#   2. The 7 drifted keys.  Four by this round's code: events_effect_msprt
 #      (double-side LN guard, ADVICE #1, + bench=True), stream_srm_monitor
 #      (bench=True), events_experiment_report (the winsorized row,
 #      VERDICT #7) and stream_experiment_snapshot — the latter caught by
-#      the audit's NEW same-module helper-closure hash (its own block is
-#      untouched but `_experiment_report_from_per_user` gained the
-#      winsorized row, so its output shape changed; the bare-block hash
-#      missed exactly this class).  Plus dedup_ngram_containment, whose
-#      `_shingles`/`_shingles_of` helpers changed after its r5 cert —
-#      the closure hash surfacing old helper-mediated staleness
-#      (judge-swept green in r11; freshness, not suspicion).
-#   3. The oldest-standing driver certs, vintage order: the remaining 20
+#      the audit's NEW helper-closure hash (its own block is untouched
+#      but `_experiment_report_from_per_user` gained the winsorized row,
+#      so its output shape changed; the bare-block hash missed exactly
+#      this class).  Plus three r5-vintage keys whose shared
+#      `_shingles`/`_shingles_of` helpers (llm/dedup.py) changed after
+#      their certs — dedup_ngram_containment same-module,
+#      dq_contamination_ngram_overlap / dq_decontaminate_corpus through
+#      the audit's cross-module import resolution (judge-swept green in
+#      r11; freshness, not suspicion).
+#   3. The oldest-standing driver certs, vintage order: the remaining 18
 #      r5-vintage keys, then the 25 oldest r6 keys (key order within a
-#      vintage).  5 drifted + 20 + 25 = 50.  After this round NO green
+#      vintage).  7 drifted + 18 + 25 = 50.  After this round NO green
 #      driver row predates r6 — the rotation tail is cleared.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_containment",  # tier 2: drifted (last green r5)
+    "dq_contamination_ngram_overlap",  # tier 2: drifted (last green r5)
+    "dq_decontaminate_corpus",  # tier 2: drifted (last green r5)
     "events_effect_msprt",  # tier 2: drifted (last green r11)
     "events_experiment_report",  # tier 2: drifted (last green r11)
     "stream_experiment_snapshot",  # tier 2: drifted (last green r11)
     "stream_srm_monitor",  # tier 2: drifted (last green r11)
     "dedup_embedding_clusters",  # tier 3: oldest-standing cert (r5)
     "dedup_exact_substring_spans",  # tier 3: oldest-standing cert (r5)
-    "dq_contamination_ngram_overlap",  # tier 3: oldest-standing cert (r5)
-    "dq_decontaminate_corpus",  # tier 3: oldest-standing cert (r5)
     "embedding_dimension_stats",  # tier 3: oldest-standing cert (r5)
     "embedding_normalize_quantize",  # tier 3: oldest-standing cert (r5)
     "events_ewma_hourly",  # tier 3: oldest-standing cert (r5)

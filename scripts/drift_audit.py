@@ -10,17 +10,22 @@ method (PLANS.md "r8 _PRIORITY rotation") as a repeatable audit:
 2. locate each round's code snapshot (the `round N: ...` artifact
    commits — the snapshot the round-N driver actually certified);
 3. AST-extract each key's registered function block (decorators
-   included, so the oracle SQL is part of the block) PLUS the closure
-   of same-module private helpers it references (r12: the winsorized
-   report row changed `_experiment_report_from_per_user` and the
-   streaming twin's OUTPUT gained a row while its own registered block
-   was untouched — helper-mediated drift the bare-block hash missed),
-   at HEAD and at its last-green snapshot; textual mismatch -> DRIFTED.
-   Cross-module helpers (e.g. stats._banded_rank_cums used from
-   behavioral) are still invisible to the hash;
+   included, so the oracle SQL is part of the block) PLUS the recursive
+   closure of helpers it references — same-module AND cross-module
+   (``from pkg... import _helper`` at module level or inside the
+   function body), private functions (_-prefixed) and module-level
+   constants (_-prefixed or ALL-CAPS targets, compared by
+   ``ast.unparse`` so comment/position churn doesn't flag) — at HEAD
+   and at its last-green snapshot; textual mismatch -> DRIFTED.
+   Motivation (r12): the winsorized report row changed
+   `_experiment_report_from_per_user` and the streaming twin's OUTPUT
+   gained a row while its own registered block was untouched —
+   helper-mediated drift the bare-block hash missed.  Remaining blind
+   spots: public (non-underscore, non-CAPS) helpers like ``load`` and
+   attribute-qualified calls — proxy-covered by vintage aging;
 4. emit tiers: never-rowed keys, drifted keys (oldest vintage first),
    then oldest-standing green keys as proxies for the remaining
-   cross-module helper drift.
+   helper drift.
 
 Usage: python scripts/drift_audit.py [--slots 50]
 Prints a proposed _PRIORITY block plus the accounting behind it.
@@ -85,15 +90,31 @@ def round_commits() -> dict[int, str]:
 
 
 def _module_info(source: str):
-    """(registered key -> def name, def name -> (block text, referenced
-    names)) for one module's top-level functions, decorators included."""
+    """(registered key -> def name,
+        def name -> (block text, referenced names, body from-imports),
+        module-level from-imports (name -> (module, original name)),
+        tracked constants (name -> ast.unparse of the assignment))
+    for one module.  Constants are _-prefixed or ALL-CAPS top-level
+    assignment targets; ``ast.unparse`` keeps them comment-insensitive
+    so moving or re-commenting a constant doesn't flag drift."""
     try:
         tree = ast.parse(source)
     except SyntaxError:
-        return {}, {}
+        return {}, {}, {}, {}
     lines = source.splitlines()
     registered: dict[str, str] = {}
-    fns: dict[str, tuple[str, set[str]]] = {}
+    fns: dict[str, tuple[str, set[str], dict]] = {}
+    mod_imports: dict[str, tuple[str, str]] = {}
+    consts: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
+            for al in node.names:
+                mod_imports[al.asname or al.name] = (node.module, al.name)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            for t in targets:
+                if isinstance(t, ast.Name) and (t.id.startswith("_") or t.id.isupper()):
+                    consts[t.id] = ast.unparse(node)
     for node in tree.body:
         if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             continue
@@ -104,7 +125,12 @@ def _module_info(source: str):
         )
         block = "\n".join(lines[start : node.end_lineno])
         refs = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
-        fns[node.name] = (block, refs)
+        fimps: dict[str, tuple[str, str]] = {}
+        for n in ast.walk(node):
+            if isinstance(n, ast.ImportFrom) and n.module and n.module.startswith(PKG):
+                for al in n.names:
+                    fimps[al.asname or al.name] = (n.module, al.name)
+        fns[node.name] = (block, refs, fimps)
         for dec in node.decorator_list:
             if (
                 isinstance(dec, ast.Call)
@@ -115,46 +141,67 @@ def _module_info(source: str):
                 and isinstance(dec.args[0].value, str)
             ):
                 registered[dec.args[0].value] = node.name
-    return registered, fns
+    return registered, fns, mod_imports, consts
 
 
-def function_blocks(source: str) -> dict[str, str]:
-    """key -> registered block text + the recursive closure of
-    same-module private helpers (_-prefixed top-level defs) it
-    references, helpers sorted by name so the text is order-stable."""
-    registered, fns = _module_info(source)
+def _closures(mods: dict) -> dict[str, str]:
+    """key -> registered block + the recursive helper/constant closure,
+    parts sorted and name-labelled so the text is order-stable."""
     out: dict[str, str] = {}
-    for key, fname in registered.items():
-        seen: set[str] = set()
-        stack = [fname]
-        parts: list[tuple[str, str]] = []
-        while stack:
-            f = stack.pop()
-            if f in seen or f not in fns:
-                continue
-            seen.add(f)
-            block, refs = fns[f]
-            parts.append((f, block))
-            stack.extend(r for r in refs if r.startswith("_") and r in fns)
-        out[key] = "\n#---\n".join(b for _, b in sorted(parts))
+    empty = ({}, {}, {}, {})
+    for mod, (registered, _fns, _mimps, _consts) in mods.items():
+        for key, fname in registered.items():
+            seen: set[tuple[str, str]] = set()
+            cseen: set[tuple[str, str]] = set()
+            stack = [(mod, fname)]
+            parts: list[tuple[str, str, str, str]] = []
+            while stack:
+                m, f = stack.pop()
+                if (m, f) in seen:
+                    continue
+                seen.add((m, f))
+                _, mfns, mmimps, mconsts = mods.get(m, empty)
+                if f not in mfns:
+                    continue
+                block, refs, fimps = mfns[f]
+                parts.append(("F", m, f, block))
+                for r in refs:
+                    if r.startswith("_") and r in mfns:
+                        stack.append((m, r))
+                    elif r in mconsts and (m, r) not in cseen:
+                        cseen.add((m, r))
+                        parts.append(("C", m, r, mconsts[r]))
+                    elif r in fimps or r in mmimps:
+                        tm, tn = fimps.get(r) or mmimps[r]
+                        if tn.startswith("_") or tn.isupper():
+                            _, tfns, _, tconsts = mods.get(tm, empty)
+                            if tn in tfns:
+                                stack.append((tm, tn))
+                            elif tn in tconsts and (tm, tn) not in cseen:
+                                cseen.add((tm, tn))
+                                parts.append(("C", tm, tn, tconsts[tn]))
+            out[key] = "\n#---\n".join(
+                f"{t}:{m}.{n}\n{b}" for t, m, n, b in sorted(parts)
+            )
     return out
 
 
 def blocks_at(commit: str | None) -> dict[str, str]:
-    """All registered function blocks at a commit (None = worktree HEAD)."""
-    out: dict[str, str] = {}
+    """All registered closure blocks at a commit (None = worktree HEAD)."""
+    mods: dict = {}
     if commit is None:
         for p in (REPO / PKG).rglob("*.py"):
-            out.update(function_blocks(p.read_text()))
-        return out
-    files = [
-        f
-        for f in sh("git", "ls-tree", "-r", "--name-only", commit).splitlines()
-        if f.startswith(PKG) and f.endswith(".py")
-    ]
-    for f in files:
-        out.update(function_blocks(sh("git", "show", f"{commit}:{f}")))
-    return out
+            mod = str(p.relative_to(REPO)).replace("/", ".")[:-3]
+            mods[mod] = _module_info(p.read_text())
+    else:
+        files = [
+            f
+            for f in sh("git", "ls-tree", "-r", "--name-only", commit).splitlines()
+            if f.startswith(PKG) and f.endswith(".py")
+        ]
+        for f in files:
+            mods[f.replace("/", ".")[:-3]] = _module_info(sh("git", "show", f"{commit}:{f}"))
+    return _closures(mods)
 
 
 def main() -> None:
