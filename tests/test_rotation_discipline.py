@@ -67,3 +67,31 @@ def test_drifted_and_unrowed_keys_are_queued_for_certification():
         "keys edited past their certification without being queued in "
         f"_PRIORITY: {offenders}"
     )
+
+
+def test_closure_hash_tracks_helpers_and_constants():
+    """The r12 drift-audit upgrade: the per-key hash must cover the
+    recursive helper/constant closure, not just the registered block —
+    this is what catches helper-mediated drift like the winsorized
+    report row changing stream_experiment_snapshot's output while the
+    twin's own block stayed byte-identical."""
+    blocks = blocks_at(None)
+
+    # same-module helper: the streaming twin's closure must contain the
+    # shared report builder it delegates to
+    snap = blocks["stream_experiment_snapshot"]
+    assert "_experiment_report_from_per_user" in snap
+    assert "def _experiment_report_from_per_user" in snap
+
+    # cross-module helper: the contamination keys import _shingles from
+    # llm.dedup inside their bodies — the closure must resolve it
+    cont = blocks["dq_contamination_ngram_overlap"]
+    assert "def _shingles" in cont
+
+    # tracked module-level constants: the mSPRT mixture literal and the
+    # winsorization percentile ride the closure (comment-insensitive —
+    # ast.unparse'd), so silently retuning one would flag every
+    # dependent key as drifted
+    assert "C:" in blocks["events_effect_msprt"]
+    assert "_TAU2_MSPRT" in blocks["events_effect_msprt"]
+    assert "WINSOR_PCT" in blocks["events_experiment_winsorized"]
