@@ -1246,12 +1246,14 @@ def test_media_lsh_plan_is_bucketed_not_quadratic(spark):
 
 def test_experiment_report_is_single_scan_composition(spark):
     """events_experiment_report: ONE events scan feeds the persisted
-    per-user relation; all five statistics' branches read the cache
+    per-user relation; all six statistics' branches read the cache
     (>=4 InMemoryTableScans: pooled moments, the arm slices — reused
-    by the raw/cuped/msprt rows — and the two-sample value relation),
-    the rank cumsums run band-partitioned,
-    and the small aggregates meet in broadcast joins — no sort-merge
-    join anywhere."""
+    by the raw/cuped/msprt rows — and the two-sample value relation;
+    the r12 winsorized row adds NO per-user re-scan: its cap is a
+    1-row aggregate over the same banded grid and its power sums are
+    grid-weighted sums over the same vals relation), the rank cumsums
+    run band-partitioned, and the small aggregates meet in broadcast
+    joins — no sort-merge join anywhere."""
     r = _plan(spark, "events_experiment_report")
     assert sum(1 for op in r.ops if op == "Scan") <= 1, r.ops
     assert r.ops.count("InMemoryTableScan") >= 4, r.ops
