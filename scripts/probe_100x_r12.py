@@ -83,7 +83,20 @@ def main() -> None:
     _replicate_events(spark, ev_dir)
 
     qs = all_queries()
-    for key in ("events_experiment_report",):
+    # Beyond the VERDICT #4 target: the reference-core CDC pair and the
+    # sessionizer are long-standing bench keys without a direct 100x
+    # stamp — all three read the events table, so the same replicas
+    # serve.  cdc_lastwrite_materialize is THE reference standing query
+    # (decode → compact → apply); its state is keyed by id, linear in
+    # the changelog.  cdc_offset_range_diff is one decode + one keyed
+    # aggregate.  events_sessionize_gap windows per-user — user-scale
+    # partitions, never a global sort.
+    for key in (
+        "events_experiment_report",
+        "cdc_lastwrite_materialize",
+        "cdc_offset_range_diff",
+        "events_sessionize_gap",
+    ):
         w1, n1 = _time_key(spark, qs, key, SF_DIR)
         w100, n100 = _time_key(spark, qs, key, ev_dir)
         print(
