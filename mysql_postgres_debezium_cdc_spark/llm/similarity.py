@@ -287,43 +287,59 @@ def lsh_signatures(emb: DataFrame) -> DataFrame:
     """(vec_id, t, sig): one sign-bit signature string per (vector, hash
     table) — the Spark twin of ``LSH_SIGS_SQL``.
 
-    One row per plane carries its full weight VECTOR, so the projection
-    is an ordered array dot product (F.aggregate runs left-to-right,
-    exactly like the oracle's LIST_DOT_PRODUCT; an unordered SUM over
-    exploded dims could reorder float adds and flip a sign bit for a
-    projection near zero).  16 rows broadcast; no explode, no per-dim
-    join, no extra aggregation level."""
-    spark = emb.sparkSession
-    planes = spark.range(LSH_TABLES * LSH_BITS).select(
-        (F.col("id") / LSH_BITS).cast("int").alias("t"),
-        F.col("id").cast("int").alias("p"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(LSH_DIM - 1)),
-            lambda d: (
-                ((F.col("id").cast("int") * 8191 + d + 1) * F.lit(2654435761)) % 2001
-            ).cast("double")
-            / 1000.0
-            - 1.0,
-        ).alias("w"),
-    )
-    proj = _dot(_as_double("embedding"), F.col("w"))
-    return (
-        emb.crossJoin(F.broadcast(planes))
-        .select("vec_id", "t", "p", proj.alias("proj"))
-        .groupBy("vec_id", "t")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("p", F.when(F.col("proj") >= 0, "1").otherwise("0").alias("b"))
-                        )
-                    ),
-                    lambda s: s.getField("b"),
-                ),
-                "",
-            ).alias("sig")
-        )
+    Vectorized Arrow kernel (the `_verify` / dimension-correlation
+    device): all TABLES·BITS projections per vector compute in one
+    batched pass with the ORDERED k-step accumulation
+    (``proj += e[:, k] * w[:, k]`` for k = 0..DIM−1), which reproduces
+    the oracle's LIST_DOT_PRODUCT left fold bit-for-bit — an unordered
+    numpy ``matmul`` could reorder float adds and flip a sign bit for a
+    projection near zero.  The plane weights are the same exact-integer
+    Weyl congruence as ``_HP_SQL``, evaluated in int64 (max intermediate
+    ≈ 1.0e15, far under 2⁶³) then scaled in float64 — identical doubles
+    in all three evaluations (Spark-kernel / DuckDB / the retired HOF
+    path).  Inputs are finite, so ``proj >= 0`` never sees a NaN (where
+    numpy and SQL engines would disagree).
+
+    Scale shape: the prior formulation crossJoined 48 broadcast plane
+    rows and re-grouped n·48 interpreted-HOF rows by (vec_id, t) — a
+    corpus-sized SHUFFLE just to reassemble signature strings.  The
+    kernel emits (vec_id, t, sig) directly per input batch: zero
+    shuffles, no interpreted fold, ~10² fewer rows in flight."""
+    n_planes = LSH_TABLES * LSH_BITS
+
+    def _sigs(batches):
+        import numpy as np
+        import pandas as pd
+
+        p_idx = np.arange(n_planes, dtype=np.int64)
+        d_idx = np.arange(LSH_DIM, dtype=np.int64)
+        w = (
+            ((p_idx[:, None] * 8191 + d_idx[None, :] + 1) * 2654435761) % 2001
+        ) / 1000.0 - 1.0  # (planes, dims) float64, exact int math then exact scale
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            proj = np.zeros((len(e), n_planes))
+            for k in range(LSH_DIM):
+                proj += e[:, k, None] * w[:, k]
+            # '0'/'1' bytes in p order, row-major → one 6-byte slice per
+            # (vector, table); -0.0 >= 0 is True in numpy and both engines.
+            raw = ((proj >= 0).astype(np.uint8) + ord("0")).tobytes()
+            sigs = [
+                raw[i * LSH_BITS : (i + 1) * LSH_BITS].decode("ascii")
+                for i in range(len(e) * LSH_TABLES)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LSH_TABLES),
+                    "t": np.tile(np.arange(LSH_TABLES, dtype=np.int32), len(e)),
+                    "sig": sigs,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _sigs, schema="vec_id long, t int, sig string"
     )
 
 

@@ -70,37 +70,46 @@ _LOADED = False
 # code.
 #
 # Round-12 prefix, mechanically derived by `scripts/drift_audit.py`
-# (verbatim output; VERDICT r11 task #1 — the rotation tail):
+# (verbatim output; VERDICT r11 task #1 — the rotation tail), re-spliced
+# after the audit's PUBLIC-helper closure upgrade (r12.2):
 #   1. No never-rowed keys: the registry is closed at 306.
-#   2. The 7 drifted keys.  Four by this round's code: events_effect_msprt
-#      (double-side LN guard, ADVICE #1, + bench=True), stream_srm_monitor
-#      (bench=True), events_experiment_report (the winsorized row,
-#      VERDICT #7) and stream_experiment_snapshot — the latter caught by
-#      the audit's NEW helper-closure hash (its own block is untouched
-#      but `_experiment_report_from_per_user` gained the winsorized row,
-#      so its output shape changed; the bare-block hash missed exactly
-#      this class).  Plus three r5-vintage keys whose shared
-#      `_shingles`/`_shingles_of` helpers (llm/dedup.py) changed after
-#      their certs — dedup_ngram_containment same-module,
-#      dq_contamination_ngram_overlap / dq_decontaminate_corpus through
-#      the audit's cross-module import resolution (judge-swept green in
-#      r11; freshness, not suspicion).
-#   3. The oldest-standing driver certs, vintage order: the remaining 18
-#      r5-vintage keys, then the 25 oldest r6 keys (key order within a
-#      vintage).  7 drifted + 18 + 25 = 50.  After this round NO green
-#      driver row predates r6 — the rotation tail is cleared.
+#   2. The 13 drifted keys.  Four by this round's registered-block edits:
+#      events_effect_msprt (double-side LN guard, ADVICE #1, + bench=True),
+#      stream_srm_monitor (bench=True), events_experiment_report (the
+#      winsorized row, VERDICT #7) and stream_experiment_snapshot (helper-
+#      mediated through `_experiment_report_from_per_user`).  Four by the
+#      r12.2 `lsh_signatures` vectorization — ann_lsh_topk,
+#      dedup_embedding_lsh, dedup_embedding_clusters, dedup_lsh_recall_eval
+#      (bit-exact by construction AND value-swept at 3 scales, but the
+#      shared helper changed, so they queue).  Three by the shared
+#      `_shingles`/`_shingles_of` helpers (dedup_ngram_containment,
+#      dq_contamination_ngram_overlap, dq_decontaminate_corpus).  Two
+#      HISTORIC public-helper drifts the old private-only closure missed,
+#      surfaced by the upgrade: graph_triangle_count (r6),
+#      join_interval_overlap (r7).
+#   3. The oldest-standing driver certs, vintage order: the remaining 17
+#      r5-vintage keys, then the 20 oldest r6 keys (key order within a
+#      vintage).  13 drifted + 17 + 20 = 50.  The four r6 keys displaced
+#      by the new drift tier (fn_string_collation, fn_url_parse,
+#      fn_xml_parse, graph_pagerank_distributed) head the r13 rotation;
+#      after this round no green row predates r6 except those four.
 # Every key also passes the identical in-repo comparison
 # (tests/test_oracle_parity.py), which sweeps all registered keys every
 # round regardless of prefix.
 _PRIORITY: tuple[str, ...] = (
+    "dedup_embedding_clusters",  # tier 2: drifted (last green r5)
     "dedup_ngram_containment",  # tier 2: drifted (last green r5)
     "dq_contamination_ngram_overlap",  # tier 2: drifted (last green r5)
     "dq_decontaminate_corpus",  # tier 2: drifted (last green r5)
+    "dedup_lsh_recall_eval",  # tier 2: drifted (last green r6)
+    "graph_triangle_count",  # tier 2: drifted (last green r6)
+    "join_interval_overlap",  # tier 2: drifted (last green r7)
+    "dedup_embedding_lsh",  # tier 2: drifted (last green r8)
+    "ann_lsh_topk",  # tier 2: drifted (last green r11)
     "events_effect_msprt",  # tier 2: drifted (last green r11)
     "events_experiment_report",  # tier 2: drifted (last green r11)
     "stream_experiment_snapshot",  # tier 2: drifted (last green r11)
     "stream_srm_monitor",  # tier 2: drifted (last green r11)
-    "dedup_embedding_clusters",  # tier 3: oldest-standing cert (r5)
     "dedup_exact_substring_spans",  # tier 3: oldest-standing cert (r5)
     "embedding_dimension_stats",  # tier 3: oldest-standing cert (r5)
     "embedding_normalize_quantize",  # tier 3: oldest-standing cert (r5)
@@ -130,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_span_corruption_plan",  # tier 3: oldest-standing cert (r6)
     "dedup_boilerplate_lines",  # tier 3: oldest-standing cert (r6)
     "dedup_boilerplate_removal",  # tier 3: oldest-standing cert (r6)
-    "dedup_lsh_recall_eval",  # tier 3: oldest-standing cert (r6)
     "dedup_minhash_incremental",  # tier 3: oldest-standing cert (r6)
     "dedup_minhash_recall_eval",  # tier 3: oldest-standing cert (r6)
     "dq_null_profile",  # tier 3: oldest-standing cert (r6)
@@ -139,10 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_multi_granularity_rollup",  # tier 3: oldest-standing cert (r6)
     "events_seasonal_anomaly_hours",  # tier 3: oldest-standing cert (r6)
     "events_seasonal_naive_eval",  # tier 3: oldest-standing cert (r6)
-    "fn_string_collation",  # tier 3: oldest-standing cert (r6)
-    "fn_url_parse",  # tier 3: oldest-standing cert (r6)
-    "fn_xml_parse",  # tier 3: oldest-standing cert (r6)
-    "graph_pagerank_distributed",  # tier 3: oldest-standing cert (r6)
 )
 
 

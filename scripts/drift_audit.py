@@ -144,6 +144,17 @@ def _module_info(source: str):
     return registered, fns, mod_imports, consts
 
 
+# Ubiquitous infra names excluded from the helper closure: every key
+# references them, so including them would flag the WHOLE registry on
+# any infra edit — that breadth of drift is what the vintage-aging
+# tiers are for.  Everything else public now rides the closure (r12.2:
+# the lsh_signatures vectorization showed a public shared helper
+# changing two certified keys' physical plan with zero flagged drift —
+# the documented blind spot, now closed for explicitly-referenced
+# package helpers; attribute-qualified calls remain proxy-covered).
+_INFRA_NAMES = {"load", "register"}
+
+
 def _closures(mods: dict) -> dict[str, str]:
     """key -> registered block + the recursive helper/constant closure,
     parts sorted and name-labelled so the text is order-stable."""
@@ -166,20 +177,21 @@ def _closures(mods: dict) -> dict[str, str]:
                 block, refs, fimps = mfns[f]
                 parts.append(("F", m, f, block))
                 for r in refs:
-                    if r.startswith("_") and r in mfns:
+                    if r in _INFRA_NAMES:
+                        continue
+                    if r in mfns:
                         stack.append((m, r))
                     elif r in mconsts and (m, r) not in cseen:
                         cseen.add((m, r))
                         parts.append(("C", m, r, mconsts[r]))
                     elif r in fimps or r in mmimps:
                         tm, tn = fimps.get(r) or mmimps[r]
-                        if tn.startswith("_") or tn.isupper():
-                            _, tfns, _, tconsts = mods.get(tm, empty)
-                            if tn in tfns:
-                                stack.append((tm, tn))
-                            elif tn in tconsts and (tm, tn) not in cseen:
-                                cseen.add((tm, tn))
-                                parts.append(("C", tm, tn, tconsts[tn]))
+                        _, tfns, _, tconsts = mods.get(tm, empty)
+                        if tn in tfns:
+                            stack.append((tm, tn))
+                        elif tn in tconsts and (tm, tn) not in cseen:
+                            cseen.add((tm, tn))
+                            parts.append(("C", tm, tn, tconsts[tn]))
             out[key] = "\n#---\n".join(
                 f"{t}:{m}.{n}\n{b}" for t, m, n, b in sorted(parts)
             )

@@ -95,3 +95,16 @@ def test_closure_hash_tracks_helpers_and_constants():
     assert "C:" in blocks["events_effect_msprt"]
     assert "_TAU2_MSPRT" in blocks["events_effect_msprt"]
     assert "WINSOR_PCT" in blocks["events_experiment_winsorized"]
+
+    # r12.2: PUBLIC package helpers ride the closure too — the
+    # lsh_signatures vectorization changed two certified keys' physical
+    # plan with zero flagged drift under the private-only closure
+    # (the documented blind spot).  Same-module reference (ann_lsh_topk)
+    # and cross-module import (dedup_embedding_lsh) both resolve now...
+    assert "def lsh_signatures" in blocks["ann_lsh_topk"]
+    assert "def lsh_signatures" in blocks["dedup_embedding_lsh"]
+    # ...while ubiquitous infra stays excluded: `load` is referenced by
+    # essentially every key, so including it would flag the whole
+    # registry on any loader edit — that breadth is what vintage aging
+    # covers (scripts/drift_audit.py _INFRA_NAMES).
+    assert "def load" not in blocks["ann_lsh_topk"]
