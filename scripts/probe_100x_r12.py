@@ -77,6 +77,28 @@ def _time_key(spark, qs, key: str, d: str) -> tuple[float, int]:
     return wall, n
 
 
+def _replicate_embeddings(spark, out: str) -> None:
+    """100 EXACT copies of every sf0.1 vector (vec_id offset by n per
+    replica) — the deliberately DUP-SATURATED stress case for the LSH
+    pair path: every bucket's width grows 100×, the true pair
+    population grows ~10⁴× (each 100-copy family alone is C(100,2)
+    pairs), and the registered key's max_bucket_width cap must bound
+    both the inline expansion and the output."""
+    emb = load(spark, SF_DIR, "embeddings")
+    mx = emb.agg(F.min("vec_id"), F.max("vec_id")).collect()[0]
+    assert mx[0] >= 0, "offset scheme assumes ids >= 0"
+    n = mx[1] + 1
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(n)).alias("vec_id"),
+        "embedding",
+    ).repartition(64).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    print(
+        f"{out}: {spark.read.parquet(f'{out}/embeddings.parquet').count()} vectors",
+        flush=True,
+    )
+
+
 def main() -> None:
     spark = get_session("probe100x_r12")
     ev_dir = f"{ROOT}/events"
@@ -104,6 +126,19 @@ def main() -> None:
             f"({n100} rows) | wall_ratio={w100 / w1:.1f}x",
             flush=True,
         )
+
+    # r12.2: re-stamp dedup_embedding_lsh after the vectorized
+    # signature kernel, on the dup-saturated replicas (the media-LSH
+    # probe's stress story applied to the embedding path).
+    emb_dir = f"{ROOT}/embeddings"
+    _replicate_embeddings(spark, emb_dir)
+    w1, n1 = _time_key(spark, qs, "dedup_embedding_lsh", SF_DIR)
+    w100, n100 = _time_key(spark, qs, "dedup_embedding_lsh", emb_dir)
+    print(
+        f"dedup_embedding_lsh: 1x={w1:.2f}s ({n1} pairs) | "
+        f"100x={w100:.2f}s ({n100} pairs) | wall_ratio={w100 / w1:.1f}x",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
