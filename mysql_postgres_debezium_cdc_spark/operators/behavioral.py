@@ -2285,43 +2285,44 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         _dec_floordiv_1e6,
     )
 
-    pooled = per_user.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    # r12 optimization: ONE conditional aggregate replaces the former
+    # pooled + per-arm branch trio (pooled, arms→t, arms→c joined by two
+    # crossJoins).  Every statistic here is an exact BIGINT count/sum, so
+    # conditional aggregation (SUM(CASE WHEN arm…)) is bit-identical to
+    # filter-after-group — integer addition is order-insensitive — and
+    # the raw/cuped/msprt rows become selects off ONE cached 1-row frame
+    # instead of three recomputed aggregate subtrees.  The WHERE
+    # reproduces the old inner `t CROSS JOIN c` emission rule exactly:
+    # no row (hence no raw/cuped/msprt output rows) when either arm is
+    # empty, matching the oracle's tc CTE.  Plan effect at sf0.1: the
+    # report drops 24 shuffle exchanges → 9 and 15 cache scans → 7
+    # (plans/r12/events_experiment_report_{before,after}.txt).
+    stats = (
+        per_user.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
+            F.sum(F.when(F.col("arm") == 1, F.col("x"))).alias("sxt"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("syt"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y") * F.col("y"))).alias("syyt"),
+            F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
+            F.sum(F.when(F.col("arm") == 0, F.col("x"))).alias("sxc"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("syc"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y") * F.col("y"))).alias("syyc"),
+        )
+        .where((F.col("nt") > 0) & (F.col("nc") > 0))
+        .persist()
     )
     dn = F.col("n").cast("double")
-    th = pooled.select(
-        "n",
-        "sx",
-        (dn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")).alias("cov_n"),
-        (dn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")).alias("varx_n"),
-    )
-    arms = per_user.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_a"),
-        F.sum("x").alias("sx_a"),
-        F.sum("y").alias("sy_a"),
-        F.sum(F.col("y") * F.col("y")).alias("syy_a"),
-    )
-    t = arms.where(F.col("arm") == 1).select(
-        F.col("n_a").alias("nt"),
-        F.col("sx_a").alias("sxt"),
-        F.col("sy_a").alias("syt"),
-        F.col("syy_a").alias("syyt"),
-    )
-    c = arms.where(F.col("arm") == 0).select(
-        F.col("n_a").alias("nc"),
-        F.col("sx_a").alias("sxc"),
-        F.col("sy_a").alias("syc"),
-        F.col("syy_a").alias("syyc"),
-    )
-    tc = t.crossJoin(F.broadcast(c))
+    cov_n = dn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = dn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
 
     nullb = F.lit(None).cast("boolean")
     nulld = F.lit(None).cast("double")
-    raw_row = tc.select(
+    raw_row = stats.select(
         F.lit("uplift_raw").alias("metric"),
         F.col("nt").alias("n_treat"),
         F.col("nc").alias("n_ctrl"),
@@ -2336,7 +2337,7 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         nulld.alias("stat"),
         nullb.alias("significant"),
     )
-    theta = F.col("cov_n") / F.col("varx_n")
+    theta = cov_n / varx_n
     mean_x_all = F.col("sx").cast("double") / F.col("n")
     adj_t = F.col("syt").cast("double") / F.col("nt") - theta * (
         F.col("sxt").cast("double") / F.col("nt") - mean_x_all
@@ -2344,14 +2345,14 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
     adj_c = F.col("syc").cast("double") / F.col("nc") - theta * (
         F.col("sxc").cast("double") / F.col("nc") - mean_x_all
     )
-    cuped_row = tc.crossJoin(F.broadcast(th)).select(
+    cuped_row = stats.select(
         F.lit("uplift_cuped").alias("metric"),
         F.col("nt").alias("n_treat"),
         F.col("nc").alias("n_ctrl"),
-        F.when(F.col("varx_n") != 0, F.round((adj_t - adj_c) / 100.0, 4)).alias(
+        F.when(varx_n != 0, F.round((adj_t - adj_c) / 100.0, 4)).alias(
             "estimate"
         ),
-        F.when(F.col("varx_n") != 0, F.round(theta, 6)).alias("stat"),
+        F.when(varx_n != 0, F.round(theta, 6)).alias("stat"),
         nullb.alias("significant"),
     )
 
@@ -2373,7 +2374,7 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         - decg(F.col("syt")) * F.col("syt")
         + (decg(m_nc) * F.col("syyc") - decg(F.col("syc")) * F.col("syc"))
     ) > 0
-    msprt_row = tc.select(
+    msprt_row = stats.select(
         F.lit("msprt").alias("metric"),
         m_nt.alias("n_treat"),
         m_nc.alias("n_ctrl"),
@@ -2388,7 +2389,14 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("ca"),
         F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("cb"),
     )
-    cum = _banded_rank_cums(vals)
+    # r12 optimization: the banded grid is computed ONCE and cached —
+    # its three consumers (the MW/KS moment aggregate, the winsor cap,
+    # and the winsorized power sums, which read (v, ca, cb) straight off
+    # the grid instead of re-running the vals groupBy) each cost a cache
+    # scan instead of a window-over-banded recomputation.  The 1-row MW
+    # aggregate is cached too: the mann_whitney and ks rows both derive
+    # from it.
+    cum = _banded_rank_cums(vals).persist()
     mw = cum.agg(
         F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n1"),
         F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n2"),
@@ -2405,7 +2413,7 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         F.max(F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")))
         .cast("bigint")
         .alias("d_num"),
-    )
+    ).persist()
     n1, n2 = F.col("n1"), F.col("n2")
     u = (F.col("r2x") - n1 * (n1 + 1)) / 2.0
     sigma2 = (n1.cast("double") * n2 / 12.0) * (
@@ -2460,7 +2468,9 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
         ).alias("cap")
     )
     wy = F.least(F.col("v"), F.col("cap"))
-    wsums = vals.crossJoin(F.broadcast(wcap)).agg(
+    # (v, ca, cb) read off the cached grid — same rows as `vals`, no
+    # second per-user groupBy.
+    wsums = cum.select("v", "ca", "cb").crossJoin(F.broadcast(wcap)).agg(
         F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("wnt"),
         F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("wnc"),
         F.coalesce(F.sum(F.col("ca") * wy), F.lit(0)).cast("bigint").alias("wst"),

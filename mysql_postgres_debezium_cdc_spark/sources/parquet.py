@@ -52,6 +52,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# (application id, analyzed-plan semantic hash) -> scan partition count.
+# The plan->RDD probe below costs ~100 ms of driver-side physical
+# planning per call; the same queries are rebuilt identically on every
+# bench rep / sweep pass, so the count is memoized on the ANALYZED
+# plan's semantic hash (~2 ms).  Planning metadata only — never row data
+# — and scoped to one application (a regenerated fixture in a new
+# process never sees a stale entry; within one app the worst case of an
+# in-place fixture swap is a suboptimal-but-correct spread decision).
+_SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin a narrow-partitioned scan across the session's
     parallelism before CPU-heavy per-row work (shingling, JSON
@@ -61,11 +72,20 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     every scan starts as ONE partition and anything narrow above it
     would serialize on one core.  On a real many-file corpus the scan
     already has enough partitions and this is a no-op; the partition
-    probe costs one plan->RDD conversion on the driver, which the
-    repartition it usually saves dwarfs."""
+    probe costs one plan->RDD conversion on the driver (memoized by
+    semantic hash — r12), which the repartition it usually saves
+    dwarfs."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    key = (
+        spark.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    n = _SPREAD_PROBE_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPREAD_PROBE_CACHE[key] = n
+    if n < par:
         return df.repartition(par)
     return df
 

@@ -961,22 +961,32 @@ def cdc_offset_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTER join, proving the fused single-pass diff equals the
     declarative two-snapshot definition.  Keys are reconciled BY
     PRIMARY KEY; NULL-key rows are excluded identically on both sides
-    (a keyless change is dead-letter territory).  The midpoint T is a
-    1-row scalar probe (the `_materialize` batching precedent), not
-    data collection."""
-    max_id = load(spark, sf_dir, "events").agg(F.max("event_id")).collect()[0][0]
-    # floor-div, mirroring the oracle's `// 2`; empty changelog → T=0
-    mid = int(max_id) // 2 if max_id is not None else 0
+    (a keyless change is dead-letter territory).  The midpoint T rides
+    the plan as a BROADCAST 1-row aggregate (r12 optimization: the
+    former `.collect()` scalar probe was a whole extra driver-blocking
+    job per invocation — guide §5's no-collect rule; the fused plan
+    computes the same `MAX(event_id) DIV 2` midpoint inside the single
+    action, and the column-pruned max rides a 4-byte broadcast)."""
+    mid_df = (
+        load(spark, sf_dir, "events")
+        .agg(F.max("event_id").alias("_mx"))
+        # floor-div, mirroring the oracle's `// 2`; empty changelog → T=0
+        .select(F.coalesce(F.expr("_mx DIV 2"), F.lit(0)).cast("long").alias("_mid"))
+    )
 
     raw = _events_changelog(spark, sf_dir)
     events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
-    keyed = events.select(
-        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
-        F.col("op").alias("op"),
-        F.col(ORDER_COL).alias("off"),
-    ).where(F.col("id").isNotNull())
+    keyed = (
+        events.select(
+            F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+            F.col("op").alias("op"),
+            F.col(ORDER_COL).alias("off"),
+        )
+        .where(F.col("id").isNotNull())
+        .crossJoin(F.broadcast(mid_df))
+    )
 
-    before_off = F.when(F.col("off") < F.lit(mid), F.col("off"))
+    before_off = F.when(F.col("off") < F.col("_mid"), F.col("off"))
     g = keyed.groupBy("id").agg(
         F.max_by("op", before_off).alias("op_t"),
         F.max(before_off).alias("off_t"),

@@ -1088,14 +1088,19 @@ def test_offset_diff_single_decode_no_join(spark):
     pass — a single JSON-decode scan feeding one keyed aggregate (the
     r6 10× probe showed the old two-snapshot formulation paying TWO
     full decode+compact passes plus a FULL OUTER join, ~32 s at 10×).
-    No join of any kind; exactly one key-hash shuffle (plus the final
-    presentation sort); decode stays JVM-side — no Python row UDF."""
+    The midpoint T is a BROADCAST 1-row aggregate fused into the same
+    action (r12: the former `.collect()` scalar probe cost a whole
+    extra driver-blocking job per invocation) — so the plan carries
+    exactly ONE broadcast nested-loop join of that single row and a
+    second, column-pruned scan for MAX(event_id); still no fact-fact
+    join, exactly one key-hash shuffle (plus the final presentation
+    sort), and the decode stays JVM-side — no Python row UDF."""
     r = _plan(spark, "cdc_offset_range_diff")
-    assert not any("Join" in o for o in r.ops), r.ops
+    joins = [o for o in r.ops if "Join" in o]
+    assert joins == ["BroadcastNestedLoopJoin"], r.ops  # 1-row midpoint attach
     assert r.text.count("from_json") >= 1
-    # one scan of events for the diff itself (the scalar midpoint probe
-    # is collected before the plan is built, so it never appears here)
-    assert sum(o.startswith("Scan") for o in r.ops) == 1, r.ops
+    # decode scan + the pruned MAX(event_id) scan, nothing else
+    assert sum(o.startswith("Scan") for o in r.ops) <= 2, r.ops
     assert r.text.count("Arguments: hashpartitioning") == 1, "one keyed shuffle"
     assert "BatchEvalPython" not in r.text, "row-at-a-time Python in CDC path"
 
@@ -1246,19 +1251,24 @@ def test_media_lsh_plan_is_bucketed_not_quadratic(spark):
 
 def test_experiment_report_is_single_scan_composition(spark):
     """events_experiment_report: ONE events scan feeds the persisted
-    per-user relation; all six statistics' branches read the cache
-    (>=4 InMemoryTableScans: pooled moments, the arm slices — reused
-    by the raw/cuped/msprt rows — and the two-sample value relation;
-    the r12 winsorized row adds NO per-user re-scan: its cap is a
-    1-row aggregate over the same banded grid and its power sums are
-    grid-weighted sums over the same vals relation), the rank cumsums
-    run band-partitioned, and the small aggregates meet in broadcast
-    joins — no sort-merge join anywhere."""
+    per-user relation; all six statistics' branches read caches
+    (>=4 InMemoryTableScans: the 1-row conditional sufficient-statistic
+    aggregate feeding the raw/cuped/msprt rows, the banded grid feeding
+    the MW/KS moments + winsor cap + winsorized power sums, and the
+    1-row MW aggregate feeding both rank rows — the r12 optimization
+    collapsed the former pooled/arms/t/c branch trio into the single
+    conditional aggregate, 16 partitioning shuffles -> 5), the rank
+    cumsums run band-partitioned, and the small aggregates meet in
+    broadcast joins — no sort-merge join anywhere."""
     r = _plan(spark, "events_experiment_report")
     assert sum(1 for op in r.ops if op == "Scan") <= 1, r.ops
     assert r.ops.count("InMemoryTableScan") >= 4, r.ops
     assert "hashpartitioning(band" in r.text
     assert r.n_sortmerge_joins == 0, r.ops
+    # r12: the whole 6-row readout needs at most 6 partitioning
+    # exchanges (per-user agg reuse, one vals groupBy, the banded
+    # within/summary pair, the 1-row reduces, the final 6-row sort).
+    assert r.n_shuffles <= 6, (r.n_shuffles, r.ops)
     # The bench's one `WARN WindowExec: No Partition Defined` is THIS
     # key (a mechanical sweep of all 30 bench plans found no other
     # unpartitioned window; PLANS.md "WindowExec warning attribution"):
