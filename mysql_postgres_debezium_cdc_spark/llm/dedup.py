@@ -497,8 +497,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-correct shape is bare ids through the buckets and joins
     back to the profile — each family ships the cheaper of
     {payload-through-shuffle, join-back}.)"""
-    toks = _shingles(spark, sf_dir)
-    dt = toks.select("doc_id", _feature_id(F.col("shingle")).alias("tid"))
+    # r12: the (doc_id, tid) relation comes from the Arrow shingle-sid
+    # kernel (multiset over distinct shingle STRINGS — collision
+    # duplicates preserved, see _shingle_sids_of) instead of the
+    # interpreted per-occurrence Horner fold; the ±1 bit sums and
+    # everything downstream are unchanged JVM aggregates.
+    dt = _shingle_sids_of(load(spark, sf_dir, "documents")).withColumnRenamed(
+        "sid", "tid"
+    )
     bit_terms = [
         F.when(
             F.sum(
@@ -534,6 +540,147 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sids_of(d: DataFrame) -> DataFrame:
+    """(doc_id, sid): one feature id per DISTINCT shingle string per
+    document — the Arrow-kernel replay of ``_shingles_of`` (whose
+    ``array_distinct`` dedups shingle strings) + ``_feature_id``
+    (r12 optimization, guide §4.2).
+
+    The retired expression pipeline ran the INTERPRETED char-level
+    Horner fold once per shingle occurrence (no whole-stage codegen for
+    higher-order functions: tokens × k array ops to build each shingle
+    string, then ~2 Catalyst ops per character to hash it), measured at
+    ~0.77 s of the 1.06 s stage at sf0.1 where native hashing costs ~0.
+    The kernel tokenizes, shingles, hashes and set-dedups per document
+    batch; each distinct shingle hashes ONCE per task (memo dict — the
+    shingle vocabulary is far smaller than the occurrence stream).
+
+    Bit-exactness: ``tok.split(" ")`` keeps interior/trailing empty
+    strings exactly like Spark's ``split`` with limit −1; ``" ".join``
+    equals ``array_join`` over non-null strings; the fold
+    ((acc·31 + codepoint) mod P, '' → 0) is pure integer arithmetic
+    replayed in Python ints, with ``ord`` the same code-point semantics
+    as the oracle's ``UNICODE()``.  Docs shorter than k tokens emit
+    nothing, like the empty-array explode.
+
+    Set semantics note: the per-doc dedup here is on shingle STRINGS
+    (exactly ``array_distinct`` on the shingle array) — two distinct
+    shingles whose Horner hashes collide still emit TWO (equal-sid)
+    rows, matching the retired ``_shingles → _feature_id`` multiset the
+    SimHash ±1 sums consume.  Consumers that want SID-set semantics
+    (MinHash) dedup on top, exactly where the retired ``.distinct()``
+    sat ([[_mh_profile_kernel_of]] does it inside its kernel)."""
+    k = SHINGLE_K
+
+    def gen(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def sid(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                acc = 0
+                for ch in s:
+                    acc = (acc * 31 + ord(ch)) % MH_PRIME
+                memo[s] = v = acc
+            return v
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids: list = []
+            sids: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < k:
+                    continue
+                ss = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                doc_ids.extend([doc_id] * len(ss))
+                sids.extend(sid(s) for s in ss)
+            yield pd.DataFrame({"doc_id": doc_ids, "sid": sids})
+
+    return spread_small_scan(d.select("doc_id", "text")).mapInPandas(
+        gen, schema="doc_id long, sid long"
+    )
+
+
+def _mh_profile_kernel_of(docs: DataFrame) -> DataFrame:
+    """The complete per-document MinHash profile
+    (doc_id, n_sh, sorted sids, mh0..mh{N-1}) out of ONE Arrow kernel —
+    no distinct shuffle, no profile groupBy (r12 optimization).
+
+    A document is exactly one input row, so its shingle-sid SET, the
+    sorted sid array and all N_HASHES affine min-hashes are task-local;
+    the retired shape paid a corpus-sized (doc_id, sid) exchange for
+    the ``.distinct()`` plus the profile aggregation's collect_list
+    buffers.  The min-hash scan is vectorized: per batch, one
+    ``(A_j·sid + j) mod P`` pass over the flattened sid array and a
+    ``minimum.reduceat`` at doc boundaries — int64 throughout
+    (A_j < 2³¹, sid < 2³¹ ⇒ product < 2⁶²), bit-identical to the
+    retired ``F.min(...)`` aggregates and the oracle's ``MIN``.
+    Hash/tokenize semantics are [[_shingle_sids_of]]'s; the per-doc
+    ``set`` of sids is exactly the retired ``.distinct()``."""
+    mults = [(j * MH_MULT + 1) % MH_PRIME for j in range(N_HASHES)]
+    k = SHINGLE_K
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def sid(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                acc = 0
+                for ch in s:
+                    acc = (acc * 31 + ord(ch)) % MH_PRIME
+                memo[s] = v = acc
+            return v
+
+        A = np.array(mults, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids: list = []
+            counts: list = []
+            sid_lists: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < k:
+                    continue
+                ss = {sid(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+                doc_ids.append(doc_id)
+                counts.append(len(ss))
+                sid_lists.append(sorted(ss))
+            if not doc_ids:
+                continue
+            flat = np.fromiter(
+                (s for sl in sid_lists for s in sl), dtype=np.int64
+            )
+            offs = np.zeros(len(counts), dtype=np.int64)
+            offs[1:] = np.cumsum(counts[:-1])
+            data = {
+                "doc_id": doc_ids,
+                "n_sh": np.array(counts, dtype=np.int64),
+                "sids": sid_lists,
+            }
+            for j in range(N_HASHES):
+                vals = (A[j] * flat + j) % MH_PRIME
+                data[f"mh{j}"] = np.minimum.reduceat(vals, offs)
+            yield pd.DataFrame(data)
+
+    mh_cols = ", ".join(f"mh{j} long" for j in range(N_HASHES))
+    return spread_small_scan(docs.select("doc_id", "text")).mapInPandas(
+        gen, schema=f"doc_id long, n_sh long, sids array<long>, {mh_cols}"
+    )
+
+
 def _mh_profile(
     spark: SparkSession, sf_dir: str, predicate: str | None = None
 ) -> DataFrame:
@@ -549,22 +696,12 @@ def _mh_profile(
 
 def _mh_profile_of(docs: DataFrame) -> DataFrame:
     """`_mh_profile` over an already-loaded documents frame (the
-    foreachBatch micro-batch form)."""
-    sh = _shingles_of(docs)
-    doc_sids = sh.select(
-        "doc_id", _feature_id(F.col("shingle")).alias("sid")
-    ).distinct()
-    mh = [
-        F.min((F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("sid") + j) % MH_PRIME).alias(
-            f"mh{j}"
-        )
-        for j in range(N_HASHES)
-    ]
-    return doc_sids.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        F.sort_array(F.collect_list("sid")).alias("sids"),
-        *mh,
-    )
+    foreachBatch micro-batch form).  r12: one Arrow-kernel pass
+    ([[_mh_profile_kernel_of]]) — the former
+    ``_shingles_of → _feature_id → distinct → groupBy`` chain paid the
+    interpreted char-fold per shingle occurrence plus a corpus-sized
+    exchange; the kernel emits the finished profile with no shuffle."""
+    return _mh_profile_kernel_of(docs)
 
 
 def _mh_band_sigs() -> "F.Column":

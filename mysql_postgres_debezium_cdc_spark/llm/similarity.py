@@ -972,12 +972,63 @@ def _rrf_terms_relation(base: DataFrame) -> DataFrame:
 
 def _rrf_dims_relation(base: DataFrame) -> DataFrame:
     """Dense hashed-vector relation: (doc_id, dim, cnt) sparse counts
-    via the per-token Horner fold — the expensive corpus-side stage."""
-    return (
-        base.select("doc_id", F.explode("toks").alias("tok"))
-        .select("doc_id", (_rrf_horner(F.col("tok")) % RAG_DIMS).alias("dim"))
-        .groupBy("doc_id", "dim")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    via the per-token Horner fold — the expensive corpus-side stage.
+
+    r12 optimization (guide §4.2): the former shape exploded every
+    token occurrence and ran the INTERPRETED char-level Horner fold per
+    occurrence (token-count × token-length × 2 Catalyst ops, no
+    codegen), then shuffled the occurrence rows into a
+    (doc_id, dim) groupBy.  Now one Arrow kernel computes the counts
+    per document batch: each distinct token hashes ONCE per task (memo
+    dict — the corpus vocabulary is tiny relative to occurrences), and
+    because a document is exactly one input row, the per-(doc, dim)
+    counts the kernel emits are already final — the corpus-sized
+    occurrence shuffle disappears entirely (plan: MapInPandas, zero
+    exchanges below the consumers).
+
+    Bit-exactness: the fold ((acc·31 + codepoint) mod P per character,
+    '' → 0) is pure integer arithmetic; Python ints replay it exactly,
+    and `ord` is the same code-point semantics as the oracle's
+    `UNICODE()` (and `F.ascii` on the retired path).  Counting is exact.
+    The input is spread across the session's parallelism first — the
+    single-row-group fixture scan would otherwise feed ONE Python task
+    (the same reason the retired expression pipeline was
+    single-threaded until its groupBy)."""
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import spread_small_scan
+
+    def _dims(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def dim_of(tok: str) -> int:
+            d = memo.get(tok)
+            if d is None:
+                acc = 0
+                for ch in tok:
+                    acc = (acc * 31 + ord(ch)) % _RAG_PRIME
+                d = acc % RAG_DIMS
+                memo[tok] = d
+            return d
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids: list[int] = []
+            dims: list[int] = []
+            cnts: list[int] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                counts: dict[int, int] = {}
+                for t in toks:
+                    d = dim_of(t)
+                    counts[d] = counts.get(d, 0) + 1
+                doc_ids.extend([doc_id] * len(counts))
+                dims.extend(counts.keys())
+                cnts.extend(counts.values())
+            yield pd.DataFrame({"doc_id": doc_ids, "dim": dims, "cnt": cnts})
+
+    return spread_small_scan(base.select("doc_id", "toks")).mapInPandas(
+        _dims, schema="doc_id long, dim long, cnt long"
     )
 
 
