@@ -32,7 +32,7 @@ from __future__ import annotations
 import functools
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load, spread_small_scan
@@ -380,14 +380,16 @@ def _jaccard_pairs(
     are functionally dependent on the ids — no extra cardinality), and
     Jaccard computes right off the aggregate: no sizes relation, no
     persist, no verification joins."""
-    sh = _shingles(spark, sf_dir, predicate=predicate).select(
-        "doc_id", F.xxhash64("shingle").alias("sid")
-    )
-    profile = sh.groupBy("doc_id").agg(
-        F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("n_sh")
-    )
-    exploded = profile.select(
-        F.struct("doc_id", "n_sh").alias("dn"), F.explode("sids").alias("sid")
+    d = load(spark, sf_dir, "documents")
+    if predicate is not None:
+        # Same SQL text the oracle's {filter} clause uses — pushes into
+        # the parquet scan before the kernel sees a row.
+        d = d.where(F.expr(predicate))
+    # r12: the kernel attaches n_sh inline (it sees the whole document
+    # per input row), replacing the former collect_list + count + explode
+    # roundtrip — one corpus-sized exchange fewer.  xxhash64 stays JVM.
+    exploded = _shingles_with_count_of(d).select(
+        F.struct("doc_id", "n_sh").alias("dn"), F.xxhash64("shingle").alias("sid")
     )
     buckets = (
         exploded.groupBy("sid")
@@ -604,6 +606,50 @@ def _shingle_sids_of(d: DataFrame) -> DataFrame:
 
     return spread_small_scan(d.select("doc_id", "text")).mapInPandas(
         gen, schema="doc_id long, sid long"
+    )
+
+
+def _shingles_with_count_of(d: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, shingle): each document's DISTINCT shingle
+    strings WITH the per-doc distinct count attached to every row —
+    the Arrow-kernel form the Jaccard inverted index consumes
+    (r12 optimization).
+
+    The retired shape attached n_sh by aggregating the shingle rows
+    per doc (collect_list + count) and immediately re-exploding the
+    list — a corpus-sized exchange plus array buffers, just to ride a
+    16-byte (doc_id, n_sh) struct next to each shingle.  The kernel
+    knows the whole document in one row, so it emits the count inline;
+    hashing stays JVM-side (``xxhash64`` downstream, unchanged).
+    Tokenize/shingle semantics are [[_shingle_sids_of]]'s (same split /
+    join / distinct-string rules, bit-identical)."""
+    k = SHINGLE_K
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids: list = []
+            counts: list = []
+            shingles: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < k:
+                    continue
+                ss = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                doc_ids.extend([doc_id] * len(ss))
+                counts.extend([len(ss)] * len(ss))
+                shingles.extend(ss)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "n_sh": counts, "shingle": shingles}
+            )
+
+    return spread_small_scan(d.select("doc_id", "text")).mapInPandas(
+        gen, schema="doc_id long, n_sh long, shingle string"
     )
 
 
@@ -1653,6 +1699,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
         parents = stepped.select(
             F.col("node").alias("p_node"), F.col("component_id").alias("p_label")
         )
+        # r12 optimization: the converged? probe rides the SAME action
+        # that cuts the round's lineage — an Observation on the
+        # localCheckpoint job — instead of a second count job per round
+        # (2 driver actions per round -> 1; the metric is a counter on
+        # the already-running tasks, not a re-scan).
+        obs = Observation()
         new_labels = (
             stepped.join(parents, stepped.component_id == parents.p_node, "left")
             .select(
@@ -1664,9 +1716,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 32) -> DataFrame:
                     F.col("_changed") | (F.col("p_label") < F.col("component_id"))
                 ).alias("_changed"),
             )
+            .observe(obs, F.count(F.when(F.col("_changed"), 1)).alias("n_changed"))
             .localCheckpoint()
         )
-        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        changed = obs.get["n_changed"]
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

@@ -151,3 +151,95 @@ def test_containment_matches_set_oracle(spark, tmp_path_factory, docs):
     # whenever doc 0 produced shingles at all
     if sh[0]:
         assert got[(0, len(docs) - 1)][0] == 1.0
+
+
+def test_r12_shingle_kernels_match_expression_pipeline(spark):
+    """The r12 Arrow kernels (_shingle_sids_of, _mh_profile_kernel_of,
+    _shingles_with_count_of) must reproduce the retired expression
+    pipeline (_shingles_of + _feature_id [+ distinct/groupBy]) row-set
+    for row-set on edge-heavy documents: empty text, sub-k docs,
+    interior/trailing multi-spaces (empty tokens), repeated shingles,
+    NULL text."""
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import (
+        MH_MULT,
+        MH_PRIME,
+        N_HASHES,
+        _feature_id,
+        _mh_profile_kernel_of,
+        _shingle_sids_of,
+        _shingles_of,
+        _shingles_with_count_of,
+    )
+
+    texts = [
+        "one",
+        "",
+        None,
+        "a b c d e",
+        "x  y   z w",  # empty tokens -> shingles with double spaces
+        "a b c a b c a b c",  # repeated shingles -> per-doc dedup
+        "tail space  ",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # (doc_id, sid) multiset over distinct shingle strings
+    sh = _shingles_of(d)
+    want_sids = sorted(
+        (r["doc_id"], r["sid"])
+        for r in sh.select(
+            "doc_id", _feature_id(F.col("shingle")).alias("sid")
+        ).collect()
+    )
+    got_sids = sorted(
+        (r["doc_id"], r["sid"]) for r in _shingle_sids_of(d).collect()
+    )
+    assert got_sids == want_sids
+
+    # (doc_id, n_sh, shingle) with inline counts
+    want_cnt = sorted(
+        (r["doc_id"], r["n_sh"], r["shingle"])
+        for r in sh.join(
+            sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")), "doc_id"
+        ).collect()
+    )
+    got_cnt = sorted(
+        (r["doc_id"], r["n_sh"], r["shingle"])
+        for r in _shingles_with_count_of(d).collect()
+    )
+    assert got_cnt == want_cnt
+
+    # full MinHash profile
+    doc_sids = sh.select(
+        "doc_id", _feature_id(F.col("shingle")).alias("sid")
+    ).distinct()
+    mh = [
+        F.min(
+            (F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("sid") + j) % MH_PRIME
+        ).alias(f"mh{j}")
+        for j in range(N_HASHES)
+    ]
+    want_prof = sorted(
+        tuple(
+            [r["doc_id"], r["n_sh"], tuple(r["sids"])]
+            + [r[f"mh{j}"] for j in range(N_HASHES)]
+        )
+        for r in doc_sids.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sort_array(F.collect_list("sid")).alias("sids"),
+            *mh,
+        )
+        .collect()
+    )
+    got_prof = sorted(
+        tuple(
+            [r["doc_id"], r["n_sh"], tuple(r["sids"])]
+            + [r[f"mh{j}"] for j in range(N_HASHES)]
+        )
+        for r in _mh_profile_kernel_of(d).collect()
+    )
+    assert got_prof == want_prof
