@@ -3306,16 +3306,22 @@ def _experiment_fold(sink, batch_df: DataFrame, batch_id: int) -> None:
     below the replay horizon into the base generation to bound state
     rows.  Sink = the CDC state-sink protocol (streaming/cdc.py) —
     Delta-MERGE semantics, versioned snapshots, atomic log swap."""
+    sink.merge(_experiment_fold_rows(batch_df, batch_id))
+
+
+def _experiment_fold_rows(batch_df: DataFrame, batch_id: int) -> DataFrame:
+    """The fold MERGE source for one micro-batch — factored from
+    [[_experiment_fold]] so the compaction cadence can land fold and
+    compaction in ONE atomic commit (r12)."""
     from mysql_postgres_debezium_cdc_spark.streaming.cdc import IS_DELETE, ORDER_COL
 
-    compacted = _experiment_per_user(batch_df).select(
+    return _experiment_per_user(batch_df).select(
         F.lit(int(batch_id)).cast("long").alias("_pk_batch_id"),
         F.col("user_id").alias("_pk_user_id"),
         F.lit(False).alias(IS_DELETE),
         F.struct("x", "y").alias("after"),
         F.lit(int(batch_id)).cast("long").alias(ORDER_COL),
     )
-    sink.merge(compacted)
 
 
 def _experiment_state_compact(sink, horizon: int) -> None:
@@ -3337,11 +3343,21 @@ def _experiment_state_compact(sink, horizon: int) -> None:
     Scale shape: one keyed aggregate over the ≤-horizon slice plus one
     anti-join inside the sink's MERGE — both user-bounded, never
     fact-scaled."""
+    rows = _experiment_compact_rows(sink, horizon)
+    if rows is not None:
+        sink.merge(rows)
+
+
+def _experiment_compact_rows(sink, horizon: int) -> DataFrame | None:
+    """The compaction MERGE source (deletes of folded generations +
+    the re-aggregated base upserts) — factored from
+    [[_experiment_state_compact]] so the live cadence can union it with
+    the fold rows into ONE commit (r12); None when no state exists."""
     from mysql_postgres_debezium_cdc_spark.streaming.cdc import IS_DELETE, ORDER_COL
 
     state = sink.read()
     if state is None:
-        return
+        return None
     old = state.where(F.col("batch_id") <= F.lit(int(horizon)))
     base = old.groupBy("user_id").agg(
         F.sum("x").cast("bigint").alias("x"),
@@ -3361,7 +3377,7 @@ def _experiment_state_compact(sink, horizon: int) -> None:
         F.struct("x", "y").alias("after"),
         F.lit(int(horizon)).cast("long").alias(ORDER_COL),
     )
-    sink.merge(deletes.unionByName(upserts))
+    return deletes.unionByName(upserts)
 
 
 def _experiment_fold_with_compaction(sink, batch_df: DataFrame, batch_id: int) -> None:
@@ -3378,10 +3394,25 @@ def _experiment_fold_with_compaction(sink, batch_df: DataFrame, batch_id: int) -
     Replay-safe: a redelivered batch N re-runs the same ≤ N−1
     compaction, which re-aggregates an already-folded base generation
     into itself — a no-op MERGE — while its own generation
-    self-overwrites as before."""
-    _experiment_fold(sink, batch_df, batch_id)
+    self-overwrites as before.
+
+    r12 optimization: on a compaction batch the fold rows
+    (batch_id = N) and the compaction rows (deletes of generations
+    ≤ N−1 plus the base re-aggregate) address DISJOINT
+    (batch_id, user_id) keys, so they land in ONE atomic sink MERGE —
+    one snapshot rewrite + log swap instead of two, and the r10
+    crash-window between the two commits (pinned by
+    tests/test_streaming_restart.py) no longer exists at all: either
+    both land or neither.  The compaction rows are derived from the
+    PRE-merge state, exactly as the two-commit cadence derived them
+    (horizon < N, so the fold rows could never feed the compact
+    aggregate anyway)."""
     if batch_id > 0 and batch_id % STREAM_EXP_COMPACT_EVERY == 0:
-        _experiment_state_compact(sink, horizon=batch_id - 1)
+        fold = _experiment_fold_rows(batch_df, batch_id)
+        compact = _experiment_compact_rows(sink, horizon=batch_id - 1)
+        sink.merge(fold if compact is None else fold.unionByName(compact))
+    else:
+        _experiment_fold(sink, batch_df, batch_id)
 
 
 def _experiment_state_per_user(state: DataFrame) -> DataFrame:
