@@ -117,9 +117,22 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet reader (cheaper than joining the exploded token stream
     # against a doc-id list — the filter prunes before the explode)
     tgt_toks = _toks(spark, sf_dir, F.col("lang") == DSIR_TARGET_LANG)
-    raw_cnt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
-    tgt_cnt = tgt_toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_t")
+    # r12: both count relations are VOCAB-sized and feed TWO branches
+    # each (the consts aggregate and the weight join) — unpersisted,
+    # each branch re-ran the corpus tokenize+explode+groupBy (the plan
+    # showed 5 scans / 12 exchanges for what is structurally 3 corpus
+    # passes).  Persisting the bounded relations is the justified-
+    # persist rule (registry cache contract); the token STREAM stays
+    # unpersisted — at 100 TB you re-scan the corpus, never cache it.
+    raw_cnt = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
+        .persist()
+    )
+    tgt_cnt = (
+        tgt_toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+        .persist()
     )
     consts = raw_cnt.agg(
         F.sum("c_r").cast("bigint").alias("n_r"),

@@ -152,6 +152,14 @@ class ParquetStateSink:
         self.pk_cols = list(pk_cols)
         self.row_cols = list(row_cols)
         self.retain = max(1, retain)
+        # Snapshot schema, learned from the first commit (r12): every
+        # subsequent read() passes it explicitly so the parquet reader
+        # skips footer-based schema inference — one fewer driver-side
+        # file read per merge on a stream that commits every batch.
+        # The schema of a keyed state table is fixed for the sink's
+        # lifetime by construction (pk_cols/row_cols are constructor
+        # arguments).
+        self._schema = None
         os.makedirs(root, exist_ok=True)
 
     def _log_path(self) -> str:
@@ -212,7 +220,12 @@ class ParquetStateSink:
         d = os.path.join(self.root, name)
         if not os.path.isdir(d):
             raise IndexError(f"version {name} has been vacuumed (retain={self.retain})")
-        return self.spark.read.parquet(d)
+        reader = self.spark.read
+        if self._schema is not None:
+            reader = reader.schema(self._schema)
+        df = reader.parquet(d)
+        self._schema = df.schema
+        return df
 
     def merge(self, compacted: DataFrame) -> None:
         new_state = apply_changes(self.read(), compacted, self.pk_cols, self.row_cols)
