@@ -268,6 +268,18 @@ def main() -> None:
     tier2 = [k for _, k in drifted][: max(0, slots - len(tier1))]
     rest = max(0, slots - len(tier1) - len(tier2))
     tier3 = [k for _, k in clean][:rest]
+    deferred = [k for _, k in drifted][max(0, slots - len(tier1)):]
+    if deferred:
+        # Overflow round (first seen r12: wide-closure edits drifted more
+        # keys than one sweep holds).  Tiers are oldest-vintage first, so
+        # the deferred keys are the NEWEST-vintage drifted — the freshest
+        # certs, least risky to carry one round; they MUST head the next
+        # round's prefix.  tests/test_rotation_discipline.py enforces
+        # exactly this degradation rule.
+        print(f"\n# OVERFLOW: {len(deferred)} drifted keys beyond the "
+              f"{slots}-slot window (newest vintage; must head next round):")
+        for k in deferred:
+            print(f"#   deferred  r{green[k]}  {k}")
     print(f"\n# proposed {slots}-slot prefix "
           f"(tier1={len(tier1)} tier2={len(tier2)} tier3={len(tier3)}):")
     print("_PRIORITY: tuple[str, ...] = (")

@@ -49,10 +49,15 @@ def test_drifted_and_unrowed_keys_are_queued_for_certification():
     prefix = set(_PRIORITY[:50])
 
     offenders: list[str] = []
+    deferred: dict[str, int] = {}  # drifted-but-not-queued -> green round
+    queued_drift_rounds: list[int] = []
+    n_queued_unrowed = 0
     for k in keys:
         if k not in green:  # never certified -> must be queued
             if k not in prefix:
                 offenders.append(f"{k} (no driver row, not in prefix)")
+            else:
+                n_queued_unrowed += 1
             continue
         rnd = green[k]
         if rnd not in commits:
@@ -60,8 +65,34 @@ def test_drifted_and_unrowed_keys_are_queued_for_certification():
         cache = test_drifted_and_unrowed_keys_are_queued_for_certification.__dict__
         if rnd not in cache:
             cache[rnd] = blocks_at(commits[rnd])
-        if cache[rnd].get(k) != head_blocks.get(k) and k not in prefix:
-            offenders.append(f"{k} (drifted since green row r{rnd}, not in prefix)")
+        if cache[rnd].get(k) != head_blocks.get(k):
+            if k in prefix:
+                queued_drift_rounds.append(rnd)
+            else:
+                deferred[k] = rnd
+
+    # Overflow degradation rule (first hit r12: a round's edits can
+    # drift more keys than one 50-slot sweep holds).  Deferral is legal
+    # ONLY when (a) every prefix slot is already spent on an unrowed or
+    # drifted key — no slot is wasted on a merely-stale cert while a
+    # drifted key waits — and (b) the deferred keys are the NEWEST
+    # vintage among the drifted (freshest certs carry one round; they
+    # head the next rotation).  Anything else is an offender.
+    if deferred:
+        if len(queued_drift_rounds) + n_queued_unrowed < 50:
+            offenders.extend(
+                f"{k} (drifted since green row r{rnd}, not in prefix, "
+                "prefix has non-drifted slots)"
+                for k, rnd in deferred.items()
+            )
+        else:
+            newest_queued = max(queued_drift_rounds) if queued_drift_rounds else -1
+            offenders.extend(
+                f"{k} (drifted since green row r{rnd}, deferred although "
+                f"older than queued vintage r{newest_queued})"
+                for k, rnd in deferred.items()
+                if rnd < newest_queued
+            )
 
     assert not offenders, (
         "keys edited past their certification without being queued in "
