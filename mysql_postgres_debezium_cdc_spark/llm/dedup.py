@@ -499,31 +499,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-correct shape is bare ids through the buckets and joins
     back to the profile — each family ships the cheaper of
     {payload-through-shuffle, join-back}.)"""
-    # r12: the (doc_id, tid) relation comes from the Arrow shingle-sid
-    # kernel (multiset over distinct shingle STRINGS — collision
-    # duplicates preserved, see _shingle_sids_of) instead of the
-    # interpreted per-occurrence Horner fold; the ±1 bit sums and
-    # everything downstream are unchanged JVM aggregates.
-    dt = _shingle_sids_of(load(spark, sf_dir, "documents")).withColumnRenamed(
-        "sid", "tid"
-    )
-    bit_terms = [
-        F.when(
-            F.sum(
-                F.when(
-                    (F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("tid") + j) % MH_PRIME % 2
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            )
-            >= 0,
-            F.lit(1 << j).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(SH_BITS)
-    ]
-    sigs = dt.groupBy("doc_id").agg(
-        functools.reduce(lambda a, b: a + b, bit_terms).alias("sig")
-    )
+    # r13: the finished per-doc SIGNATURE comes out of one Arrow kernel
+    # (_simhash_sigs_of).  The r12 intermediate — a kernel emitting the
+    # (doc_id, tid) multiset that a JVM 32-term SUM(CASE) aggregate then
+    # grouped — removed no exchange and regressed 0.84× on the driver
+    # box; a document is one input row, so the ±1 bit sums are
+    # task-local and the corpus-sized (doc_id, tid) exchange plus the
+    # interpreted bit-sum aggregate both disappear (guide §2.4 + §4.2).
+    sigs = _simhash_sigs_of(load(spark, sf_dir, "documents"))
     band_vals = F.array(
         *[(F.col("sig") / F.lit(c)).cast("bigint") % (1 << SH_BAND_BITS) for c in _SH_BAND_CONSTS]
     )
@@ -606,6 +589,75 @@ def _shingle_sids_of(d: DataFrame) -> DataFrame:
 
     return spread_small_scan(d.select("doc_id", "text")).mapInPandas(
         gen, schema="doc_id long, sid long"
+    )
+
+
+def _simhash_sigs_of(d: DataFrame) -> DataFrame:
+    """(doc_id, sig): the complete 32-bit SimHash signature per document
+    from ONE Arrow kernel — no (doc_id, tid) exchange, no 32-term
+    interpreted bit-sum aggregate (r13 optimization, guide §2.4 + §4.2).
+
+    Replays [[_shingle_sids_of]]'s multiset exactly (per-doc distinct
+    shingle STRINGS, hash-collision duplicates preserved), then computes
+    bit j's ±1 sum vectorized: vals = (A_j·sid + j) mod P over the
+    flattened sid stream (int64; A_j < 2³¹, sid < 2³¹ ⇒ product < 2⁶²),
+    ±1 by parity, `np.add.reduceat` at doc boundaries — exact integer
+    arithmetic, bit-identical to the retired JVM SUM(CASE) aggregate and
+    the oracle's per-bit CASE sums (pinned by
+    tests/test_shingles_edge.py).  Docs shorter than k tokens emit
+    nothing (the empty-array explode), so every kernel row has ≥1 sid
+    and the reduceat offsets are strictly increasing."""
+    mults = [(j * MH_MULT + 1) % MH_PRIME for j in range(SH_BITS)]
+    k = SHINGLE_K
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def sid(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                acc = 0
+                for ch in s:
+                    acc = (acc * 31 + ord(ch)) % MH_PRIME
+                memo[s] = v = acc
+            return v
+
+        A = np.array(mults, dtype=np.int64)
+        bitvals = np.array([1 << j for j in range(SH_BITS)], dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids: list = []
+            counts: list = []
+            sid_lists: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < k:
+                    continue
+                ss = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                doc_ids.append(doc_id)
+                counts.append(len(ss))
+                sid_lists.append([sid(s) for s in ss])
+            if not doc_ids:
+                continue
+            flat = np.fromiter(
+                (s for sl in sid_lists for s in sl), dtype=np.int64
+            )
+            offs = np.zeros(len(counts), dtype=np.int64)
+            offs[1:] = np.cumsum(counts[:-1])
+            sig = np.zeros(len(doc_ids), dtype=np.int64)
+            for j in range(SH_BITS):
+                pm = ((A[j] * flat + j) % MH_PRIME) % 2 * 2 - 1
+                sig += (np.add.reduceat(pm, offs) >= 0) * bitvals[j]
+            yield pd.DataFrame({"doc_id": doc_ids, "sig": sig})
+
+    return spread_small_scan(d.select("doc_id", "text")).mapInPandas(
+        gen, schema="doc_id long, sig long"
     )
 
 

@@ -117,47 +117,46 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet reader (cheaper than joining the exploded token stream
     # against a doc-id list — the filter prunes before the explode)
     tgt_toks = _toks(spark, sf_dir, F.col("lang") == DSIR_TARGET_LANG)
-    # r12: both count relations are VOCAB-sized and feed TWO branches
-    # each (the consts aggregate and the weight join) — unpersisted,
-    # each branch re-ran the corpus tokenize+explode+groupBy (the plan
-    # showed 5 scans / 12 exchanges for what is structurally 3 corpus
-    # passes).  Persisting the bounded relations is the justified-
-    # persist rule (registry cache contract); the token STREAM stays
-    # unpersisted — at 100 TB you re-scan the corpus, never cache it.
-    raw_cnt = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
-        .persist()
+    # r13: all three smoothing constants ride the joined VOCAB relation
+    # as one unpartitioned window — n_t = Σ c_t works on the join output
+    # because target tokens are a subset of the raw vocabulary (tgt_toks
+    # ⊆ toks), so no tgt row is lost by the left join.  The r12 shape
+    # persisted raw_cnt/tgt_cnt and aggregated a separate broadcast
+    # consts branch off each: two cache materialization barriers plus a
+    # serial broadcast chain, which the driver measured at 0.70× (and
+    # 8 cores beat 32 at 2:1 — barrier cost scales with partition
+    # count).  Now: exactly 3 corpus passes (raw explode, target-slice
+    # explode, scoring pass), zero persists, and the window input is
+    # vocab-bounded (never corpus-sized) — the same boundedness that
+    # justified caching it justifies the single-partition window.
+    gw = Window.partitionBy()
+    raw_cnt = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r")
     )
-    tgt_cnt = (
-        tgt_toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
-        .persist()
+    tgt_cnt = tgt_toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_t")
     )
-    consts = raw_cnt.agg(
-        F.sum("c_r").cast("bigint").alias("n_r"),
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-    ).crossJoin(
-        # COALESCE: an empty target slice must give n_t = 0 (the
-        # oracle's COUNT(*) semantics), not a NULL that nulls every
-        # weight downstream
-        tgt_cnt.agg(
-            F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t")
-        )
-    )
-    w = (
+    joined = (
         raw_cnt.join(tgt_cnt, "token", "left")
-        .crossJoin(F.broadcast(consts))
-        .select(
-            "token",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                    / (F.col("n_t") + F.col("v")).cast("double")
-                )
-                - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.col("v")).cast("double"))
-            ).alias("lw"),
+        .withColumn("v", F.count(F.lit(1)).over(gw).cast("bigint"))
+        .withColumn("n_r", F.sum("c_r").over(gw).cast("bigint"))
+        .withColumn(
+            # COALESCE before the sum: an empty target slice must give
+            # n_t = 0 (the oracle's COUNT(*) semantics), not a NULL
+            # that nulls every weight downstream
+            "n_t",
+            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).over(gw).cast("bigint"),
         )
+    )
+    w = joined.select(
+        "token",
+        (
+            F.log(
+                (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                / (F.col("n_t") + F.col("v")).cast("double")
+            )
+            - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.col("v")).cast("double"))
+        ).alias("lw"),
     )
     scored = (
         toks.join(F.broadcast(w), "token")

@@ -243,3 +243,62 @@ def test_r12_shingle_kernels_match_expression_pipeline(spark):
         for r in _mh_profile_kernel_of(d).collect()
     )
     assert got_prof == want_prof
+
+
+def test_r13_simhash_signature_kernel_matches_expression_pipeline(spark):
+    """The r13 full-signature kernel (_simhash_sigs_of) must reproduce
+    the retired shape — the (doc_id, sid) multiset kernel + the JVM
+    32-term ±1 SUM(CASE) aggregate — signature for signature on the
+    same edge-heavy documents (sub-k docs emit nothing; repeated
+    shingles dedup per doc; the ±1 sums are exact integers, so the
+    per-doc set iteration order cannot change a bit)."""
+    import functools
+
+    import pyspark.sql.functions as F
+
+    from mysql_postgres_debezium_cdc_spark.llm.dedup import (
+        MH_MULT,
+        MH_PRIME,
+        SH_BITS,
+        _shingle_sids_of,
+        _simhash_sigs_of,
+    )
+
+    texts = [
+        "one",
+        "",
+        None,
+        "a b c d e",
+        "x  y   z w",
+        "a b c a b c a b c",
+        "tail space  ",
+        "p q r s t u v w p q r",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bit_terms = [
+        F.when(
+            F.sum(
+                F.when(
+                    (F.lit((j * MH_MULT + 1) % MH_PRIME) * F.col("sid") + j)
+                    % MH_PRIME
+                    % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            )
+            >= 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(SH_BITS)
+    ]
+    want = sorted(
+        (r["doc_id"], r["sig"])
+        for r in _shingle_sids_of(d)
+        .groupBy("doc_id")
+        .agg(functools.reduce(lambda a, b: a + b, bit_terms).alias("sig"))
+        .collect()
+    )
+    got = sorted((r["doc_id"], r["sig"]) for r in _simhash_sigs_of(d).collect())
+    assert got == want
