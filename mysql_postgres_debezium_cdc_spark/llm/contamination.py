@@ -24,7 +24,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from mysql_postgres_debezium_cdc_spark.llm.dedup import _SHINGLES_SQL, _shingles
+from mysql_postgres_debezium_cdc_spark.llm.dedup import (
+    _SHINGLES_SQL,
+    _shingles_with_count_of,
+)
 from mysql_postgres_debezium_cdc_spark.registry import register
 from mysql_postgres_debezium_cdc_spark.sources.parquet import load
 
@@ -64,14 +67,22 @@ def dq_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     """Per-training-document eval-set shingle overlap + contamination
     flag (integer cross-multiplied threshold — no float compare at the
     decision boundary, so the flag is bit-stable cross-engine)."""
-    sh = _shingles(spark, sf_dir)
+    # r13: each side shingles through the Arrow kernel (the
+    # dedup_ngram_jaccard device), with its cohort predicate applied
+    # BEFORE the kernel — mapInPandas is opaque to predicate pushdown,
+    # so filtering first is what keeps the doc_id % mod cut at the
+    # parquet scan (the retired expression shingler relied on Catalyst
+    # pushing the filter through the deterministic transform chain).
+    docs = load(spark, sf_dir, "documents")
     eval_sh = (
-        sh.where(F.col("doc_id") % EVAL_MOD == 0)
+        _shingles_with_count_of(docs.where(F.col("doc_id") % EVAL_MOD == 0))
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    train = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    train = _shingles_with_count_of(
+        docs.where(F.col("doc_id") % EVAL_MOD != 0)
+    ).select("doc_id", "shingle")
     per_doc = (
         train.join(eval_sh, "shingle", "left")
         .groupBy("doc_id")
@@ -151,15 +162,17 @@ def dq_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates on the training write path — same plan, different
     sink."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(spark, sf_dir)
+    # r13: kernel shingler with pre-kernel cohort filters (see
+    # dq_contamination_ngram_overlap).
     eval_sh = (
-        sh.where(F.col("doc_id") % EVAL_MOD == 0)
+        _shingles_with_count_of(d.where(F.col("doc_id") % EVAL_MOD == 0))
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     per_doc = (
-        sh.where(F.col("doc_id") % EVAL_MOD != 0)
+        _shingles_with_count_of(d.where(F.col("doc_id") % EVAL_MOD != 0))
+        .select("doc_id", "shingle")
         .join(eval_sh, "shingle", "left")
         .groupBy("doc_id")
         .agg(

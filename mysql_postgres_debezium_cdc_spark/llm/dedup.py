@@ -2541,12 +2541,12 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard rides along per pair: the two measures together separate
     "same document" (both high) from "one inside the other"
     (containment high, Jaccard low)."""
-    sh = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("shingle").alias("sid"))
-    profile = sh.groupBy("doc_id").agg(
-        F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("n_sh")
-    )
-    exploded = profile.select(
-        F.struct("doc_id", "n_sh").alias("dn"), F.explode("sids").alias("sid")
+    # r13: same kernel adoption as dedup_ngram_jaccard — n_sh rides
+    # inline from _shingles_with_count_of, deleting the former
+    # collect_list + count + re-explode roundtrip (a corpus-sized
+    # exchange); xxhash64 hashing stays JVM-side.
+    exploded = _shingles_with_count_of(load(spark, sf_dir, "documents")).select(
+        F.struct("doc_id", "n_sh").alias("dn"), F.xxhash64("shingle").alias("sid")
     )
     buckets = (
         exploded.groupBy("sid")

@@ -720,28 +720,84 @@ _RAG_ORACLE = f"""
 
 
 def _rag_chunk_dims_relation(base: DataFrame) -> DataFrame:
-    """Chunk-vector index relation: (doc_id, chunk_id, dim, cnt) sparse
-    hashed counts over overlapping token windows — the corpus-side
-    build both the inline and persisted RAG retrieval paths share."""
-    nc = F.ceil(
-        F.greatest(F.col("n") - _RAG_CHUNK_W, F.lit(0)) / F.lit(float(_RAG_CHUNK_S))
-    ) + 1
-    chunks = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_id"),
-    ).select(
-        "doc_id",
-        F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        F.slice(
-            F.col("toks"), F.lit(1) + F.col("chunk_id") * _RAG_CHUNK_S, F.lit(_RAG_CHUNK_W)
-        ).alias("ctoks"),
-    )
-    return (
-        chunks.select("doc_id", "chunk_id", F.explode("ctoks").alias("tok"))
-        .select("doc_id", "chunk_id", (_rrf_horner(F.col("tok")) % RAG_DIMS).alias("dim"))
-        .groupBy("doc_id", "chunk_id", "dim")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    """Chunk-vector index relation: (doc_id, chunk_id, n2, dim, cnt)
+    sparse hashed counts over overlapping token windows, with the
+    per-chunk squared norm n2 = Σ cnt² inline — the corpus-side build
+    both the inline and persisted RAG retrieval paths share.
+
+    r13 optimization (guide §2.4 + §4.2, the `_rrf_dims_relation`
+    device at chunk granularity): the retired expression pipeline paid
+    a chunk explode, a token explode, the INTERPRETED per-occurrence
+    Horner fold, a corpus-sized (doc, chunk, dim) groupBy exchange,
+    then a SECOND corpus-sized exchange for the `cnorm` aggregate plus
+    its join back — behind an eager localCheckpoint because the
+    relation fed two consumers.  A document is one input row, so
+    chunking, hashing (memo dict — one hash per distinct token per
+    task), the final counts AND the chunk norm are all task-local: one
+    Arrow kernel, zero exchanges, one consumer, no checkpoint.
+
+    Bit-exactness: chunk count ceil(max(n−W,0)/S)+1 is computed with
+    integer arithmetic ((x+S−1)//S), which equals the retired
+    float-CEIL for these magnitudes (a correctly-rounded float quotient
+    of ints < 2³⁰ cannot cross an integer boundary); slices, the Horner
+    fold ((acc·31 + codepoint) mod P, '' → 0) and the count/norm sums
+    are exact integers.  NULL text emits nothing (the retired NULL
+    propagation through size/sequence/explode)."""
+    W, S = _RAG_CHUNK_W, _RAG_CHUNK_S
+
+    def _chunks(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def dim_of(tok: str) -> int:
+            d = memo.get(tok)
+            if d is None:
+                acc = 0
+                for ch in tok:
+                    acc = (acc * 31 + ord(ch)) % _RAG_PRIME
+                d = acc % RAG_DIMS
+                memo[tok] = d
+            return d
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids: list[int] = []
+            chunk_ids: list[int] = []
+            n2s: list[int] = []
+            dims: list[int] = []
+            cnts: list[int] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if toks is None:
+                    continue
+                n = len(toks)
+                nc = (max(n - W, 0) + S - 1) // S + 1
+                for cid in range(nc):
+                    counts: dict[int, int] = {}
+                    for t in toks[cid * S : cid * S + W]:
+                        d = dim_of(t)
+                        counts[d] = counts.get(d, 0) + 1
+                    n2 = sum(c * c for c in counts.values())
+                    doc_ids.extend([doc_id] * len(counts))
+                    chunk_ids.extend([cid] * len(counts))
+                    n2s.extend([n2] * len(counts))
+                    dims.extend(counts.keys())
+                    cnts.extend(counts.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "chunk_id": chunk_ids,
+                    "n2": n2s,
+                    "dim": dims,
+                    "cnt": cnts,
+                }
+            )
+
+    from mysql_postgres_debezium_cdc_spark.sources.parquet import spread_small_scan
+
+    return spread_small_scan(base.select("doc_id", "toks")).mapInPandas(
+        _chunks, schema="doc_id long, chunk_id long, n2 long, dim long, cnt long"
     )
 
 
@@ -765,9 +821,9 @@ def corpus_rag_retrieval(
     value-checked end to end — a boundary bug in chunking, a hash bug
     in embedding, or a ranking bug in retrieval all move the output.
 
-    Scale shape: chunking and embedding are narrow generates + one
-    map-side-combining groupBy each (the per-chunk sparse vector
-    relation is bounded by RAG_DIMS rows per chunk).  Retrieval joins
+    Scale shape: chunking and embedding come out of one shuffle-free
+    Arrow kernel (the per-chunk sparse vector relation is bounded by
+    RAG_DIMS rows per chunk, its norm inline — r13).  Retrieval joins
     the TINY query-vector relation (|queries|·dims rows — broadcast at
     any corpus scale, since the query cohort is a fixed fraction of a
     batch, not the corpus) against the chunk vectors on dim: the
@@ -783,16 +839,11 @@ def corpus_rag_retrieval(
     toks = F.split(F.col("text"), " ")
     base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
 
-    cdims = (
-        cdims_df
-        if cdims_df is not None
-        # two consumers (dot join + norms) over the expensive per-token
-        # Horner fold — materialize once, same device as rag_rrf_fusion
-        else _rag_chunk_dims_relation(base).localCheckpoint(eager=True)
-    )
-    cnorm = cdims.groupBy("doc_id", "chunk_id").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
-    )
+    # r13: the kernel attaches the per-chunk squared norm n2 inline,
+    # so the chunk-vector relation has ONE consumer — the former cnorm
+    # groupBy, its join back, and the localCheckpoint are gone (same
+    # move as rag_rrf_fusion).
+    cdims = cdims_df if cdims_df is not None else _rag_chunk_dims_relation(base)
     qd = base.where(
         (F.col("doc_id") % RAG_QUERY_MOD == RAG_QUERY_REM)
         & (F.col("doc_id") < RAG_QUERY_CAP)
@@ -806,15 +857,16 @@ def corpus_rag_retrieval(
     qnorm = qdims.groupBy("q_doc").agg(
         F.sum(F.col("qcnt") * F.col("qcnt")).cast("bigint").alias("qn2")
     )
+    # n2 joins the grouping key: functionally dependent on
+    # (doc_id, chunk_id), so the aggregate's cardinality is unchanged.
     dots = (
         cdims.join(F.broadcast(qdims), "dim")
         .where(F.col("doc_id") != F.col("q_doc"))
-        .groupBy("q_doc", "doc_id", "chunk_id")
+        .groupBy("q_doc", "doc_id", "chunk_id", "n2")
         .agg(F.sum(F.col("qcnt") * F.col("cnt")).cast("bigint").alias("dot"))
     )
     scored = (
         dots.join(F.broadcast(qnorm), "q_doc")
-        .join(cnorm, ["doc_id", "chunk_id"])
         .select(
             "q_doc",
             "doc_id",
@@ -862,7 +914,8 @@ def corpus_rag_persisted_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = _rrf_tokenized(spark, sf_dir).withColumn("n", F.size("toks"))
         _rag_chunk_dims_relation(base).write.mode("overwrite").parquet(p)
 
-    path = materialize_once(sf_dir, "rag_chunk_dims", _build)
+    # kind bumped with the r13 schema change (n2 rides inline).
+    path = materialize_once(sf_dir, "rag_chunk_dims_n2", _build)
     return corpus_rag_retrieval(
         spark, sf_dir, cdims_df=spark.read.parquet(path)
     )
@@ -971,8 +1024,10 @@ def _rrf_terms_relation(base: DataFrame) -> DataFrame:
 
 
 def _rrf_dims_relation(base: DataFrame) -> DataFrame:
-    """Dense hashed-vector relation: (doc_id, dim, cnt) sparse counts
-    via the per-token Horner fold — the expensive corpus-side stage.
+    """Dense hashed-vector relation: (doc_id, n2, dim, cnt) sparse
+    counts via the per-token Horner fold — the expensive corpus-side
+    stage — with the per-document squared norm n2 = Σ cnt² attached to
+    every row.
 
     r12 optimization (guide §4.2): the former shape exploded every
     token occurrence and ran the INTERPRETED char-level Horner fold per
@@ -986,14 +1041,23 @@ def _rrf_dims_relation(base: DataFrame) -> DataFrame:
     occurrence shuffle disappears entirely (plan: MapInPandas, zero
     exchanges below the consumers).
 
+    r13 optimization (guide §2.4): the squared norm is task-local for
+    the same reason the counts are, so it rides INLINE — the former
+    separate `nrm` groupBy (a corpus-sized exchange), its join back
+    onto the scored pairs, and the eager localCheckpoint that existed
+    only because the relation fed two consumers are all gone; the
+    relation now has exactly one consumer (the dot-product join).
+    16 fixed bytes per row is the same carry-the-payload trade the
+    jaccard kernel's n_sh made.
+
     Bit-exactness: the fold ((acc·31 + codepoint) mod P per character,
     '' → 0) is pure integer arithmetic; Python ints replay it exactly,
     and `ord` is the same code-point semantics as the oracle's
-    `UNICODE()` (and `F.ascii` on the retired path).  Counting is exact.
-    The input is spread across the session's parallelism first — the
-    single-row-group fixture scan would otherwise feed ONE Python task
-    (the same reason the retired expression pipeline was
-    single-threaded until its groupBy)."""
+    `UNICODE()` (and `F.ascii` on the retired path).  Counting and the
+    n2 sum of squares are exact ints.  The input is spread across the
+    session's parallelism first — the single-row-group fixture scan
+    would otherwise feed ONE Python task (the same reason the retired
+    expression pipeline was single-threaded until its groupBy)."""
     from mysql_postgres_debezium_cdc_spark.sources.parquet import spread_small_scan
 
     def _dims(batches):
@@ -1015,6 +1079,7 @@ def _rrf_dims_relation(base: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             doc_ids: list[int] = []
+            n2s: list[int] = []
             dims: list[int] = []
             cnts: list[int] = []
             for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
@@ -1022,13 +1087,17 @@ def _rrf_dims_relation(base: DataFrame) -> DataFrame:
                 for t in toks:
                     d = dim_of(t)
                     counts[d] = counts.get(d, 0) + 1
+                n2 = sum(c * c for c in counts.values())
                 doc_ids.extend([doc_id] * len(counts))
+                n2s.extend([n2] * len(counts))
                 dims.extend(counts.keys())
                 cnts.extend(counts.values())
-            yield pd.DataFrame({"doc_id": doc_ids, "dim": dims, "cnt": cnts})
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "n2": n2s, "dim": dims, "cnt": cnts}
+            )
 
     return spread_small_scan(base.select("doc_id", "toks")).mapInPandas(
-        _dims, schema="doc_id long, dim long, cnt long"
+        _dims, schema="doc_id long, n2 long, dim long, cnt long"
     )
 
 
@@ -1061,8 +1130,8 @@ def rag_rrf_fusion(
     every q-side relation derives from a pushdown-filtered scan and
     broadcasts; both retrievers are inverted-index equi-joins (term /
     hash-dim key) whose corpus side streams with map-side-combining
-    aggregation, the hashed-vector relation materialized once for its
-    two consumers; per-query top-P is WindowGroupLimit-pruned; fusion
+    aggregation, the hashed-vector relation single-consumer with its
+    norm inline (r13); per-query top-P is WindowGroupLimit-pruned; fusion
     itself runs on ≤ 2·RRF_POOL rows per query.  Float parity: ranks
     are integers, fusion scores are
     sums of two exactly-rounded rationals computed in identical
@@ -1101,22 +1170,15 @@ def rag_rrf_fusion(
         .select("q_doc", "doc_id", "lex_rank")
     )
 
-    # The corpus-side hashed-vector relation feeds TWO consumers (the
-    # dot-product join and the norm aggregate); the per-token Horner
-    # fold is the expensive stage, so materialize it once (eager
-    # lineage cut, ContextCleaner-reclaimed — the graph_triangle_count
-    # device) instead of letting each consumer re-hash the corpus.
-    # When a persisted index is supplied, the parquet scan replaces the
-    # checkpoint: re-scanning the ~12-bytes-per-row index per consumer
-    # is cheaper than a lineage cut.
-    dims = (
-        dims_df
-        if dims_df is not None
-        else _rrf_dims_relation(base).localCheckpoint(eager=True)
-    )
-    nrm = dims.groupBy("doc_id").agg(
-        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("n2")
-    )
+    # r13: the kernel attaches the per-doc squared norm n2 inline, so
+    # the hashed-vector relation has exactly ONE consumer (the
+    # dot-product join) — the r12 `nrm` groupBy (corpus-sized
+    # exchange), its join back onto the scored pairs, and the eager
+    # localCheckpoint that existed only to share the relation between
+    # two consumers are all gone.  The checkpoint's disappearance also
+    # makes the kernel stage plan-visible again (the r12 dumps showed
+    # only ExistingRDD here).
+    dims = dims_df if dims_df is not None else _rrf_dims_relation(base)
     qdims = (
         qbase.select(F.col("doc_id").alias("q_doc"), F.explode("toks").alias("tok"))
         .select("q_doc", (_rrf_horner(F.col("tok")) % RAG_DIMS).alias("dim"))
@@ -1126,10 +1188,13 @@ def rag_rrf_fusion(
     qnrm = qdims.groupBy("q_doc").agg(
         F.sum(F.col("qcnt") * F.col("qcnt")).cast("bigint").alias("qn2")
     )
+    # n2 joins the grouping key: functionally dependent on doc_id, so
+    # the aggregate's cardinality is unchanged (the jaccard-family
+    # group-with-sizes device).
     dots = (
         dims.join(F.broadcast(qdims), "dim")
         .where(F.col("doc_id") != F.col("q_doc"))
-        .groupBy("q_doc", "doc_id")
+        .groupBy("q_doc", "doc_id", "n2")
         .agg(F.sum(F.col("qcnt") * F.col("cnt")).cast("bigint").alias("dot"))
     )
     cs = F.col("dot").cast("double") / (
@@ -1138,7 +1203,6 @@ def rag_rrf_fusion(
     dw = Window.partitionBy("q_doc").orderBy(F.desc("cs"), F.asc("doc_id"))
     dense_rk = (
         dots.join(F.broadcast(qnrm), "q_doc")
-        .join(nrm, "doc_id")
         .withColumn("cs", cs)
         .withColumn("dense_rank", F.row_number().over(dw).cast("bigint"))
         .where(F.col("dense_rank") <= RRF_POOL)
@@ -1204,9 +1268,12 @@ def rag_rrf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(p),
     )
+    # kind bumped with the r13 schema change (n2 rides inline): a
+    # scratch dir written by the pre-n2 code must not be served to
+    # code that expects the wider relation.
     dims_path = materialize_once(
         sf_dir,
-        "rrf_dims",
+        "rrf_dims_n2",
         lambda p: _rrf_dims_relation(_rrf_tokenized(spark, sf_dir))
         .write.mode("overwrite")
         .parquet(p),
