@@ -524,6 +524,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
+    # r13 note: three zero-shuffle reformulations of this cell stage
+    # (per-row array transform + natural-order sort, max-struct partial
+    # aggregation, a numpy assignment kernel) were interleaved-A/B'd and
+    # ALL lost or tied at sf0.1 — the flat crossJoin rows are codegen-
+    # friendly where nested array-of-struct evaluation is interpreted
+    # (scripts/ab_ann_r13.py; OPTIMIZATION_r13.md has the numbers).
+    # The r12 shape stays.
     ccos = cosine_from_norms(_dot(F.col("emb"), F.col("c_emb")), F.col("nrm"), F.col("c_nrm"))
     cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     scored_cells = (
@@ -1504,44 +1511,96 @@ def ann_ivfpq_topk(
 
     selfdot = [[_py_fold([x * x for x in cw[m][j]]) for j in range(PQ_K)] for m in range(PQ_M)]
 
-    def _lit_arr(vals):
-        return F.array(*[F.lit(float(v)) for v in vals])
-
     def _fold(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
-    # ONE 3-level literal (512 doubles) + nested higher-order lambdas
-    # instead of M×K unrolled fold expressions: the math is identical
-    # (same ordered folds at runtime), but the expression tree is ~100×
-    # smaller, which keeps Catalyst analysis/codegen in the tens of
-    # milliseconds — the unrolled form cost ~4 s of driver-side compile
-    # PER PLAN BUILD, a constant that would dominate the bench and slow
-    # every interactive use for zero runtime win.
-    cw_lit = F.array(*[F.array(*[_lit_arr(cw[m][j]) for j in range(PQ_K)]) for m in range(PQ_M)])
-    sd_lit = F.array(*[_lit_arr(selfdot[m]) for m in range(PQ_M)])
-    _MS = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    # r13: encode and qtab run as Arrow kernels CLOSING OVER the
+    # collected codebook, replacing the 3-level 512-double literal +
+    # nested-lambda expression trees.  Those trees were measured at
+    # ~1.05 s of driver-side Catalyst ANALYSIS per plan build — half
+    # the whole query at sf0.1 — and the interpreted folds they drove
+    # (M·K l2 folds per corpus vector) were the per-row CPU.  The
+    # kernels replay every fold in its pinned order: the l2 fold
+    # accumulates (x−y)² in k-ascending order from 0.0, argmin ties
+    # break to the smallest j via strict-less updates (== the retired
+    # array_position-of-min), pq_nrm folds selfdot[m][code_m] in
+    # m-ascending order, and qtab folds x·y in k order — all float64,
+    # bit-identical to the retired expressions and the DuckDB oracle
+    # (guide §4.2; the lsh_signatures ordered-accumulation device).
+    def _encode_gen(batches):
+        import numpy as np
+        import pandas as pd
 
-    def _sub_of(emb_col, m):
-        return F.slice(emb_col, m * PQ_D + F.lit(1), F.lit(PQ_D))
-
-    def _codes_expr(emb_col):
-        def per_m(m):
-            sub = _sub_of(emb_col, m)
-            d2s = F.transform(
-                F.get(cw_lit, m),
-                lambda cwj: _fold(F.zip_with(sub, cwj, lambda x, y: (x - y) * (x - y))),
+        cwa = [[list(map(float, cw[m][j])) for j in range(PQ_K)] for m in range(PQ_M)]
+        sda = [list(map(float, selfdot[m])) for m in range(PQ_M)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["emb"].to_numpy()).astype("float64")
+            n = len(E)
+            codes = np.zeros((n, PQ_M), dtype=np.int32)
+            nrm_acc = np.zeros(n)
+            for m in range(PQ_M):
+                sub = E[:, m * PQ_D : (m + 1) * PQ_D]
+                best = np.full(n, np.inf)
+                bj = np.zeros(n, dtype=np.int32)
+                for j in range(PQ_K):
+                    acc = np.zeros(n)
+                    for k in range(PQ_D):
+                        d = sub[:, k] - cwa[m][j][k]
+                        acc += d * d
+                    upd = acc < best
+                    best[upd] = acc[upd]
+                    bj[upd] = j
+                codes[:, m] = bj
+                nrm_acc += np.array(sda[m])[bj]
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf["c_id"].to_numpy(),
+                    "cid": pdf["cid"].to_numpy(),
+                    "codes": list(codes),
+                    "pq_nrm": np.sqrt(nrm_acc),
+                }
             )
-            return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
-        return F.transform(_MS, per_m)
+    def _qtab_gen(batches):
+        import numpy as np
+        import pandas as pd
 
-    # --- encoding projection: codes + pq_nrm as pure expressions.
-    def with_codes(df, emb_col):
-        df = df.withColumn("codes", _codes_expr(F.col(emb_col)))
-        self_terms = F.zip_with(F.col("codes"), sd_lit, lambda c, sdm: F.get(sdm, c))
-        return df.withColumn("pq_nrm", F.sqrt(_fold(self_terms)))
+        cwa = [[list(map(float, cw[m][j])) for j in range(PQ_K)] for m in range(PQ_M)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["emb"].to_numpy()).astype("float64")
+            n = len(E)
+            qtabs = []
+            for m in range(PQ_M):
+                sub = E[:, m * PQ_D : (m + 1) * PQ_D]
+                row_m = []
+                for j in range(PQ_K):
+                    acc = np.zeros(n)
+                    for k in range(PQ_D):
+                        acc += sub[:, k] * cwa[m][j][k]
+                    row_m.append(acc)
+                qtabs.append(row_m)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "cid": pdf["cid"].to_numpy(),
+                    "qtab": [
+                        [[qtabs[m][j][i] for j in range(PQ_K)] for m in range(PQ_M)]
+                        for i in range(n)
+                    ],
+                    "q_nrm": pdf["q_nrm"].to_numpy(),
+                }
+            )
 
-    # --- coarse quantizer: identical cell math to ann_ivf_topk.
+    # --- coarse quantizer: identical cell math to ann_ivf_topk, with
+    # two r13 changes: the probe side ranks cells over a 10-row
+    # pushdown-filtered scan instead of re-running the corpus×16
+    # crossJoin (the r12 plan computed scored_cells once PER consumer —
+    # no ReusedExchange), and everything downstream of the cell rank is
+    # a kernel.
     cent = e.where(
         (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_CELLS)
     ).select(
@@ -1551,11 +1610,14 @@ def ann_ivfpq_topk(
     )
     ccos = cosine_from_norms(_dot(F.col("emb"), F.col("c_emb")), F.col("nrm"), F.col("c_nrm"))
     cw_win = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    scored_cells = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", "emb", "nrm", ccos.alias("ccos"))
-        .withColumn("crk", F.row_number().over(cw_win))
-    )
+
+    def _ranked_cells(vecs: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", "emb", "nrm", ccos.alias("ccos"))
+            .withColumn("crk", F.row_number().over(cw_win))
+        )
+
     # Index side: cell assignment + PQ codes, never the full vector again.
     # ``index_df`` substitutes a PERSISTED index relation (see
     # ann_ivfpq_persisted_index); ``_return_index`` exposes the relation
@@ -1563,29 +1625,30 @@ def ann_ivfpq_topk(
     if index_df is not None:
         assign = index_df
     else:
-        assign = with_codes(
-            scored_cells.where(F.col("crk") == 1).select(
-                F.col("vec_id").alias("c_id"), "cid", "emb"
-            ),
-            "emb",
-        ).select("c_id", "cid", "codes", "pq_nrm")
+        assign = (
+            _ranked_cells(e)
+            .where(F.col("crk") == 1)
+            .select(F.col("vec_id").alias("c_id"), "cid", "emb")
+            .mapInPandas(
+                _encode_gen,
+                schema="c_id long, cid int, codes array<int>, pq_nrm double",
+            )
+        )
     if _return_index:
         return assign
 
     # Probe side: queries carry their ADC table qtab[m][j] = dot(qsub_m, cw[m][j]).
-    def _qtab_per_m(m):
-        sub = _sub_of(F.col("emb"), m)
-        return F.transform(
-            F.get(cw_lit, m),
-            lambda cwj: _fold(F.zip_with(sub, cwj, lambda x, y: x * y)),
-        )
-
-    qtab = F.transform(_MS, _qtab_per_m)
+    # The window here ranks |queries|×16 rows — query-cohort-sized, not
+    # corpus-sized (crk is per-vector, so ranking the filtered scan is
+    # value-identical to filtering the corpus-wide ranking).
     probes = (
-        scored_cells.where((F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES))
+        _ranked_cells(e.where(F.col("vec_id") < N_QUERIES))
+        .where(F.col("crk") <= N_PROBE)
         .select(F.col("vec_id").alias("q_id"), "cid", "emb", F.col("nrm").alias("q_nrm"))
-        .withColumn("qtab", qtab)
-        .select("q_id", "cid", "qtab", "q_nrm")
+        .mapInPandas(
+            _qtab_gen,
+            schema="q_id long, cid int, qtab array<array<double>>, q_nrm double",
+        )
     )
 
     # --- ADC: M array lookups folded in subvector order.
