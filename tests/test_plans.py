@@ -485,16 +485,22 @@ def test_reservoir_sample_keeps_partial_group_limit_before_shuffle(spark):
 
 
 def test_ivfpq_encode_is_literal_codebook_map(spark):
-    """ann_ivfpq_topk's scale contract: PQ encoding must be a pure
-    projection against LITERAL codebooks (no explode, no codebook join,
-    no Python crossing — faiss ships the KB-sized codebook to every
-    worker), the probe side must broadcast, and nothing may sort-merge
-    join: every join in the pipeline has a broadcast-sized build side
-    (codebook/probes/queries) by construction."""
+    """ann_ivfpq_topk's scale contract: the KB-sized codebook ships to
+    every worker (faiss-style) — since r13 via the Arrow kernel closure
+    instead of plan literals (the 512-double literal tree cost ~1 s of
+    Catalyst analysis per build).  Still no explode, no codebook JOIN
+    (the kernels are the only Python crossings, and they are Arrow
+    `MapInPandas`, never row-at-a-time `BatchEvalPython`), and nothing
+    may sort-merge join: every join in the pipeline has a
+    broadcast-sized build side (probes/queries) by construction."""
     r = _plan(spark, "ann_ivfpq_topk")
     assert r.n_sortmerge_joins == 0, r.ops
-    assert not any("Python" in o or "MapInPandas" in o for o in r.ops), r.ops
+    # encode + qtab kernels are present and Arrow-vectorized
+    assert "MapInPandas" in r.ops, r.ops
+    assert not any("BatchEvalPython" in o or "ArrowEvalPython" in o for o in r.ops), r.ops
     assert "Generate" not in r.ops, r.ops  # no explode in the encode path
+    # the literal codebook tree is gone from the plan (closure-shipped)
+    assert "array_position" not in r.text
 
 
 def test_vocab_coverage_prefix_sum_is_two_phase(spark):
