@@ -573,22 +573,21 @@ def _media_key_columns() -> list:
     over a feature column ``f`` — shared by the inline/persisted pair
     pipelines and the incremental probe so every path buckets
     identically."""
+    # r13 (guide §5): each key ships as ONE SQL string instead of ~45
+    # py4j DSL calls — same expression tree, parsed JVM-side
+    # (scripts/ab_media_expr_r13.py proves the analyzed plans identical
+    # modulo expression ids).
     keys = []
     for band in (0, 1):
         for off in (0, MEDIA_LSH_GRID // 2):
             cells = [
-                F.floor(
-                    (F.element_at("f", band * 4 + i) + F.lit(off))
-                    / F.lit(MEDIA_LSH_GRID)
-                ).cast("bigint")
+                f"CAST(CAST(FLOOR((element_at(f, {band * 4 + i}) + {off})"
+                f" / {MEDIA_LSH_GRID}) AS BIGINT) AS STRING)"
                 for i in range(1, 5)
             ]
             keys.append(
-                F.concat_ws(
-                    ",",
-                    F.lit(str(band)),
-                    F.lit(str(off)),
-                    *[c.cast("string") for c in cells],
+                F.expr(
+                    f"CONCAT_WS(',', '{band}', '{off}', {', '.join(cells)})"
                 )
             )
     return keys
@@ -618,44 +617,39 @@ def _media_pairs_from_features(
     fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
     fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
 
-    def _dotcol(x: str, y: str):
-        terms = [
-            F.element_at(x, i) * F.element_at(y, i) for i in range(1, 9)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+    # r13 (guide §5): the 8-term dot products and the integer verdict
+    # ship as SQL strings — same trees, one py4j round trip each
+    # (scripts/ab_media_expr_r13.py).
+    def _dotsql(x: str, y: str) -> str:
+        return (
+            "("
+            + " + ".join(f"element_at({x}, {i}) * element_at({y}, {i})" for i in range(1, 9))
+            + ")"
+        )
 
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     scored = (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            _dotcol("fa", "fb").alias("dot"),
-            _dotcol("fa", "fa").alias("na"),
-            _dotcol("fb", "fb").alias("nb"),
+            f"{_dotsql('fa', 'fb')} AS dot",
+            f"{_dotsql('fa', 'fa')} AS na",
+            f"{_dotsql('fb', 'fb')} AS nb",
         )
     )
     return (
         scored.where(
-            (F.col("na") > 0)
-            & (F.col("nb") > 0)
-            & (
-                dec(F.col("dot")) * F.col("dot") * 100000000
-                >= dec(F.lit(MEDIA_LSH_THRESH_SQ_E8)) * F.col("na") * F.col("nb")
-            )
+            "(((na > 0) AND (nb > 0)) AND"
+            " (CAST(dot AS DECIMAL(38,0)) * dot * 100000000 >="
+            f" CAST({MEDIA_LSH_THRESH_SQ_E8} AS DECIMAL(38,0)) * na * nb))"
         )
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
-                4,
-            ).alias("cos_sim"),
+            "ROUND(CAST(dot AS DOUBLE)"
+            " / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 4)"
+            " AS cos_sim",
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -2282,9 +2282,20 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
     the statistics and their exactness devices."""
     from mysql_postgres_debezium_cdc_spark.operators.stats import (
         _banded_rank_cums,
-        _dec_floordiv_1e6,
     )
 
+    # r13 (guide §5, driver overhead): every expression below is built
+    # as a SQL STRING (F.expr / selectExpr) instead of the Column DSL.
+    # The DSL tree cost ~6 500 blocking py4j round trips per build
+    # (cProfile: 1.67 s of socket wait — more than the query's own
+    # action at sf0.1); the strings parse JVM-side into the IDENTICAL
+    # analyzed plan (compared equal modulo expression ids at 3 scales
+    # before the swap — scripts/ab_report_expr_r13.py).  Two parser
+    # traps make the strings non-obvious: bare `100.0` is DECIMAL(4,1)
+    # in Spark SQL (the DSL's F.lit(100.0) is a double), hence the `D`
+    # suffixes; and Python's `2 * col` builds `col * 2` (reverse-op),
+    # hence `before * 2` below.
+    #
     # r12 optimization: ONE conditional aggregate replaces the former
     # pooled + per-arm branch trio (pooled, arms→t, arms→c joined by two
     # crossJoins).  Every statistic here is an exact BIGINT count/sum, so
@@ -2297,63 +2308,55 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
     # empty, matching the oracle's tc CTE.  Plan effect at sf0.1: the
     # report drops 24 shuffle exchanges → 9 and 15 cache scans → 7
     # (plans/r12/events_experiment_report_{before,after}.txt).
+    E = F.expr
     stats = (
         per_user.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
-            F.sum(F.when(F.col("arm") == 1, F.col("x"))).alias("sxt"),
-            F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("syt"),
-            F.sum(F.when(F.col("arm") == 1, F.col("y") * F.col("y"))).alias("syyt"),
-            F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
-            F.sum(F.when(F.col("arm") == 0, F.col("x"))).alias("sxc"),
-            F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("syc"),
-            F.sum(F.when(F.col("arm") == 0, F.col("y") * F.col("y"))).alias("syyc"),
+            E("CAST(COUNT(1) AS BIGINT) AS n"),
+            E("SUM(x) AS sx"),
+            E("SUM(y) AS sy"),
+            E("SUM(x * x) AS sxx"),
+            E("SUM(x * y) AS sxy"),
+            E("CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS nt"),
+            E("SUM(CASE WHEN arm = 1 THEN x END) AS sxt"),
+            E("SUM(CASE WHEN arm = 1 THEN y END) AS syt"),
+            E("SUM(CASE WHEN arm = 1 THEN y * y END) AS syyt"),
+            E("CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS nc"),
+            E("SUM(CASE WHEN arm = 0 THEN x END) AS sxc"),
+            E("SUM(CASE WHEN arm = 0 THEN y END) AS syc"),
+            E("SUM(CASE WHEN arm = 0 THEN y * y END) AS syyc"),
         )
-        .where((F.col("nt") > 0) & (F.col("nc") > 0))
+        .where("(nt > 0) AND (nc > 0)")
         .persist()
     )
-    dn = F.col("n").cast("double")
-    cov_n = dn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    varx_n = dn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    varx_n = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
 
-    nullb = F.lit(None).cast("boolean")
-    nulld = F.lit(None).cast("double")
-    raw_row = stats.select(
-        F.lit("uplift_raw").alias("metric"),
-        F.col("nt").alias("n_treat"),
-        F.col("nc").alias("n_ctrl"),
-        F.round(
-            (
-                F.col("syt").cast("double") / F.col("nt")
-                - F.col("syc").cast("double") / F.col("nc")
-            )
-            / 100.0,
-            4,
-        ).alias("estimate"),
-        nulld.alias("stat"),
-        nullb.alias("significant"),
+    raw_row = stats.selectExpr(
+        "'uplift_raw' AS metric",
+        "nt AS n_treat",
+        "nc AS n_ctrl",
+        "ROUND((CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / nc)"
+        " / 100.0D, 4) AS estimate",
+        "CAST(NULL AS DOUBLE) AS stat",
+        "CAST(NULL AS BOOLEAN) AS significant",
     )
-    theta = cov_n / varx_n
-    mean_x_all = F.col("sx").cast("double") / F.col("n")
-    adj_t = F.col("syt").cast("double") / F.col("nt") - theta * (
-        F.col("sxt").cast("double") / F.col("nt") - mean_x_all
+    theta = f"((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / {varx_n})"
+    mean_x_all = "(CAST(sx AS DOUBLE) / n)"
+    adj_t = (
+        f"(CAST(syt AS DOUBLE) / nt"
+        f" - {theta} * (CAST(sxt AS DOUBLE) / nt - {mean_x_all}))"
     )
-    adj_c = F.col("syc").cast("double") / F.col("nc") - theta * (
-        F.col("sxc").cast("double") / F.col("nc") - mean_x_all
+    adj_c = (
+        f"(CAST(syc AS DOUBLE) / nc"
+        f" - {theta} * (CAST(sxc AS DOUBLE) / nc - {mean_x_all}))"
     )
-    cuped_row = stats.select(
-        F.lit("uplift_cuped").alias("metric"),
-        F.col("nt").alias("n_treat"),
-        F.col("nc").alias("n_ctrl"),
-        F.when(varx_n != 0, F.round((adj_t - adj_c) / 100.0, 4)).alias(
-            "estimate"
-        ),
-        F.when(varx_n != 0, F.round(theta, 6)).alias("stat"),
-        nullb.alias("significant"),
+    cuped_row = stats.selectExpr(
+        "'uplift_cuped' AS metric",
+        "nt AS n_treat",
+        "nc AS n_ctrl",
+        f"CASE WHEN NOT ({varx_n} = 0) THEN"
+        f" ROUND(({adj_t} - {adj_c}) / 100.0D, 4) END AS estimate",
+        f"CASE WHEN NOT ({varx_n} = 0) THEN ROUND({theta}, 6) END AS stat",
+        "CAST(NULL AS BOOLEAN) AS significant",
     )
 
     # r11 (VERDICT r10 task #2's "consider"): the anytime-valid mSPRT
@@ -2361,33 +2364,32 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
     # [[stream_experiment_snapshot]] is CONTINUOUSLY peeked, so the
     # report carries the verdict that stays valid under peeking next to
     # the fixed-horizon statistics.  Same fixed double tree as
-    # [[events_effect_msprt]] ([[_msprt_cols]]), same exact-integer
-    # guards, same ln(1/α) literal at the report's α = 0.05.
-    m_nt, m_nc = F.col("nt"), F.col("nc")
-    m_theta, _m_v, m_log_bf = _msprt_cols(
-        m_nt, m_nc, F.col("syt"), F.col("syc"), F.col("syyt"), F.col("syyc")
+    # [[events_effect_msprt]] ([[_msprt_sql]] is the ONE source of the
+    # tree), same exact-integer guards, same ln(1/α) literal at the
+    # report's α = 0.05.
+    m_theta, _m_v, m_log_bf = _msprt_sql(
+        "nt", "nc", "syt", "syc", "syyt", "syyc"
     )
-    m_ok = (m_nt >= 2) & (m_nc >= 2)
-    decg = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m_ok = "((nt >= 2) AND (nc >= 2))"
     m_var_pos = (
-        decg(m_nt) * F.col("syyt")
-        - decg(F.col("syt")) * F.col("syt")
-        + (decg(m_nc) * F.col("syyc") - decg(F.col("syc")) * F.col("syc"))
-    ) > 0
-    msprt_row = stats.select(
-        F.lit("msprt").alias("metric"),
-        m_nt.alias("n_treat"),
-        m_nc.alias("n_ctrl"),
-        F.when(m_ok, F.round(m_theta / F.lit(100.0), 4)).alias("estimate"),
-        F.when(m_ok & m_var_pos, F.round(m_log_bf, 6)).alias("stat"),
-        F.when(
-            m_ok & m_var_pos, F.round(m_log_bf, 6) > F.lit(float(_LN_20))
-        ).alias("significant"),
+        "((CAST(nt AS DECIMAL(38,0)) * syyt - CAST(syt AS DECIMAL(38,0)) * syt"
+        " + (CAST(nc AS DECIMAL(38,0)) * syyc"
+        " - CAST(syc AS DECIMAL(38,0)) * syc)) > 0)"
+    )
+    msprt_row = stats.selectExpr(
+        "'msprt' AS metric",
+        "nt AS n_treat",
+        "nc AS n_ctrl",
+        f"CASE WHEN {m_ok} THEN ROUND({m_theta} / 100.0D, 4) END AS estimate",
+        f"CASE WHEN ({m_ok} AND {m_var_pos}) THEN ROUND({m_log_bf}, 6) END"
+        " AS stat",
+        f"CASE WHEN ({m_ok} AND {m_var_pos}) THEN"
+        f" ROUND({m_log_bf}, 6) > {float(_LN_20)!r}D END AS significant",
     )
 
     vals = per_user.groupBy(F.col("y").alias("v")).agg(
-        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("ca"),
-        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("cb"),
+        E("CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS ca"),
+        E("CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS cb"),
     )
     # r12 optimization: the banded grid is computed ONCE and cached —
     # its three consumers (the MW/KS moment aggregate, the winsor cap,
@@ -2398,53 +2400,44 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
     # from it.
     cum = _banded_rank_cums(vals).persist()
     mw = cum.agg(
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n1"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n2"),
-        F.coalesce(
-            F.sum(F.col("ca") * (2 * F.col("before") + F.col("t") + 1)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("r2x"),
-        F.coalesce(
-            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("ties"),
-        F.max(F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")))
-        .cast("bigint")
-        .alias("d_num"),
+        E("CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n1"),
+        E("CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n2"),
+        # `before * 2` (not `2 * before`): Python's reverse-op built the
+        # literal on the right, and the string must keep the same tree.
+        E("CAST(COALESCE(SUM(ca * (before * 2 + t + 1)), 0) AS BIGINT) AS r2x"),
+        E("CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS ties"),
+        E("CAST(MAX(ABS(c1 * t2 - c2 * t1)) AS BIGINT) AS d_num"),
     ).persist()
-    n1, n2 = F.col("n1"), F.col("n2")
-    u = (F.col("r2x") - n1 * (n1 + 1)) / 2.0
-    sigma2 = (n1.cast("double") * n2 / 12.0) * (
-        (n1 + n2 + 1)
-        - F.col("ties").cast("double") / ((n1 + n2).cast("double") * (n1 + n2 - 1))
+    u = "((r2x - n1 * (n1 + 1)) / 2.0D)"
+    sigma2 = (
+        "((CAST(n1 AS DOUBLE) * n2 / 12.0D)"
+        " * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)"
+        " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))"
     )
-    z_cond = (n1 > 0) & (n2 > 0) & (n1 + n2 > 1) & (sigma2 > 0)
-    z4 = F.round((u - n1.cast("double") * n2 / 2.0) / F.sqrt(sigma2), 4)
-    mw_row = mw.select(
-        F.lit("mann_whitney").alias("metric"),
-        n1.alias("n_treat"),
-        n2.alias("n_ctrl"),
-        F.when(n1 > 0, u).alias("estimate"),
-        F.when(z_cond, z4).alias("stat"),
-        F.when(z_cond, F.abs(z4) >= 1.96).alias("significant"),
+    z_cond = f"((((n1 > 0) AND (n2 > 0)) AND (n1 + n2 > 1)) AND ({sigma2} > 0))"
+    z4 = f"ROUND(({u} - CAST(n1 AS DOUBLE) * n2 / 2.0D) / SQRT({sigma2}), 4)"
+    mw_row = mw.selectExpr(
+        "'mann_whitney' AS metric",
+        "n1 AS n_treat",
+        "n2 AS n_ctrl",
+        f"CASE WHEN n1 > 0 THEN {u} END AS estimate",
+        f"CASE WHEN {z_cond} THEN {z4} END AS stat",
+        f"CASE WHEN {z_cond} THEN ABS({z4}) >= 1.96D END AS significant",
     )
-    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    ks_row = mw.select(
-        F.lit("ks").alias("metric"),
-        n1.alias("n_treat"),
-        n2.alias("n_ctrl"),
-        F.when(
-            (n1 > 0) & (n2 > 0),
-            F.round(F.col("d_num").cast("double") / (n1.cast("double") * n2), 6),
-        ).alias("estimate"),
-        F.col("d_num").cast("double").alias("stat"),
-        F.when(
-            (n1 > 0) & (n2 > 0),
-            dec(F.col("d_num")) * F.col("d_num")
-            > _dec_floordiv_1e6(dec(F.lit(_KS_ALPHA05_SQ_E6)) * (n1 + n2) * n1 * n2),
-        ).alias("significant"),
+    # [[_dec_floordiv_1e6]] inlined as a string: exact floor(b / 10⁶)
+    # via `(b - pmod(b, 1000000)) / 1000000` on the DECIMAL(38,0) side.
+    ks_rhs = f"CAST({_KS_ALPHA05_SQ_E6} AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"
+    ks_row = mw.selectExpr(
+        "'ks' AS metric",
+        "n1 AS n_treat",
+        "n2 AS n_ctrl",
+        "CASE WHEN ((n1 > 0) AND (n2 > 0)) THEN"
+        " ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) END"
+        " AS estimate",
+        "CAST(d_num AS DOUBLE) AS stat",
+        "CASE WHEN ((n1 > 0) AND (n2 > 0)) THEN"
+        " CAST(d_num AS DECIMAL(38,0)) * d_num >"
+        f" ({ks_rhs} - pmod({ks_rhs}, 1000000)) / 1000000 END AS significant",
     )
 
     # r12 (VERDICT r11 task #7): the winsorized robust row.  NO new
@@ -2459,54 +2452,50 @@ def _experiment_report_from_per_user(per_user: DataFrame) -> DataFrame:
     # Downstream is the standalone key's Welch fixed double tree with
     # identical guards, pinned equal by test.
     wcap = cum.agg(
-        F.min(
-            F.when(
-                (F.col("c1") + F.col("c2")) * 100
-                >= (F.col("t1") + F.col("t2")) * F.lit(WINSOR_PCT),
-                F.col("v"),
-            )
-        ).alias("cap")
+        E(
+            f"MIN(CASE WHEN (c1 + c2) * 100 >= (t1 + t2) * {WINSOR_PCT}"
+            " THEN v END) AS cap"
+        )
     )
-    wy = F.least(F.col("v"), F.col("cap"))
+    wy = "LEAST(v, cap)"
     # (v, ca, cb) read off the cached grid — same rows as `vals`, no
     # second per-user groupBy.
     wsums = cum.select("v", "ca", "cb").crossJoin(F.broadcast(wcap)).agg(
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("wnt"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("wnc"),
-        F.coalesce(F.sum(F.col("ca") * wy), F.lit(0)).cast("bigint").alias("wst"),
-        F.coalesce(F.sum(F.col("cb") * wy), F.lit(0)).cast("bigint").alias("wsc"),
-        F.coalesce(F.sum(F.col("ca") * wy * wy), F.lit(0))
-        .cast("bigint")
-        .alias("wsst"),
-        F.coalesce(F.sum(F.col("cb") * wy * wy), F.lit(0))
-        .cast("bigint")
-        .alias("wssc"),
+        E("CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS wnt"),
+        E("CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS wnc"),
+        E(f"CAST(COALESCE(SUM(ca * {wy}), 0) AS BIGINT) AS wst"),
+        E(f"CAST(COALESCE(SUM(cb * {wy}), 0) AS BIGINT) AS wsc"),
+        E(f"CAST(COALESCE(SUM(ca * {wy} * {wy}), 0) AS BIGINT) AS wsst"),
+        E(f"CAST(COALESCE(SUM(cb * {wy} * {wy}), 0) AS BIGINT) AS wssc"),
     )
-    wnt, wnc = F.col("wnt"), F.col("wnc")
-    wst, wsc, wsst, wssc = (
-        F.col("wst"),
-        F.col("wsc"),
-        F.col("wsst"),
-        F.col("wssc"),
+    # The Welch tree over the winsorized sums — same shape as
+    # [[_msprt_sql]]'s v but over (wnt, wnc, wst, wsc, wsst, wssc);
+    # pinned equal to the standalone [[events_experiment_winsorized]]
+    # by test.
+    w_theta = "(CAST(wst AS DOUBLE) / wnt - CAST(wsc AS DOUBLE) / wnc)"
+    w_v = (
+        "((CAST(wnt AS DOUBLE) * CAST(wsst AS DOUBLE)"
+        " - CAST(wst AS DOUBLE) * wst)"
+        " / (CAST(wnt AS DOUBLE) * (wnt - 1) * wnt)"
+        " + (CAST(wnc AS DOUBLE) * CAST(wssc AS DOUBLE)"
+        " - CAST(wsc AS DOUBLE) * wsc)"
+        " / (CAST(wnc AS DOUBLE) * (wnc - 1) * wnc))"
     )
-    w_theta = wst.cast("double") / wnt - wsc.cast("double") / wnc
-    w_v = (wnt.cast("double") * wsst.cast("double") - wst.cast("double") * wst) / (
-        wnt.cast("double") * (wnt - F.lit(1)) * wnt
-    ) + (wnc.cast("double") * wssc.cast("double") - wsc.cast("double") * wsc) / (
-        wnc.cast("double") * (wnc - F.lit(1)) * wnc
-    )
-    w_t = F.round(w_theta / F.sqrt(w_v), 4)
-    w_ok = (wnt >= 2) & (wnc >= 2)
+    w_t = f"ROUND({w_theta} / SQRT({w_v}), 4)"
+    w_ok = "((wnt >= 2) AND (wnc >= 2))"
     w_var_pos = (
-        dec(wnt) * wsst - dec(wst) * wst + (dec(wnc) * wssc - dec(wsc) * wsc)
-    ) > 0
-    winsor_row = wsums.select(
-        F.lit("winsorized").alias("metric"),
-        wnt.alias("n_treat"),
-        wnc.alias("n_ctrl"),
-        F.when(w_ok, F.round(w_theta / F.lit(100.0), 4)).alias("estimate"),
-        F.when(w_ok & w_var_pos, w_t).alias("stat"),
-        F.when(w_ok & w_var_pos, F.abs(w_t) >= F.lit(1.96)).alias("significant"),
+        "((CAST(wnt AS DECIMAL(38,0)) * wsst - CAST(wst AS DECIMAL(38,0)) * wst"
+        " + (CAST(wnc AS DECIMAL(38,0)) * wssc"
+        " - CAST(wsc AS DECIMAL(38,0)) * wsc)) > 0)"
+    )
+    winsor_row = wsums.selectExpr(
+        "'winsorized' AS metric",
+        "wnt AS n_treat",
+        "wnc AS n_ctrl",
+        f"CASE WHEN {w_ok} THEN ROUND({w_theta} / 100.0D, 4) END AS estimate",
+        f"CASE WHEN ({w_ok} AND {w_var_pos}) THEN {w_t} END AS stat",
+        f"CASE WHEN ({w_ok} AND {w_var_pos}) THEN ABS({w_t}) >= 1.96D END"
+        " AS significant",
     )
     return (
         raw_row.unionAll(cuped_row).unionAll(msprt_row)
@@ -2742,24 +2731,46 @@ def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _msprt_sql(nt, nc, st, sc, sst, ssc):
+    """The mSPRT fixed double tree as Spark SQL STRINGS over named
+    integer sufficient-statistic columns — the single source of the
+    tree for [[_msprt_cols]] and the report's inlined msprt row.
+
+    Why strings (r13, guide §5): the report family's build cost was
+    dominated by py4j round trips — every DSL operator (`a * b`,
+    `.cast(...)`) is a blocking socket call, ~6 500 per report build
+    (cProfile: 1.67 s of socket wait).  A SQL string is ONE round trip
+    parsed JVM-side into the IDENTICAL expression tree (analyzed plans
+    compared equal modulo expression ids before the swap).  Double
+    literals carry the `D` suffix — a bare `100.0` parses as
+    DECIMAL(4,1) in Spark SQL, which would change the tree."""
+    theta = f"(CAST({st} AS DOUBLE) / {nt} - CAST({sc} AS DOUBLE) / {nc})"
+    v = (
+        f"((CAST({nt} AS DOUBLE) * CAST({sst} AS DOUBLE)"
+        f" - CAST({st} AS DOUBLE) * {st})"
+        f" / (CAST({nt} AS DOUBLE) * ({nt} - 1) * {nt})"
+        f" + (CAST({nc} AS DOUBLE) * CAST({ssc} AS DOUBLE)"
+        f" - CAST({sc} AS DOUBLE) * {sc})"
+        f" / (CAST({nc} AS DOUBLE) * ({nc} - 1) * {nc}))"
+    )
+    tau2 = f"{float(_TAU2_MSPRT)!r}D"
+    log_bf = (
+        f"(0.5D * LN({v} / ({v} + {tau2}))"
+        f" + {theta} * {theta} * {tau2} / (2.0D * {v} * ({v} + {tau2})))"
+    )
+    return theta, v, log_bf
+
+
 def _msprt_cols(nt, nc, st, sc, sst, ssc):
     """The mSPRT fixed double tree from exact integer sufficient
     statistics (per-arm count / Σy / Σy² as BIGINTs): returns
-    (theta, v, log_bf) Columns.  Mirrored literal-for-literal by the
-    oracle SQL in [[events_effect_msprt]]; property-tested from
-    first-principles Fraction statistics in tests."""
-    ntd, ncd = nt.cast("double"), nc.cast("double")
-    theta = st.cast("double") / nt - sc.cast("double") / nc
-    v = (ntd * sst.cast("double") - st.cast("double") * st) / (
-        ntd * (nt - F.lit(1)) * nt
-    ) + (ncd * ssc.cast("double") - sc.cast("double") * sc) / (
-        ncd * (nc - F.lit(1)) * nc
-    )
-    tau2 = F.lit(float(_TAU2_MSPRT))
-    log_bf = F.lit(0.5) * F.log(v / (v + tau2)) + theta * theta * tau2 / (
-        F.lit(2.0) * v * (v + tau2)
-    )
-    return theta, v, log_bf
+    (theta, v, log_bf) Columns over the named columns (r13: arguments
+    are column NAME strings; [[_msprt_sql]] holds the one tree).
+    Mirrored literal-for-literal by the oracle SQL in
+    [[events_effect_msprt]]; property-tested from first-principles
+    Fraction statistics in tests."""
+    theta, v, log_bf = _msprt_sql(nt, nc, st, sc, sst, ssc)
+    return F.expr(theta), F.expr(v), F.expr(log_bf)
 
 
 @register(
@@ -2884,7 +2895,7 @@ def events_effect_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt, nc = F.col("nt"), F.col("nc")
     st, sc, sst, ssc = F.col("st"), F.col("sc"), F.col("sst"), F.col("ssc")
-    theta, v, log_bf = _msprt_cols(nt, nc, st, sc, sst, ssc)
+    theta, v, log_bf = _msprt_cols("nt", "nc", "st", "sc", "sst", "ssc")
     ok = (nt >= 2) & (nc >= 2)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     var_pos = (dec(nt) * sst - dec(st) * st + (dec(nc) * ssc - dec(sc) * sc)) > 0
@@ -2931,63 +2942,70 @@ def _winsorized_welch(per_user: DataFrame) -> DataFrame:
     table would execute twice."""
     from mysql_postgres_debezium_cdc_spark.operators.stats import _banded_rank_cums
 
+    # r13 (guide §5): SQL-string expressions, same trees, one py4j
+    # round trip each (scripts/ab_banded_expr_r13.py proves analyzed
+    # plans identical modulo expression ids; see the report rewrite for
+    # the literal-suffix trap the strings must respect).
+    E = F.expr
     per_user = per_user.persist()
     vals = per_user.groupBy(F.col("y").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("ca"),
-        F.lit(0).cast("bigint").alias("cb"),
+        E("CAST(COUNT(1) AS BIGINT) AS ca"),
+        E("CAST(0 AS BIGINT) AS cb"),
     )
     cums = _banded_rank_cums(vals)
     cap = cums.agg(
-        F.min(
-            F.when(
-                F.col("c1") * 100 >= F.col("t1") * F.lit(WINSOR_PCT), F.col("v")
-            )
-        ).alias("cap")
+        E(
+            f"MIN(CASE WHEN c1 * 100 >= t1 * {WINSOR_PCT} THEN v END) AS cap"
+        )
     )
-    capped = per_user.crossJoin(F.broadcast(cap)).select(
-        "arm", F.least(F.col("y"), F.col("cap")).alias("y"), "cap"
+    capped = per_user.crossJoin(F.broadcast(cap)).selectExpr(
+        "arm", "LEAST(y, cap) AS y", "cap"
     )
     s = capped.agg(
-        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("nt"),
-        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("nc"),
-        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("y"))), F.lit(0))
-        .cast("bigint")
-        .alias("st"),
-        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("y"))), F.lit(0))
-        .cast("bigint")
-        .alias("sc"),
-        F.coalesce(
-            F.sum(F.when(F.col("arm") == 1, F.col("y") * F.col("y"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("sst"),
-        F.coalesce(
-            F.sum(F.when(F.col("arm") == 0, F.col("y") * F.col("y"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("ssc"),
-        F.max("cap").alias("cap"),
+        E("CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS nt"),
+        E("CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS nc"),
+        E(
+            "CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN y END), 0) AS BIGINT)"
+            " AS st"
+        ),
+        E(
+            "CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN y END), 0) AS BIGINT)"
+            " AS sc"
+        ),
+        E(
+            "CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN y * y END), 0)"
+            " AS BIGINT) AS sst"
+        ),
+        E(
+            "CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN y * y END), 0)"
+            " AS BIGINT) AS ssc"
+        ),
+        E("MAX(cap) AS cap"),
     )
-    nt, nc = F.col("nt"), F.col("nc")
-    st, sc, sst, ssc = F.col("st"), F.col("sc"), F.col("sst"), F.col("ssc")
-    ntd, ncd = nt.cast("double"), nc.cast("double")
-    theta = st.cast("double") / nt - sc.cast("double") / nc
-    v = (ntd * sst.cast("double") - st.cast("double") * st) / (
-        ntd * (nt - F.lit(1)) * nt
-    ) + (ncd * ssc.cast("double") - sc.cast("double") * sc) / (
-        ncd * (nc - F.lit(1)) * nc
+    theta = "(CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)"
+    v = (
+        "((CAST(nt AS DOUBLE) * CAST(sst AS DOUBLE)"
+        " - CAST(st AS DOUBLE) * st)"
+        " / (CAST(nt AS DOUBLE) * (nt - 1) * nt)"
+        " + (CAST(nc AS DOUBLE) * CAST(ssc AS DOUBLE)"
+        " - CAST(sc AS DOUBLE) * sc)"
+        " / (CAST(nc AS DOUBLE) * (nc - 1) * nc))"
     )
-    t_stat = F.round(theta / F.sqrt(v), 4)
-    ok = (nt >= 2) & (nc >= 2)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    var_pos = (dec(nt) * sst - dec(st) * st + (dec(nc) * ssc - dec(sc) * sc)) > 0
-    return s.select(
-        nt.alias("n_treat"),
-        nc.alias("n_ctrl"),
-        F.col("cap").alias("winsor_cap_cents"),
-        F.when(ok, F.round(theta / F.lit(100.0), 4)).alias("mean_diff"),
-        F.when(ok & var_pos, t_stat).alias("t_stat"),
-        F.when(ok & var_pos, F.abs(t_stat) >= F.lit(1.96)).alias("significant_05"),
+    t_stat = f"ROUND({theta} / SQRT({v}), 4)"
+    ok = "((nt >= 2) AND (nc >= 2))"
+    var_pos = (
+        "((CAST(nt AS DECIMAL(38,0)) * sst - CAST(st AS DECIMAL(38,0)) * st"
+        " + (CAST(nc AS DECIMAL(38,0)) * ssc"
+        " - CAST(sc AS DECIMAL(38,0)) * sc)) > 0)"
+    )
+    return s.selectExpr(
+        "nt AS n_treat",
+        "nc AS n_ctrl",
+        "cap AS winsor_cap_cents",
+        f"CASE WHEN {ok} THEN ROUND({theta} / 100.0D, 4) END AS mean_diff",
+        f"CASE WHEN ({ok} AND {var_pos}) THEN {t_stat} END AS t_stat",
+        f"CASE WHEN ({ok} AND {var_pos}) THEN ABS({t_stat}) >= 1.96D END"
+        " AS significant_05",
     )
 
 

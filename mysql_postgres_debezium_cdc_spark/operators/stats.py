@@ -602,46 +602,56 @@ def _banded_rank_cums(vals: DataFrame) -> DataFrame:
     is persisted: the within-band pass and the band summary both
     consume it, and without the cache each branch would re-run the
     fact-sized groupBy (the justified-persist rule)."""
-    banded = vals.withColumn(
-        "band",
-        F.when(F.col("v") > 0, F.length(F.bin(F.col("v"))))
-        .when(F.col("v") < 0, -F.length(F.bin(-F.col("v"))))
-        .otherwise(F.lit(0)),
+    # r13 (guide §5): the window/select trees ship as SQL strings —
+    # same trees, one py4j round trip each instead of one per operator
+    # (scripts/ab_banded_expr_r13.py proves the analyzed plans identical
+    # modulo expression ids).  Frames are spelled out because the DSL
+    # used explicit rowsBetween frames, not the parser's RANGE default.
+    banded = vals.selectExpr(
+        "*",
+        "CASE WHEN v > 0 THEN LENGTH(BIN(v))"
+        " WHEN v < 0 THEN -LENGTH(BIN(-v)) ELSE 0 END AS band",
     ).persist()
-    wb = Window.partitionBy("band").orderBy("v")
-    inc = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    exc = wb.rowsBetween(Window.unboundedPreceding, -1)
-    t = F.col("ca") + F.col("cb")
-    within = banded.select(
+    inc = (
+        "OVER (PARTITION BY band ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    exc = (
+        "OVER (PARTITION BY band ORDER BY v"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    within = banded.selectExpr(
         "band",
         "v",
         "ca",
         "cb",
-        t.alias("t"),
-        F.sum("ca").over(inc).alias("wca"),
-        F.sum("cb").over(inc).alias("wcb"),
-        F.coalesce(F.sum(t).over(exc), F.lit(0)).alias("wbefore"),
+        "(ca + cb) AS t",
+        f"SUM(ca) {inc} AS wca",
+        f"SUM(cb) {inc} AS wcb",
+        f"COALESCE(SUM(ca + cb) {exc}, 0) AS wbefore",
     )
     bands = banded.groupBy("band").agg(
-        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
+        F.expr("SUM(ca) AS bca"), F.expr("SUM(cb) AS bcb")
     )
-    woff = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy()
-    off = bands.select(
+    woff = (
+        "OVER (ORDER BY band"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    off = bands.selectExpr(
         "band",
-        F.coalesce(F.sum("bca").over(woff), F.lit(0)).alias("off_ca"),
-        F.coalesce(F.sum("bcb").over(woff), F.lit(0)).alias("off_cb"),
-        F.sum("bca").over(wall).alias("t1"),
-        F.sum("bcb").over(wall).alias("t2"),
+        f"COALESCE(SUM(bca) {woff}, 0) AS off_ca",
+        f"COALESCE(SUM(bcb) {woff}, 0) AS off_cb",
+        "SUM(bca) OVER () AS t1",
+        "SUM(bcb) OVER () AS t2",
     )
-    return within.join(F.broadcast(off), "band").select(
+    return within.join(F.broadcast(off), "band").selectExpr(
         "v",
         "ca",
         "cb",
         "t",
-        (F.col("wbefore") + F.col("off_ca") + F.col("off_cb")).alias("before"),
-        (F.col("wca") + F.col("off_ca")).alias("c1"),
-        (F.col("wcb") + F.col("off_cb")).alias("c2"),
+        "(wbefore + off_ca + off_cb) AS before",
+        "(wca + off_ca) AS c1",
+        "(wcb + off_cb) AS c2",
         "t1",
         "t2",
     )

@@ -74,10 +74,11 @@ _LOADED = False
 #   1. The two keys the r12 overflow DEFERRED (stream_experiment_snapshot,
 #      stream_srm_monitor) HEAD the prefix, per the degradation rule the
 #      r12 round defined and tests/test_rotation_discipline.py enforces.
-#   2. 15 keys drifted past their last green row — the r13 optimization
+#   2. 17 keys drifted past their last green row — the r13 optimization
 #      edits (the SimHash signature / RRF-norm / chunk-dims / IVF-PQ
 #      encode kernels, the DSIR window restructure, the containment /
-#      contamination kernel adoption) have NARROW closures, so drift
+#      contamination kernel adoption, the report family's SQL-string
+#      expression build) have NARROW closures, so drift
 #      fits the window with room to spare (no new deferral).  Every
 #      drifted key was value-checked against its unchanged DuckDB oracle
 #      at sf0.001/sf0.01/sf0.1 during the round — this queue is the
@@ -102,6 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",  # tier 2: drifted (last green r12)
     "dq_contamination_ngram_overlap",  # tier 2: drifted (last green r12)
     "dq_decontaminate_corpus",  # tier 2: drifted (last green r12)
+    "events_effect_msprt",  # tier 2: drifted (last green r12)
+    "events_experiment_report",  # tier 2: drifted (last green r12)
     "join_interval_overlap",  # tier 2: drifted (last green r12)
     "rag_rrf_fusion",  # tier 2: drifted (last green r12)
     "rag_rrf_persisted_index",  # tier 2: drifted (last green r12)
@@ -137,8 +140,6 @@ _PRIORITY: tuple[str, ...] = (
     "events_seasonal_anomaly_hours",  # tier 3: oldest-standing cert (r6)
     "events_seasonal_naive_eval",  # tier 3: oldest-standing cert (r6)
     "fn_string_collation",  # tier 3: oldest-standing cert (r6)
-    "fn_url_parse",  # tier 3: oldest-standing cert (r6)
-    "fn_xml_parse",  # tier 3: oldest-standing cert (r6)
 )
 
 

@@ -798,9 +798,7 @@ def test_effect_msprt_tree_matches_first_principles(spark, yt, yc):
         ],
         "nt bigint, nc bigint, st bigint, sc bigint, sst bigint, ssc bigint",
     )
-    theta, v, log_bf = _msprt_cols(
-        F.col("nt"), F.col("nc"), F.col("st"), F.col("sc"), F.col("sst"), F.col("ssc")
-    )
+    theta, v, log_bf = _msprt_cols("nt", "nc", "st", "sc", "sst", "ssc")
     got = row.select(
         theta.alias("theta"),
         v.alias("v"),
@@ -844,10 +842,7 @@ def test_effect_msprt_detects_a_strong_synthetic_effect(spark):
             ],
             "nt bigint, nc bigint, st bigint, sc bigint, sst bigint, ssc bigint",
         )
-        _, _, lb = _msprt_cols(
-            F.col("nt"), F.col("nc"), F.col("st"), F.col("sc"),
-            F.col("sst"), F.col("ssc"),
-        )
+        _, _, lb = _msprt_cols("nt", "nc", "st", "sc", "sst", "ssc")
         return row.select(lb.alias("lb")).collect()[0].lb
 
     aa = [100 + (i % 7) for i in range(50)]
