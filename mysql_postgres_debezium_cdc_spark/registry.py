@@ -74,11 +74,12 @@ _LOADED = False
 #   1. The two keys the r12 overflow DEFERRED (stream_experiment_snapshot,
 #      stream_srm_monitor) HEAD the prefix, per the degradation rule the
 #      r12 round defined and tests/test_rotation_discipline.py enforces.
-#   2. 17 keys drifted past their last green row — the r13 optimization
+#   2. 26 keys drifted past their last green row — the r13 optimization
 #      edits (the SimHash signature / RRF-norm / chunk-dims / IVF-PQ
 #      encode kernels, the DSIR window restructure, the containment /
-#      contamination kernel adoption, the report family's SQL-string
-#      expression build) have NARROW closures, so drift
+#      contamination kernel adoption, the SQL-string expression builds
+#      for the report / rank-statistic / media trees) have NARROW
+#      closures, so drift
 #      fits the window with room to spare (no new deferral).  Every
 #      drifted key was value-checked against its unchanged DuckDB oracle
 #      at sf0.001/sf0.01/sf0.1 during the round — this queue is the
@@ -95,10 +96,18 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_recall_eval",  # tier 2: drifted (last green r6)
     "corpus_rag_persisted_chunks",  # tier 2: drifted (last green r6)
     "corpus_rag_retrieval",  # tier 2: drifted (last green r8)
+    "dedup_media_incremental",  # tier 2: drifted (last green r8)
+    "dedup_media_lsh",  # tier 2: drifted (last green r8)
+    "dedup_media_lsh_persisted",  # tier 2: drifted (last green r8)
+    "events_funnel_time_to_convert",  # tier 2: drifted (last green r9)
+    "stats_ks_test",  # tier 2: drifted (last green r9)
+    "stats_mann_whitney_u",  # tier 2: drifted (last green r9)
     "ann_ivf_topk",  # tier 2: drifted (last green r10)
     "ann_ivfpq_persisted_index",  # tier 2: drifted (last green r11)
     "ann_ivfpq_topk",  # tier 2: drifted (last green r11)
+    "events_experiment_winsorized",  # tier 2: drifted (last green r11)
     "corpus_dsir_importance",  # tier 2: drifted (last green r12)
+    "dedup_media_clusters",  # tier 2: drifted (last green r12)
     "dedup_ngram_containment",  # tier 2: drifted (last green r12)
     "dedup_simhash",  # tier 2: drifted (last green r12)
     "dq_contamination_ngram_overlap",  # tier 2: drifted (last green r12)
@@ -132,14 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_length_bucketed_batches",  # tier 3: oldest-standing cert (r6)
     "corpus_span_corruption_plan",  # tier 3: oldest-standing cert (r6)
     "dedup_boilerplate_lines",  # tier 3: oldest-standing cert (r6)
-    "dedup_boilerplate_removal",  # tier 3: oldest-standing cert (r6)
-    "dq_null_profile",  # tier 3: oldest-standing cert (r6)
-    "events_anomaly_mad",  # tier 3: oldest-standing cert (r6)
-    "events_cumulative_unique_users",  # tier 3: oldest-standing cert (r6)
-    "events_multi_granularity_rollup",  # tier 3: oldest-standing cert (r6)
-    "events_seasonal_anomaly_hours",  # tier 3: oldest-standing cert (r6)
-    "events_seasonal_naive_eval",  # tier 3: oldest-standing cert (r6)
-    "fn_string_collation",  # tier 3: oldest-standing cert (r6)
 )
 
 
