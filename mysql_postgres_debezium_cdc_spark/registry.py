@@ -74,11 +74,11 @@ _LOADED = False
 #   1. The two keys the r12 overflow DEFERRED (stream_experiment_snapshot,
 #      stream_srm_monitor) HEAD the prefix, per the degradation rule the
 #      r12 round defined and tests/test_rotation_discipline.py enforces.
-#   2. 26 keys drifted past their last green row — the r13 optimization
+#   2. 37 keys drifted past their last green row — the r13 optimization
 #      edits (the SimHash signature / RRF-norm / chunk-dims / IVF-PQ
 #      encode kernels, the DSIR window restructure, the containment /
 #      contamination kernel adoption, the SQL-string expression builds
-#      for the report / rank-statistic / media trees) have NARROW
+#      for the report / rank-statistic / media / CDC trees) have NARROW
 #      closures, so drift
 #      fits the window with room to spare (no new deferral).  Every
 #      drifted key was value-checked against its unchanged DuckDB oracle
@@ -95,17 +95,28 @@ _PRIORITY: tuple[str, ...] = (
     "stream_srm_monitor",  # r12-DEFERRED, heads r13 per the overflow rule; drifted (last green r11)
     "ann_ivf_recall_eval",  # tier 2: drifted (last green r6)
     "corpus_rag_persisted_chunks",  # tier 2: drifted (last green r6)
+    "cdc_envelope_encode_roundtrip",  # tier 2: drifted (last green r8)
     "corpus_rag_retrieval",  # tier 2: drifted (last green r8)
     "dedup_media_incremental",  # tier 2: drifted (last green r8)
     "dedup_media_lsh",  # tier 2: drifted (last green r8)
     "dedup_media_lsh_persisted",  # tier 2: drifted (last green r8)
+    "cdc_deadletter_isolation",  # tier 2: drifted (last green r9)
     "events_funnel_time_to_convert",  # tier 2: drifted (last green r9)
     "stats_ks_test",  # tier 2: drifted (last green r9)
     "stats_mann_whitney_u",  # tier 2: drifted (last green r9)
     "ann_ivf_topk",  # tier 2: drifted (last green r10)
+    "cdc_envelope_decode",  # tier 2: drifted (last green r10)
     "ann_ivfpq_persisted_index",  # tier 2: drifted (last green r11)
     "ann_ivfpq_topk",  # tier 2: drifted (last green r11)
     "events_experiment_winsorized",  # tier 2: drifted (last green r11)
+    "cdc_composite_pk_materialize",  # tier 2: drifted (last green r12)
+    "cdc_incremental_agg_maintenance",  # tier 2: drifted (last green r12)
+    "cdc_incremental_convergence",  # tier 2: drifted (last green r12)
+    "cdc_lastwrite_materialize",  # tier 2: drifted (last green r12)
+    "cdc_offset_range_diff",  # tier 2: drifted (last green r12)
+    "cdc_scd2_history",  # tier 2: drifted (last green r12)
+    "cdc_scd2_point_in_time_join",  # tier 2: drifted (last green r12)
+    "cdc_schema_drift_decode",  # tier 2: drifted (last green r12)
     "corpus_dsir_importance",  # tier 2: drifted (last green r12)
     "dedup_media_clusters",  # tier 2: drifted (last green r12)
     "dedup_ngram_containment",  # tier 2: drifted (last green r12)
@@ -130,17 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "stream_user_running_state_stateful",  # tier 3: oldest-standing cert (r5)
     "text_pii_redaction",  # tier 3: oldest-standing cert (r5)
     "text_quality_classifier",  # tier 3: oldest-standing cert (r5)
-    "text_source_divergence",  # tier 3: oldest-standing cert (r5)
-    "text_vocab_head_coverage",  # tier 3: oldest-standing cert (r5)
-    "udf_map_in_arrow",  # tier 3: oldest-standing cert (r5)
-    "agg_bitmap_exact_distinct",  # tier 3: oldest-standing cert (r6)
-    "agg_bool_and_or",  # tier 3: oldest-standing cert (r6)
-    "agg_skew_profile",  # tier 3: oldest-standing cert (r6)
-    "agg_string_concat_ordered",  # tier 3: oldest-standing cert (r6)
-    "corpus_chunk_documents",  # tier 3: oldest-standing cert (r6)
-    "corpus_length_bucketed_batches",  # tier 3: oldest-standing cert (r6)
-    "corpus_span_corruption_plan",  # tier 3: oldest-standing cert (r6)
-    "dedup_boilerplate_lines",  # tier 3: oldest-standing cert (r6)
 )
 
 

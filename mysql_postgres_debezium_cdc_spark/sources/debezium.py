@@ -84,26 +84,37 @@ def decode_envelope(
     # (Rebuilding one struct from fields of a nullable from_json result
     # would trip a codegen NPE in Spark 4.1 when the parse returns null —
     # branching between two whole-struct parses sidesteps it.)
-    looks_wrapped = F.col(value_col).contains('"payload"')
-    parse_wrapped = F.from_json(F.col(value_col), wrapped_schema).getField("payload")
-    parse_bare = F.from_json(F.col(value_col), schema)
-    env = F.coalesce(
-        F.when(looks_wrapped, parse_wrapped).otherwise(parse_bare),
-        F.when(looks_wrapped, parse_bare).otherwise(parse_wrapped),
+    #
+    # r13 (guide §5): the decode tree ships as SQL strings — the DSL
+    # form paid one py4j round trip per operator across the whole CDC
+    # family's builds; scripts/ab_cdc_expr_r13.py proves the analyzed
+    # plans identical modulo expression ids (the parametric row schema
+    # rides as its DDL `simpleString`, which parses back to the same
+    # all-nullable StructType).
+    sch = schema.simpleString()
+    wsch = wrapped_schema.simpleString()
+    looks_wrapped = f"CONTAINS({value_col}, '\"payload\"')"
+    parse_wrapped = f"from_json({value_col}, '{wsch}').payload"
+    parse_bare = f"from_json({value_col}, '{sch}')"
+    env = (
+        f"COALESCE(CASE WHEN {looks_wrapped} THEN {parse_wrapped}"
+        f" ELSE {parse_bare} END,"
+        f" CASE WHEN {looks_wrapped} THEN {parse_bare}"
+        f" ELSE {parse_wrapped} END)"
     )
     topic_table = (
-        F.element_at(F.split(F.col(topic_col), r"\."), -1)
+        f"element_at(split({topic_col}, '\\\\.'), -1)"
         if topic_col and topic_col in df.columns
-        else F.lit(None).cast("string")
+        else "CAST(NULL AS STRING)"
     )
-    out = df.withColumn("_env", env).select(
+    out = df.withColumn("_env", F.expr(env)).selectExpr(
         "*",
-        F.col("_env.op").alias("op"),
-        F.col("_env.before").alias("before"),
-        F.col("_env.after").alias("after"),
-        F.col("_env.source.db").alias("src_db"),
-        F.coalesce(F.col("_env.source.table"), topic_table).alias("src_table"),
-        F.col("_env.ts_ms").alias("ts_ms"),
+        "_env.op AS op",
+        "_env.before AS before",
+        "_env.after AS after",
+        "_env.source.db AS src_db",
+        f"COALESCE(_env.source.table, {topic_table}) AS src_table",
+        "_env.ts_ms AS ts_ms",
     )
     # Tombstones (null/blank value, Consumer.java:133-136) are not errors;
     # anything else that yields no op is a poison record.  A PARSEABLE
@@ -117,18 +128,16 @@ def decode_envelope(
     # "Unknown op" at WARN and skips the record (Consumer.java:183-184);
     # surfacing the record as a queryable dead-letter ROW instead of a
     # log line is this framework's strengthening of that contract.
-    is_tombstone = F.col(value_col).isNull() | (F.trim(F.col(value_col)) == "")
+    is_tombstone = f"(({value_col} IS NULL) OR (TRIM({value_col}) = ''))"
     return (
-        out.withColumn("_tombstone", is_tombstone)
-        .withColumn(
-            "_error",
-            F.when(
-                ~is_tombstone & F.col("op").isNull(),
-                F.concat(F.lit("unparseable envelope: "), F.substring(value_col, 1, 120)),
-            ).when(
-                ~is_tombstone & ~F.col("op").isin("c", "r", "u", "d"),
-                F.concat(F.lit("unsupported op: "), F.col("op")),
-            ),
+        out.selectExpr("*", f"{is_tombstone} AS _tombstone")
+        .selectExpr(
+            "*",
+            f"CASE WHEN ((NOT {is_tombstone}) AND (op IS NULL)) THEN"
+            f" CONCAT('unparseable envelope: ', SUBSTRING({value_col}, 1, 120))"
+            f" WHEN ((NOT {is_tombstone}) AND"
+            f" (NOT (op IN ('c', 'r', 'u', 'd')))) THEN"
+            " CONCAT('unsupported op: ', op) END AS _error",
         )
         .drop("_env")
     )

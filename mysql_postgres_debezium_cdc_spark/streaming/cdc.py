@@ -50,11 +50,13 @@ def with_change_columns(
 
     op dispatch mirrors Consumer.java:174-185: c/r/u → upsert,
     d → delete, anything else is dropped to the dead-letter filter."""
+    # r13 (guide §5): SQL strings, same trees (scripts/ab_cdc_expr_r13.py
+    # proves the analyzed plans identical modulo expression ids).
     return (
-        decoded.where(F.col("_error").isNull() & ~F.col("_tombstone"))
-        .where(F.col("op").isin("c", "r", "u", "d"))
-        .withColumn(IS_DELETE, F.col("op") == "d")
-        .withColumn(ORDER_COL, F.col(offset_col).cast("long"))
+        decoded.where("((_error IS NULL) AND (NOT _tombstone))")
+        .where("op IN ('c', 'r', 'u', 'd')")
+        .selectExpr("*", f"(op = 'd') AS {IS_DELETE}")
+        .selectExpr("*", f"CAST({offset_col} AS LONG) AS {ORDER_COL}")
     )
 
 
@@ -75,18 +77,19 @@ def compact(batch: DataFrame, pk_cols: Sequence[str]) -> DataFrame:
     exchange carries ≤ one event per (key, map partition) — the
     frontier, not the firehose — which is the property that matters at
     100 TB."""
-    keyed = batch.select(
+    keyed = batch.selectExpr(
         "*",
-        *[
-            F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(f"_pk_{c}")
-            for c in pk_cols
-        ],
+        *[f"COALESCE(after.{c}, before.{c}) AS _pk_{c}" for c in pk_cols],
     )
     pk_aliases = [f"_pk_{c}" for c in pk_cols]
     others = [c for c in keyed.columns if c not in pk_aliases]
     return (
         keyed.groupBy(*pk_aliases)
-        .agg(F.max_by(F.struct(*others), F.col(ORDER_COL)).alias("_latest"))
+        .agg(
+            F.expr(
+                f"MAX_BY(STRUCT({', '.join(others)}), {ORDER_COL}) AS _latest"
+            )
+        )
         .select(*pk_aliases, "_latest.*")
     )
 
@@ -102,17 +105,17 @@ def apply_changes(
     Returns the new state with schema (pk_cols ∪ row_cols ∪ _cdc_offset).
     Semantics = Delta MERGE (matched+delete → drop, matched → replace,
     not-matched-and-not-delete → insert)."""
-    upserts = compacted.where(~F.col(IS_DELETE)).select(
-        *[F.col(f"_pk_{c}").alias(c) for c in pk_cols],
-        *[F.col(f"after.{c}").alias(c) for c in row_cols],
-        F.col(ORDER_COL),
+    upserts = compacted.where(f"(NOT {IS_DELETE})").selectExpr(
+        *[f"_pk_{c} AS {c}" for c in pk_cols],
+        *[f"after.{c} AS {c}" for c in row_cols],
+        ORDER_COL,
     )
     if state is None:
         return upserts
     # Keys touched by this batch (upsert OR delete) are removed from the
     # old state; the batch's upserts then re-add the surviving versions.
     # A deleted key is simply absent from both sides of the union.
-    touched = compacted.select(*[F.col(f"_pk_{c}").alias(c) for c in pk_cols])
+    touched = compacted.selectExpr(*[f"_pk_{c} AS {c}" for c in pk_cols])
     untouched = state.join(touched, on=list(pk_cols), how="left_anti")
     return untouched.unionByName(upserts)
 

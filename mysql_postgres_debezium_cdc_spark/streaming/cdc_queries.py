@@ -180,20 +180,20 @@ def _events_changelog(spark: SparkSession, sf_dir: str, lo: int | None = None, h
     # real Kafka/Debezium source arrives already partitioned and skips
     # this (see sources.parquet.spread_small_scan).
     ev = spread_small_scan(ev)
-    op = F.when(F.col("event_type") == "error", "d").otherwise("u")
-    row_image = F.struct(F.col("user_id").alias("id"), F.col("value").alias("v"))
-    env = F.struct(
-        F.when(op == "d", row_image).alias("before"),
-        F.when(op != "d", row_image).alias("after"),
-        F.struct(
-            F.lit("app").alias("db"),
-            F.lit("user_state").alias("table"),
-            F.unix_millis("ts").alias("ts_ms"),
-        ).alias("source"),
-        op.alias("op"),
-        F.unix_millis("ts").alias("ts_ms"),
+    # r13 (guide §5): the envelope-encode tree as ONE SQL string
+    # (scripts/ab_cdc_expr_r13.py: analyzed plans identical modulo ids).
+    op = "CASE WHEN (event_type = 'error') THEN 'd' ELSE 'u' END"
+    row_image = "STRUCT(user_id AS id, value AS v)"
+    env = (
+        f"STRUCT("
+        f"CASE WHEN ({op} = 'd') THEN {row_image} END AS before, "
+        f"CASE WHEN (NOT ({op} = 'd')) THEN {row_image} END AS after, "
+        f"STRUCT('app' AS db, 'user_state' AS table,"
+        f" unix_millis(ts) AS ts_ms) AS source, "
+        f"{op} AS op, "
+        f"unix_millis(ts) AS ts_ms)"
     )
-    return ev.select(F.to_json(env).alias("value"), F.col("event_id").alias("offset"))
+    return ev.selectExpr(f"TO_JSON({env}) AS value", "event_id AS offset")
 
 
 _LASTWRITE_ORACLE = """
@@ -227,8 +227,8 @@ def _materialize(spark: SparkSession, sf_dir: str, n_batches: int) -> DataFrame:
         raw = _events_changelog(spark, sf_dir, lo, hi)
         events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
         state = apply_changes(state, compact(events, ["id"]), ["id"], ["v"])
-    return state.select(
-        "id", F.round("v", 2).alias("v"), F.col(ORDER_COL).alias("last_offset")
+    return state.selectExpr(
+        "id", "ROUND(v, 2) AS v", f"{ORDER_COL} AS last_offset"
     ).orderBy("id")
 
 
@@ -969,45 +969,44 @@ def cdc_offset_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     action, and the column-pruned max rides a 4-byte broadcast)."""
     mid_df = (
         load(spark, sf_dir, "events")
-        .agg(F.max("event_id").alias("_mx"))
+        .agg(F.expr("MAX(event_id) AS _mx"))
         # floor-div, mirroring the oracle's `// 2`; empty changelog → T=0
-        .select(F.coalesce(F.expr("_mx DIV 2"), F.lit(0)).cast("long").alias("_mid"))
+        .selectExpr("CAST(COALESCE(_mx DIV 2, 0) AS LONG) AS _mid")
     )
 
     raw = _events_changelog(spark, sf_dir)
     events = with_change_columns(decode_envelope(raw, EVENTS_ROW_SCHEMA))
     keyed = (
-        events.select(
-            F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
-            F.col("op").alias("op"),
-            F.col(ORDER_COL).alias("off"),
+        events.selectExpr(
+            "COALESCE(after.id, before.id) AS id",
+            "op AS op",
+            f"{ORDER_COL} AS off",
         )
-        .where(F.col("id").isNotNull())
+        .where("(id IS NOT NULL)")
         .crossJoin(F.broadcast(mid_df))
     )
 
-    before_off = F.when(F.col("off") < F.col("_mid"), F.col("off"))
+    before_off = "CASE WHEN (off < _mid) THEN off END"
     g = keyed.groupBy("id").agg(
-        F.max_by("op", before_off).alias("op_t"),
-        F.max(before_off).alias("off_t"),
-        F.max_by("op", F.col("off")).alias("op_e"),
-        F.max("off").alias("off_e"),
+        F.expr(f"MAX_BY(op, {before_off}) AS op_t"),
+        F.expr(f"MAX({before_off}) AS off_t"),
+        F.expr("MAX_BY(op, off) AS op_e"),
+        F.expr("MAX(off) AS off_e"),
     )
-    present_t = F.col("op_t").isNotNull() & (F.col("op_t") != "d")
-    present_e = F.col("op_e") != "d"
+    present_t = "((op_t IS NOT NULL) AND (NOT (op_t = 'd')))"
+    present_e = "(NOT (op_e = 'd'))"
     return (
         g.where(
-            (present_t != present_e)
-            | (present_t & present_e & (F.col("off_t") != F.col("off_e")))
+            f"((NOT ({present_t} = {present_e})) OR"
+            f" (({present_t} AND {present_e}) AND (NOT (off_t = off_e))))"
         )
-        .select(
+        .selectExpr(
             "id",
-            F.when(~present_t, "insert")
-            .when(~present_e, "delete")
-            .otherwise("update")
-            .alias("change"),
-            F.when(present_t, F.col("off_t")).alias("offset_before"),
-            F.when(present_e, F.col("off_e")).alias("offset_after"),
+            f"CASE WHEN (NOT {present_t}) THEN 'insert'"
+            f" WHEN (NOT {present_e}) THEN 'delete'"
+            " ELSE 'update' END AS change",
+            f"CASE WHEN {present_t} THEN off_t END AS offset_before",
+            f"CASE WHEN {present_e} THEN off_e END AS offset_after",
         )
         .orderBy("id")
     )
